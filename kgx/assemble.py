@@ -1,0 +1,83 @@
+"""Stage 1 — admission + window-ordered per-conversation turn assembly (W1).
+
+Reference behavior reproduced:
+  * size-based admission control: drop oversize documents
+    (CompletePipelineReceiver.java:74-84,131-136; default 1,000,000 chars);
+  * document dedup by stable id (JSI_WP3_ID lookup,
+    DatabaseFacade.java:517-573) → dropDuplicates on (conv_id, turn_idx);
+  * stable sentence order = annotation offsets → explicit (conv_id, turn_idx)
+    ordering. Invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering — assembly never reorders or mutates text.
+
+Scale notes: the repartition keys every downstream per-conversation
+operation; hash(conv_id) co-locates a conversation so all per-turn and
+per-conv stages after this are shuffle-free or reuse this exchange. On a
+real cluster `num_partitions` is 2-3x total executor cores; AQE coalesces.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_MAX_TEXT_LEN = 1_000_000  # CompletePipelineReceiver.java default
+
+
+def assemble_turns(
+    transcripts: DataFrame,
+    max_text_len: int = DEFAULT_MAX_TEXT_LEN,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Admission-filter, dedup, and partition the turn table by conv_id."""
+    df = (
+        transcripts
+        .filter(F.col("text").isNotNull() & (F.length("text") <= F.lit(max_text_len)))
+        .dropDuplicates(["conv_id", "turn_idx"])
+        .withColumn("ts_day", F.to_date("ts"))
+    )
+    if num_partitions:
+        df = df.repartition(num_partitions, "conv_id")
+    else:
+        df = df.repartition("conv_id")
+    return df
+
+
+def conversation_docs(turns: DataFrame) -> DataFrame:
+    """Assemble whole-conversation documents with per-turn char offsets
+    (W3): offset_begin = cumulative length of prior turns + separators.
+
+    Uses sort_array(collect_list(struct(turn_idx, ...))) — NEVER shuffle
+    order — so the document text is deterministic (SURVEY.md §2.5/W1).
+    """
+    w = (
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    )
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            w.alias("ordered"),
+            F.min("ts").alias("conv_ts"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .withColumn(
+            "doc_text", F.array_join(F.transform("ordered", lambda s: s["text"]), "\n")
+        )
+        .withColumn(
+            "turn_offsets",
+            F.expr(
+                """
+                aggregate(
+                  ordered,
+                  struct(cast(array() as array<struct<turn_idx:int, begin:int, end:int>>) as acc,
+                         0 as pos),
+                  (s, t) -> struct(
+                      array_append(s.acc, struct(t.turn_idx as turn_idx,
+                                                 s.pos as begin,
+                                                 s.pos + length(t.text) as end)) as acc,
+                      s.pos + length(t.text) + 1 as pos),
+                  s -> s.acc)
+                """
+            ),
+        )
+        .drop("ordered")
+    )

@@ -1,0 +1,114 @@
+"""Stage 5 — entity canonicalization via connected components.
+
+The reference canonicalizes entities sequentially: Hibernate get-or-create
+with first-writer-wins — later mentions with an equal (name, uri) merge into
+the first row's id (DatabaseFacade.java:987-1018, ORDER BY id ASC).
+Reproducing that under parallelism needs an order-independent rule:
+
+  * two nodes are candidate-equivalent iff they share lower(name) OR share
+    a non-null uri;
+  * the canonical id of a component is its MINIMUM entity_id (entity_id is
+    already a deterministic content hash, so min is stable across runs) —
+    the deterministic analogue of "first id wins".
+
+Algorithm: star-contraction + alternating min-label propagation — each
+blocking key (lower(name), uri) emits edges member→min(member ids) (never
+O(group²)), then labels propagate to the component minimum, iterating to
+fixpoint with localCheckpoint to truncate lineage (the standard DataFrame
+rendering of large-star/small-star, Kiveris et al. 2014, "Connected
+Components in MapReduce and Beyond").
+
+Scale: the node table is |distinct entities| — orders of magnitude smaller
+than the turn table. Hot blocking keys (e.g. one surface shared by millions
+of unlinked mentions) are already collapsed to a single node by the
+deterministic hash ids, so group sizes stay bounded; AQE skew-join splitting
+covers the residue.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def candidate_edges(nodes: DataFrame) -> DataFrame:
+    """Star edges (src > dst) from the two blocking keys."""
+    by_name = (
+        nodes.filter(F.col("name").isNotNull())
+        .groupBy(F.lower("name").alias("k"))
+        .agg(F.collect_set("entity_id").alias("ids"))
+    )
+    by_uri = (
+        nodes.filter(F.col("uri").isNotNull())
+        .groupBy(F.col("uri").alias("k"))
+        .agg(F.collect_set("entity_id").alias("ids"))
+    )
+    def star(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.size("ids") > 1)
+            .withColumn("dst", F.array_min("ids"))
+            .select(F.explode("ids").alias("src"), "dst")
+            .filter(F.col("src") != F.col("dst"))
+        )
+    return star(by_name).unionByName(star(by_uri)).distinct()
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 15
+) -> DataFrame:
+    """Return nodes + canonical_id = min entity_id of the component."""
+    spark = nodes.sparkSession
+    labels = nodes.select("entity_id", F.col("entity_id").alias("comp"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # comp'(v) = min(comp(v), min over neighbors comp(u))
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["entity_id"], "inner")
+            .select(sym["src"].alias("entity_id"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("entity_id")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "entity_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return nodes.join(labels, "entity_id").withColumnRenamed("comp", "canonical_id")
+
+
+def build_nodes(triples: DataFrame) -> DataFrame:
+    """Distinct entity nodes from the triple facts (first-wins attributes)."""
+    return (
+        triples.groupBy(F.col("subj_id").alias("entity_id"))
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("subj_name").alias("name"),
+                    F.col("subj_uri").alias("uri"),
+                    F.col("subj_type").alias("entity_type"),
+                ),
+                F.struct("conv_id", "turn_idx"),
+            ).alias("a")
+        )
+        .select("entity_id", "a.name", "a.uri", "a.entity_type")
+    )
+
+
+def canonicalize(triples: DataFrame) -> DataFrame:
+    """nodes table with canonical_id (NODES schema)."""
+    nodes = build_nodes(triples)
+    edges = candidate_edges(nodes)
+    cc = connected_components(nodes, edges)
+    return cc.select("entity_id", "canonical_id", "name", "uri", "entity_type")

@@ -1,0 +1,133 @@
+"""spark-submit entrypoint: the full KG-construction stage graph.
+
+    spark-submit --py-files kgx.zip kgx/job.py \
+        --input /data/transcripts --out /data/kg \
+        --shuffle-partitions 2048 --salt 16
+
+Stage graph (each stage checkpoints to parquet/Iceberg and records lineage,
+so a killed run resumes at the first incomplete stage — SURVEY.md §3 tail):
+
+    assemble → extract (mentions+relations) → triples → nodes → mentions
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from kgx import (
+    aggregate,
+    assemble,
+    canonical,
+    lineage,
+    materialize,
+    mentions as mentions_mod,
+    relations,
+    resources,
+    session,
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    kb: resources.KnowledgeBase | None = None,
+    num_partitions: int | None = None,
+    max_text_len: int = assemble.DEFAULT_MAX_TEXT_LEN,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> dict[str, str]:
+    """Run all stages; returns {stage: output_path}. Idempotent + resumable."""
+    kb = kb or resources.default_kb()
+    run_id = run_id or lineage.new_run_id()
+    lin_dir = os.path.join(out_dir, "lineage")
+    paths = {
+        "facts": os.path.join(out_dir, "facts"),
+        "turn_feats": os.path.join(out_dir, "turn_feats"),
+        "triples": os.path.join(out_dir, "triples"),
+        "nodes": os.path.join(out_dir, "nodes"),
+        "mentions": os.path.join(out_dir, "mentions"),
+    }
+
+    # -- stage: extract (assemble + mentions + relations), one Spark job ---
+    if not (resume and lineage.stage_output_ok(paths["facts"]) and lineage.stage_output_ok(paths["turn_feats"])):
+        with lineage.StageTimer() as t:
+            turns = assemble.assemble_turns(
+                transcripts, max_text_len=max_text_len, num_partitions=num_partitions
+            )
+            with_mentions = mentions_mod.detect_mentions(turns, kb)
+            facts, turn_feats = relations.sentence_facts(with_mentions, kb)
+            facts.write.mode("overwrite").partitionBy("ts_day").parquet(paths["facts"])
+            turn_feats.select(
+                "conv_id", "turn_idx", "ts_day", "pos_cnt", "neg_cnt", "has_so", "mentions"
+            ).write.mode("overwrite").partitionBy("ts_day").parquet(paths["turn_feats"])
+        lineage.mark_stage_ok(paths["facts"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["turn_feats"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms)
+
+    facts = spark.read.parquet(paths["facts"])
+    turn_feats = spark.read.parquet(paths["turn_feats"])
+
+    # -- stage: triples ----------------------------------------------------
+    if not (resume and lineage.stage_output_ok(paths["triples"])):
+        with lineage.StageTimer() as t:
+            triples = aggregate.all_triples(facts, turn_feats)
+            materialize.write_triples(triples, paths["triples"])
+        lineage.mark_stage_ok(paths["triples"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms)
+
+    triples = spark.read.parquet(paths["triples"])
+
+    # -- stage: nodes (canonicalization) -----------------------------------
+    if not (resume and lineage.stage_output_ok(paths["nodes"])):
+        with lineage.StageTimer() as t:
+            nodes = canonical.canonicalize(triples)
+            materialize.write_nodes(nodes, paths["nodes"])
+        lineage.mark_stage_ok(paths["nodes"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms)
+
+    # -- stage: mention evidence -------------------------------------------
+    if not (resume and lineage.stage_output_ok(paths["mentions"])):
+        with lineage.StageTimer() as t:
+            tm = spark.read.parquet(paths["turn_feats"])
+            ev = materialize.mention_evidence(tm)
+            materialize.write_mentions(ev, paths["mentions"])
+        lineage.mark_stage_ok(paths["mentions"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "mentions", None, None, t.wall_ms)
+
+    return paths
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="kgx KG-construction job")
+    p.add_argument("--input", required=True, help="transcripts parquet/Iceberg path")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--num-partitions", type=int, default=None)
+    p.add_argument("--max-text-len", type=int, default=assemble.DEFAULT_MAX_TEXT_LEN)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args()
+
+    spark = session.get_spark(
+        "kgx-job", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    transcripts = spark.read.parquet(args.input)
+    paths = run_pipeline(
+        spark,
+        transcripts,
+        args.out,
+        num_partitions=args.num_partitions,
+        max_text_len=args.max_text_len,
+        resume=not args.no_resume,
+    )
+    n = spark.read.parquet(paths["triples"]).count()
+    print(f"kgx: wrote {n} triples to {paths['triples']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Stage 4 — entity linking via broadcast joins (J1-J4) + alias
+normalization (J3) with first-id-wins dedup semantics (W2).
+
+The reference links every mention through Hibernate get-or-create point
+lookups (Criteria equality + ORDER BY id ASC + take-first:
+DatabaseFacade.java:439-470 features, :900-976 types, :987-1018 objects,
+:1026-1143 indicators). In Spark these become broadcast hash joins against
+tiny dimension DataFrames; the order-dependent identity columns are replaced
+by deterministic content-hash ids (xxhash64(name, uri)) so results are
+independent of task scheduling and retries.
+
+Scale: dims are O(10^3-10^5) rows → always `F.broadcast(...)`; the fact side
+never shuffles for these joins (verify in .explain(): BroadcastHashJoin).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kgx.resources import PRED_REPUTATION, KnowledgeBase
+
+
+def _entity_id(name_col, uri_col):
+    return F.xxhash64(F.lower(name_col), F.coalesce(uri_col, F.lit("")))
+
+
+def canonical_type(type_col):
+    """Any type containing 'Stock' canonicalizes to 'Stock'
+    (SentimentClassification.java:214-216)."""
+    return F.when(F.col(type_col).contains("Stock"), F.lit("Stock")).otherwise(
+        F.col(type_col)
+    )
+
+
+def gazetteer_dim(spark: SparkSession, kb: KnowledgeBase) -> DataFrame:
+    """surface_lc → (entity_id, uri, name, type), one row per surface.
+
+    Duplicate (surface) rows resolve first-id-wins: ORDER BY id ASC then
+    take first (DatabaseFacade.java:994 + Order.asc("id")), with id = the
+    deterministic hash — stable across runs and parallelism.
+    """
+    g = (
+        kb.gazetteer_df(spark)
+        .withColumn("surface_lc", F.lower("surface"))
+        .withColumn("entity_type", canonical_type("entity_type"))
+        .withColumn("entity_id", _entity_id(F.col("entity_name"), F.col("entity_uri")))
+    )
+    # first-wins order: (uri, name) lexicographic — a deterministic,
+    # parallelism-independent stand-in for the reference's ORDER BY id ASC
+    # (ids there are insertion order; ours must not depend on scheduling)
+    w = Window.partitionBy("surface_lc").orderBy("entity_uri", "entity_name")
+    return (
+        g.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("surface_lc", "entity_id", "entity_uri", "entity_name", "entity_type")
+    )
+
+
+def feature_alias_dim(spark: SparkSession, kb: KnowledgeBase) -> DataFrame:
+    """alias_lc → canonical predicate (GlobalParameters.java:147-159), plus
+    the feature surface forms used in running text."""
+    alias = kb.feature_alias_df(spark).select(
+        F.lower("alias").alias("alias_lc"), F.col("canonical")
+    )
+    surf = spark.createDataFrame(kb.feature_surfaces, "alias string, canonical string").select(
+        F.lower("alias").alias("alias_lc"), "canonical"
+    )
+    return alias.unionByName(surf).dropDuplicates(["alias_lc"])
+
+
+def indicators_dim(spark: SparkSession, kb: KnowledgeBase) -> DataFrame:
+    d = kb.indicators_df(spark).withColumn("surface_lc", F.lower("surface"))
+    w = Window.partitionBy("surface_lc").orderBy("indicator_uri")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "surface_lc",
+            "indicator_uri",
+            "indicator_name",
+            "ind_type",
+            "correlation",
+            "object_class",
+            "feature_uri",
+        )
+    )
+
+
+def link_so_mentions(so_mentions: DataFrame, gaz_dim: DataFrame) -> DataFrame:
+    """J1+J2: broadcast-join SO mention surfaces to the gazetteer.
+
+    `so_mentions` must carry a `surface` column. Unmatched surfaces become
+    new nodes with deterministic hash ids (the get-or-create 'create' arm);
+    their type is 'unknown', and — like the reference, which skips unknown
+    object types (SentimentClassification.java:206) — callers filter them
+    out of fact emission but keep them in metrics.
+    """
+    return (
+        so_mentions.withColumn("surface_lc", F.lower("surface"))
+        .join(F.broadcast(gaz_dim), "surface_lc", "left")
+        .withColumn(
+            "entity_id",
+            F.coalesce(F.col("entity_id"), _entity_id(F.col("surface"), F.lit(None))),
+        )
+        .withColumn("entity_name", F.coalesce("entity_name", "surface"))
+        .withColumn("entity_type", F.coalesce("entity_type", F.lit("unknown")))
+        .drop("surface_lc")
+    )
+
+
+def normalize_feature(df: DataFrame, alias_dim: DataFrame, col: str = "feature_surface") -> DataFrame:
+    """J3: alias → canonical predicate; default predicate when no explicit
+    feature mention exists in the turn."""
+    return (
+        df.withColumn("alias_lc", F.lower(F.col(col)))
+        .join(F.broadcast(alias_dim), "alias_lc", "left")
+        .withColumn("pred", F.coalesce("canonical", F.lit(PRED_REPUTATION)))
+        .drop("alias_lc", "canonical")
+    )

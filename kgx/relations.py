@@ -1,0 +1,194 @@
+"""Stage 3 — relation extraction: per-turn (subj, pred, polarity) facts.
+
+Replaces the reference's JAPE classification pipeline + defineSentenceLevel
+(SentimentClassification.java:305-514): for every sentence it pairs the
+sentiment-object mention with the sentence's feature mention (or a default),
+derives polarity from orientation terms, and resolves indirect sentiment
+through indicator correlations (SentimentClassification.java:453-508).
+
+Extraction contract (identical in tests/oracle.py):
+  * turn polarity counts: pos/neg = # orientation-term mentions by polarity
+    (multiplicity counts);
+  * sentence score = sign(pos - neg) ∈ {-1, 0, +1}
+    (SentimentClassification.java:641-653 / A4);
+  * DIRECT: each distinct linked entity mentioned in the turn gets one
+    sentence-level fact; predicate = the turn's FIRST feature mention by
+    offset, alias-normalized, else expectedFutureReputationChange;
+  * INDIRECT: each indicator mention attributes sign * correlation to every
+    distinct same-turn entity whose canonical type equals the indicator's
+    object_class; if none, to the class-level pseudo-entity
+    (uri = ns#<class>) — deterministic stand-in for the reference's
+    class-scoped attribution;
+  * entities with unknown type are dropped from fact emission
+    (SentimentClassification.java:206).
+
+Shuffle budget: turn-level columns are pure array expressions (no shuffle);
+the explodes are narrow; dimension joins broadcast; the single
+indirect-attribution join is keyed (conv_id, turn_idx) on two children of
+the same conv_id-partitioned parent (exchange reuse).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from kgx import linking
+from kgx.resources import KnowledgeBase
+
+_NS = "http://kgx.example.org/onto#"
+
+
+def turn_features(turns_with_mentions: DataFrame) -> DataFrame:
+    """Append per-turn scalar columns derived from the mentions array —
+    whole-stage-codegen array expressions, zero shuffle."""
+    m = F.col("mentions")
+    is_pos = lambda x: (x["kind"] == "OrientationTerm") & (x["feats"]["polarity"] == "positive")  # noqa: E731
+    is_neg = lambda x: (x["kind"] == "OrientationTerm") & (x["feats"]["polarity"] == "negative")  # noqa: E731
+    return (
+        turns_with_mentions
+        .withColumn("pos_cnt", F.size(F.filter(m, is_pos)))
+        .withColumn("neg_cnt", F.size(F.filter(m, is_neg)))
+        .withColumn("turn_score", F.signum(F.col("pos_cnt") - F.col("neg_cnt")).cast("int"))
+        .withColumn(
+            "feature_surface",
+            F.try_element_at(
+                F.filter(m, lambda x: x["kind"] == "Feature"), F.lit(1)
+            )["surface"],  # mentions sorted by begin → element 1 = first by offset
+        )
+        .withColumn("so_mentions", F.filter(m, lambda x: x["kind"] == "SO"))
+        .withColumn("ind_mentions", F.filter(m, lambda x: x["kind"] == "Indicator"))
+        .withColumn("has_so", F.size("so_mentions") > 0)
+    )
+
+
+def linked_turn_entities(turn_feats: DataFrame, gaz_dim: DataFrame) -> DataFrame:
+    """Explode SO mentions and link them (J1/J2); distinct per
+    (conv_id, turn_idx, entity_id)."""
+    so = turn_feats.select(
+        "conv_id",
+        "turn_idx",
+        "ts_day",
+        "pos_cnt",
+        "neg_cnt",
+        "turn_score",
+        "feature_surface",
+        F.explode("so_mentions").alias("m"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "ts_day",
+        "pos_cnt",
+        "neg_cnt",
+        "turn_score",
+        "feature_surface",
+        F.col("m.surface").alias("surface"),
+    )
+    linked = linking.link_so_mentions(so, gaz_dim)
+    return linked.dropDuplicates(["conv_id", "turn_idx", "entity_id"])
+
+
+def direct_facts(linked_entities: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """Sentence-level direct sentiment facts."""
+    df = linking.normalize_feature(linked_entities, alias_dim, "feature_surface")
+    return (
+        df.filter(F.col("entity_type") != F.lit("unknown"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts_day",
+            "entity_id",
+            F.col("entity_uri"),
+            "entity_name",
+            "entity_type",
+            "pred",
+            F.col("turn_score").alias("score_i"),
+            F.lit(None).cast("string").alias("indicator_uri"),
+        )
+    )
+
+
+def indirect_facts(turn_feats: DataFrame, linked_entities: DataFrame, ind_dim: DataFrame) -> DataFrame:
+    """Indicator-mediated sentiment: score = turn sign * correlation,
+    attributed to same-turn entities of the indicator's object class, else
+    a class-level pseudo-entity."""
+    ind = (
+        turn_feats.filter(F.size("ind_mentions") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ts_day",
+            "turn_score",
+            F.explode("ind_mentions").alias("m"),
+        )
+        .withColumn("surface_lc", F.lower(F.col("m.surface")))
+        .join(F.broadcast(ind_dim), "surface_lc", "inner")
+        .dropDuplicates(["conv_id", "turn_idx", "indicator_uri"])
+        .withColumn("eff_score", (F.col("turn_score") * F.col("correlation")).cast("int"))
+    )
+
+    targets = linked_entities.select(
+        "conv_id", "turn_idx", "entity_id", "entity_uri", "entity_name", "entity_type"
+    )
+    joined = ind.join(
+        targets,
+        on=[
+            ind["conv_id"] == targets["conv_id"],
+            ind["turn_idx"] == targets["turn_idx"],
+            targets["entity_type"] == ind["object_class"],
+        ],
+        how="left",
+    ).select(
+        ind["conv_id"],
+        ind["turn_idx"],
+        ind["ts_day"],
+        ind["feature_uri"].alias("pred"),
+        ind["eff_score"].alias("score_i"),
+        ind["indicator_uri"],
+        ind["object_class"],
+        targets["entity_id"],
+        targets["entity_uri"],
+        targets["entity_name"],
+        targets["entity_type"],
+    )
+    # fall back to the class-level pseudo-entity when no same-class entity
+    # is mentioned in the turn
+    return (
+        joined.withColumn(
+            "entity_name", F.coalesce("entity_name", F.col("object_class"))
+        )
+        .withColumn(
+            "entity_uri",
+            F.coalesce("entity_uri", F.concat(F.lit(_NS), F.col("object_class"))),
+        )
+        .withColumn("entity_type", F.coalesce("entity_type", F.col("object_class")))
+        .withColumn(
+            "entity_id",
+            F.coalesce(
+                "entity_id",
+                F.xxhash64(F.lower("entity_name"), F.coalesce("entity_uri", F.lit(""))),
+            ),
+        )
+        .drop("object_class")
+    )
+
+
+def sentence_facts(
+    turns_with_mentions: DataFrame, kb: KnowledgeBase
+) -> tuple[DataFrame, DataFrame]:
+    """Full stage-3 wiring. Returns (sentence_facts, turn_feats).
+
+    sentence_facts columns: conv_id, turn_idx, ts_day, entity_id,
+    entity_uri, entity_name, entity_type, pred, score_i, indicator_uri.
+    """
+    spark = turns_with_mentions.sparkSession
+    gaz = linking.gazetteer_dim(spark, kb)
+    alias = linking.feature_alias_dim(spark, kb)
+    ind = linking.indicators_dim(spark, kb)
+
+    tf = turn_features(turns_with_mentions)
+    linked = linked_turn_entities(tf, gaz)
+    direct = direct_facts(linked, alias)
+    indirect = indirect_facts(tf, linked, ind)
+    facts = direct.unionByName(indirect)
+    return facts, tf

@@ -1,0 +1,229 @@
+"""Knowledge dimensions: gazetteer, orientation lexicon, indicators, aliases.
+
+The reference loads FIRSTOntology.owl (4,806-line RDF/XML) as a GATE OWLIM
+resource (WeblogTag.java:83-116) and drives mention annotation from its
+rdfs:labels. We flatten the same *shapes* into small dimension DataFrames
+built driver-side and broadcast (SURVEY.md §1.2):
+
+  gazetteer(entity_uri, entity_name, entity_type, surface)   — SentimentObject
+    subclasses + surface forms (FIRSTOntology.owl:125-139 Company labels)
+  orientation_lexicon(term, polarity)                        — General Inquirer
+    positive/negative classes (FIRSTOntology.owl:54-56,192-194)
+  indicators(indicator_uri, name, surface, ind_type,
+             correlation, object_class, feature_uri)         — NamedIndividuals
+    + correlation definitions (FIRSTOntology.owl:4224-4259)
+  feature_alias(alias, canonical)                            — Reputation/Price/
+    Volatility → expectedFuture*Change (GlobalParameters.java:147-159)
+  dom_bounds(label, lower, upper, avg)                       — fuzzy score bins
+    (insertAllConstantTypes.sql DEGREE_OF_MEMBERSHIP)
+
+The concrete entity/term data below is an original deterministic synthetic
+knowledge base with the same structure (no content copied from the ontology);
+`load_knowledge(path)` accepts user-supplied TSV/parquet snapshots for
+production use.
+
+At 100 TB these tables stay tiny (a few thousand rows) — always broadcast,
+never shuffled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kgx import schema
+
+# the three canonical predicates (SENTIMENT_FEATURE_TYPE rows,
+# insertAllConstantTypes.sql; alias normalization GlobalParameters.java:147-159)
+PRED_REPUTATION = "expectedFutureReputationChange"
+PRED_PRICE = "expectedFuturePriceChange"
+PRED_VOLATILITY = "expectedFutureVolatilityChange"
+CANONICAL_PREDS = (PRED_REPUTATION, PRED_PRICE, PRED_VOLATILITY)
+
+FEATURE_ALIASES: list[tuple[str, str]] = [
+    ("Reputation", PRED_REPUTATION),
+    ("reputation", PRED_REPUTATION),
+    ("Price", PRED_PRICE),
+    ("price", PRED_PRICE),
+    ("Volatility", PRED_VOLATILITY),
+    ("volatility", PRED_VOLATILITY),
+    (PRED_REPUTATION, PRED_REPUTATION),
+    (PRED_PRICE, PRED_PRICE),
+    (PRED_VOLATILITY, PRED_VOLATILITY),
+]
+
+# classifier-type dimension values (SENTIMENT_CLASSIFIER_TYPE,
+# insertAllConstantTypes.sql)
+CLS_KNOWLEDGE_BASED = "Knowledge-Based/CRISP"
+CLS_POSNEG_RATIO = "PosNegWordRatio/CRISP"
+CLS_HYBRID_FUZZY = "Hybrid/FUZZY"
+
+# fuzzy DoM bins ([0,.2) no … [.8,1] maximum; insertAllConstantTypes.sql)
+DOM_BOUNDS: list[tuple[str, float | None, float | None, float | None]] = [
+    ("no amount", 0.0, 0.2, 0.1),
+    ("small amount", 0.2, 0.4, 0.3),
+    ("moderate amount", 0.4, 0.6, 0.5),
+    ("large amount", 0.6, 0.8, 0.7),
+    ("maximum amount", 0.8, 1.0, 0.9),
+]
+
+_NS = "http://kgx.example.org/onto#"
+
+# --- synthetic knowledge base (deterministic, original content) -------------
+
+_COMPANIES = [
+    ("Acme_Corp", ["Acme Corp", "Acme", "ACME Corporation"]),
+    ("Globex", ["Globex", "Globex International"]),
+    ("Initech", ["Initech", "initech systems"]),
+    ("Umbrella_Group", ["Umbrella Group", "Umbrella"]),
+    ("Stark_Industries", ["Stark Industries", "Stark"]),
+    ("Wayne_Enterprises", ["Wayne Enterprises", "Wayne Ent"]),
+    ("Tyrell_Corp", ["Tyrell Corp", "Tyrell"]),
+    ("Wonka_Industries", ["Wonka Industries", "Wonka"]),
+    ("Cyberdyne", ["Cyberdyne", "Cyberdyne Systems"]),
+    ("Hooli", ["Hooli", "hooli inc"]),
+]
+_STOCKS = [
+    ("ACME_Stock", ["ACME shares", "ACME stock"]),
+    ("GBX_Stock", ["GBX", "Globex shares"]),
+    ("HOO_Stock", ["HOO", "Hooli stock"]),
+]
+_CURRENCIES = [
+    ("Euro", ["euro", "EUR"]),
+    ("US_Dollar", ["dollar", "USD", "greenback"]),
+    ("Yen", ["yen", "JPY"]),
+]
+_REGIONS = [
+    ("Eurozone", ["eurozone", "euro area"]),
+    ("Asia_Pacific", ["asia pacific", "APAC"]),
+    ("North_America", ["north america"]),
+]
+
+POSITIVE_TERMS = [
+    "gain", "gains", "profit", "profits", "growth", "surge", "rally",
+    "strong", "bullish", "upbeat", "improve", "improved", "record",
+    "beat", "boost", "soar", "soared", "optimistic", "upgrade", "win",
+    "success", "robust", "recovery", "outperform", "exceed",
+]
+NEGATIVE_TERMS = [
+    "loss", "losses", "decline", "drop", "plunge", "weak", "bearish",
+    "downbeat", "worsen", "miss", "missed", "cut", "slump", "fall",
+    "fell", "pessimistic", "downgrade", "fail", "failure", "fragile",
+    "recession", "underperform", "warn", "warning", "crash",
+]
+
+# indicator → (object_class, feature, correlation); shape of
+# IndicatorHasPositiveCorrelationTo… (FIRSTOntology.owl:4224-4233)
+_INDICATORS = [
+    ("Return_On_Equity", ["ROE", "return on equity"], "FundamentalMicro", 1, "Company", PRED_REPUTATION),
+    ("Price_Earnings", ["P/E ratio", "price earnings"], "FundamentalMicro", 1, "Company", PRED_PRICE),
+    ("Debt_Ratio", ["debt ratio", "leverage ratio"], "FundamentalMicro", -1, "Company", PRED_REPUTATION),
+    ("Double_Bottom", ["double bottom"], "Technical", 1, "Stock", PRED_PRICE),
+    ("Head_Shoulders", ["head and shoulders"], "Technical", -1, "Stock", PRED_PRICE),
+    ("Inflation_Rate", ["inflation", "inflation rate"], "FundamentalMacro", -1, "Currency", PRED_PRICE),
+    ("Interest_Rate", ["interest rate", "rate hike"], "FundamentalMacro", 1, "Currency", PRED_PRICE),
+    ("Unemployment", ["unemployment", "jobless rate"], "FundamentalMacro", -1, "GeographicalRegion", PRED_REPUTATION),
+    ("Volatility_Index", ["VIX", "volatility index"], "Technical", 1, "Stock", PRED_VOLATILITY),
+]
+
+# feature surfaces: how a predicate is mentioned in text
+FEATURE_SURFACES = [
+    ("reputation", PRED_REPUTATION),
+    ("outlook", PRED_REPUTATION),
+    ("price", PRED_PRICE),
+    ("share price", PRED_PRICE),
+    ("valuation", PRED_PRICE),
+    ("volatility", PRED_VOLATILITY),
+    ("stability", PRED_VOLATILITY),
+]
+
+
+@dataclass(frozen=True)
+class KnowledgeBase:
+    """Plain-Python view shared by the Spark pipeline (broadcast) and the
+    pure-Python differential oracle (tests/oracle.py)."""
+
+    gazetteer: list[tuple[str, str, str, str]]  # uri, name, type, surface
+    lexicon: list[tuple[str, str]]  # term, polarity
+    indicators: list[tuple[str, str, str, str, int, str, str]]
+    feature_alias: list[tuple[str, str]]
+    feature_surfaces: list[tuple[str, str]]
+
+    def gazetteer_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.gazetteer, schema.GAZETTEER)
+
+    def lexicon_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.lexicon, schema.ORIENTATION_LEXICON)
+
+    def indicators_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.indicators, schema.INDICATORS)
+
+    def feature_alias_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.feature_alias, schema.FEATURE_ALIAS)
+
+
+def default_kb() -> KnowledgeBase:
+    gaz: list[tuple[str, str, str, str]] = []
+
+    def add(entities: list[tuple[str, list[str]]], etype: str) -> None:
+        for key, surfaces in entities:
+            uri = _NS + key
+            name = surfaces[0]
+            for s in surfaces:
+                gaz.append((uri, name, etype, s))
+
+    add(_COMPANIES, "Company")
+    add(_STOCKS, "Stock")
+    add(_CURRENCIES, "Currency")
+    add(_REGIONS, "GeographicalRegion")
+    # reference special case: any type containing "Stock" canonicalizes to
+    # "Stock" (SentimentClassification.java:214-216) — exercised via a
+    # subtyped entity:
+    gaz.append((_NS + "PEN_Stock", "PEN preferred", "PreferredStockSecurity", "PEN preferred"))
+    # duplicate (name, uri) rows with distinct surfaces → first-id-wins dedup
+    # (DatabaseFacade.java:987-1018)
+    gaz.append((_NS + "Acme_Corp", "Acme Corp", "Company", "acme corporation plc"))
+
+    lex = [(t, "positive") for t in POSITIVE_TERMS] + [
+        (t, "negative") for t in NEGATIVE_TERMS
+    ]
+
+    inds = [
+        (_NS + key, surfaces[0], s, ind_type, corr, obj_cls, feat)
+        for key, surfaces, ind_type, corr, obj_cls, feat in _INDICATORS
+        for s in surfaces
+    ]
+
+    return KnowledgeBase(
+        gazetteer=gaz,
+        lexicon=lex,
+        indicators=inds,
+        feature_alias=list(FEATURE_ALIASES),
+        feature_surfaces=list(FEATURE_SURFACES),
+    )
+
+
+def dom_bounds_df(spark: SparkSession) -> DataFrame:
+    from decimal import Decimal
+
+    rows = [
+        (label, Decimal(str(lo)), Decimal(str(hi)), Decimal(str(avg)))
+        for label, lo, hi, avg in DOM_BOUNDS
+    ]
+    return spark.createDataFrame(rows, schema.DOM_BOUNDS)
+
+
+def dom_label(score: float | None) -> str:
+    """Map |score| ∈ [0,1] to a degree-of-membership label
+    (DatabaseFacade.java:1152-1177 bounds semantics: lower ≤ s < upper,
+    top bin closed)."""
+    if score is None:
+        return "n/a"
+    s = abs(score)
+    for label, lo, hi, _avg in DOM_BOUNDS:
+        if lo <= s < hi:
+            return label
+    if s >= 1.0:
+        return DOM_BOUNDS[-1][0]
+    return "n/a"
