@@ -57,33 +57,56 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     return timings
 
 
-def run_scaling(n_convs: int = 6000) -> dict | None:
-    """local[8] vs local[32] on the identical transcript corpus."""
-    from kgx import synth
+SCALE_N = int(os.environ.get("BENCH_SCALE_N", "2"))
+SCALE_4N = 4 * SCALE_N
+SCALE_TURNS = int(os.environ.get("BENCH_SCALE_TURNS", "5000000"))
+SCALE_RUNS = int(os.environ.get("BENCH_SCALE_RUNS", "2"))
 
-    inp = "/tmp/kgx_bench_transcripts.parquet"
+
+def _gen_corpus(inp: str) -> None:
+    from kgx import benchgen, session
+
+    spark = session.get_spark("bench-gen", master="local[32]", shuffle_partitions=32)
+    benchgen.write_bench_corpus(spark, inp, SCALE_TURNS)
+    spark.stop()
+
+
+def run_scaling() -> dict | None:
+    """North-rule probe: the identical KG job on the identical corpus at N
+    and 4N cores (default local[2] vs local[8]). Best-of-SCALE_RUNS per
+    config: this sandbox host is shared (external load 6-20 cores, bursty),
+    so the max-throughput sample is the least-interference estimate."""
+    inp = f"/tmp/kgx_bench_{SCALE_TURNS}"
     if not os.path.exists(inp):
-        synth.write_transcripts_parquet(inp, n_convs=n_convs, seed=42)
+        print(f"  generating {SCALE_TURNS}-turn corpus ...", file=sys.stderr)
+        _gen_corpus(inp)
     results = {}
-    for cpus in (8, 32):
-        print(f"  scaling probe: local[{cpus}] ...", file=sys.stderr)
-        out = subprocess.run(
-            [sys.executable, "-m", "kgx.bench_scale", "--cpus", str(cpus), "--input", inp],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=1800,
-        )
-        if out.returncode != 0:
-            print(out.stderr[-2000:], file=sys.stderr)
-            return None
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"    {line}", file=sys.stderr)
-    eff = results[32]["turns_per_sec"] / (4 * results[8]["turns_per_sec"])
+    for cpus in (SCALE_N, SCALE_4N):
+        best = None
+        for i in range(SCALE_RUNS):
+            print(f"  scaling probe: local[{cpus}] run {i + 1} ...", file=sys.stderr)
+            out = subprocess.run(
+                [sys.executable, "-m", "kgx.bench_scale", "--cpus", str(cpus), "--input", inp],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                timeout=1800,
+            )
+            if out.returncode != 0:
+                print(out.stderr[-2000:], file=sys.stderr)
+                return None
+            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            print(f"    {line}", file=sys.stderr)
+            if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
+                best = r
+        results[cpus] = best
+    eff = results[SCALE_4N]["turns_per_sec"] / (4 * results[SCALE_N]["turns_per_sec"])
     return {
-        "local8": results[8],
-        "local32": results[32],
+        "n_cores": SCALE_N,
+        "n4_cores": SCALE_4N,
+        "localN": results[SCALE_N],
+        "local4N": results[SCALE_4N],
         "scaling_efficiency": round(eff, 3),
     }
 

@@ -29,17 +29,19 @@ def assemble_turns(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Admission-filter, dedup, and partition the turn table by conv_id."""
-    df = (
-        transcripts
-        .filter(F.col("text").isNotNull() & (F.length("text") <= F.lit(max_text_len)))
-        .dropDuplicates(["conv_id", "turn_idx"])
-        .withColumn("ts_day", F.to_date("ts"))
+    df = transcripts.filter(
+        F.col("text").isNotNull() & (F.length("text") <= F.lit(max_text_len))
     )
+    # repartition BEFORE dedup: hash(conv_id) co-locates (conv_id, turn_idx)
+    # keys (subset rule), so the dropDuplicates reuses this exchange instead
+    # of adding a second full-text shuffle
     if num_partitions:
         df = df.repartition(num_partitions, "conv_id")
     else:
         df = df.repartition("conv_id")
-    return df
+    return df.dropDuplicates(["conv_id", "turn_idx"]).withColumn(
+        "ts_day", F.to_date("ts")
+    )
 
 
 def conversation_docs(turns: DataFrame) -> DataFrame:

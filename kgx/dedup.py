@@ -117,7 +117,10 @@ def _coeffs(k: int) -> list[tuple[int, int]]:
 def minhash_signature(c: Column, n: int = 5, k: int = 32) -> Column:
     """array<long> of k min-hash values over the shingle set. JVM-side:
     xxhash64 per shingle + affine rehash per permutation."""
-    sh = shingles(c, n)
+    return minhash_from_shingles(shingles(c, n), k)
+
+
+def minhash_from_shingles(sh: Column, k: int = 32) -> Column:
     # reduce the 64-bit shingle hash mod P first so a*h+b never overflows
     # a signed long under ANSI arithmetic (a, h < 2^31 → product < 2^62)
     hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
@@ -146,27 +149,34 @@ def minhash_lsh_pairs(
     document pairs is within LSH buckets.
     """
     rows = k // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-        minhash_signature(F.col(text_col), n, k).alias("sig"),
-    ).withColumn("n_sh", F.size("sh"))
+    spark = df.sparkSession
+    npart = spark.sparkContext.defaultParallelism
 
-    band_cols = [
-        F.xxhash64(F.lit(bi), *[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
-            f"b{bi}"
-        )
-        for bi in range(bands)
-    ]
-    banded = sh.select("id", "n_sh", "sh", *band_cols)
-    buckets = banded.select(
-        "id",
-        "n_sh",
-        "sh",
-        F.explode(
-            F.array(*[F.struct(F.lit(bi).alias("band"), F.col(f"b{bi}").alias("key")) for bi in range(bands)])
-        ).alias("bk"),
-    ).select("id", "n_sh", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # CPU-heavy signature computation: spread across cores regardless of
+    # input file layout (a single parquet file would otherwise pin this to
+    # one task)
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
+        npart, "id"
+    )
+    sh = base.select("id", shingles(F.col("text"), n).alias("sh")).persist()
+    sig = sh.select("id", minhash_from_shingles(F.col("sh"), k).alias("sig"))
+
+    # bucket rows carry only (id, band, key) — the shingle arrays never
+    # enter the candidate-pair shuffle
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    F.lit(bi), *[F.col("sig")[bi * rows + r] for r in range(rows)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_cols).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -178,20 +188,20 @@ def minhash_lsh_pairs(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    verified = cand.withColumn(
-        "inter", F.size(F.array_intersect("sh_a", "sh_b"))
-    ).withColumn(
-        "jaccard",
-        F.col("inter").cast("double")
-        / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
     )
     return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 

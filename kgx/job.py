@@ -54,19 +54,29 @@ def run_pipeline(
     }
 
     # -- stage: extract (assemble + mentions + relations), one Spark job ---
-    if not (resume and lineage.stage_output_ok(paths["facts"]) and lineage.stage_output_ok(paths["turn_feats"])):
+    extract_ok = all(
+        lineage.stage_output_ok(paths[p]) for p in ("facts", "turn_feats", "mentions")
+    )
+    if not (resume and extract_ok):
         with lineage.StageTimer() as t:
             turns = assemble.assemble_turns(
                 transcripts, max_text_len=max_text_len, num_partitions=num_partitions
-            )
+            ).persist()
+            # hot path: slim summary UDF; evidence path: full-span UDF —
+            # two regex passes, but neither drags the other's payload
+            # through its shuffle/cache
+            facts, turn_feats = relations.extract_facts(turns, kb)
             with_mentions = mentions_mod.detect_mentions(turns, kb)
-            facts, turn_feats = relations.sentence_facts(with_mentions, kb)
             facts.write.mode("overwrite").partitionBy("ts_day").parquet(paths["facts"])
             turn_feats.select(
-                "conv_id", "turn_idx", "ts_day", "pos_cnt", "neg_cnt", "has_so", "mentions"
+                "conv_id", "turn_idx", "ts_day", "pos_cnt", "neg_cnt", "has_so"
             ).write.mode("overwrite").partitionBy("ts_day").parquet(paths["turn_feats"])
+            ev = materialize.mention_evidence(with_mentions)
+            materialize.write_mentions(ev, paths["mentions"])
+            with_mentions.unpersist()
         lineage.mark_stage_ok(paths["facts"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["turn_feats"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["mentions"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms)
 
     facts = spark.read.parquet(paths["facts"])
@@ -89,15 +99,6 @@ def run_pipeline(
             materialize.write_nodes(nodes, paths["nodes"])
         lineage.mark_stage_ok(paths["nodes"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms)
-
-    # -- stage: mention evidence -------------------------------------------
-    if not (resume and lineage.stage_output_ok(paths["mentions"])):
-        with lineage.StageTimer() as t:
-            tm = spark.read.parquet(paths["turn_feats"])
-            ev = materialize.mention_evidence(tm)
-            materialize.write_mentions(ev, paths["mentions"])
-        lineage.mark_stage_ok(paths["mentions"], {"run_id": run_id})
-        lineage.append_lineage(spark, lin_dir, run_id, "mentions", None, None, t.wall_ms)
 
     return paths
 

@@ -80,38 +80,65 @@ class SurfaceMatcher:
             else None
         )
 
-    def match(self, text: str) -> list[dict]:
-        out: list[dict] = []
+    def summarize(self, text: str) -> tuple:
+        """One-pass per-turn summary: (pos_cnt, neg_cnt, first_feature,
+        so_surfaces, ind_surfaces). This is the hot-path contract — only
+        counts and deduped surface lists cross the Arrow boundary, not
+        per-occurrence mention structs (~5x less transfer at 10^12 turns).
+        Semantics identical to match(): finditer order = offset order, so
+        first_feature is the first by begin; so/ind lists are distinct raw
+        surfaces in first-occurrence order; pos/neg count multiplicity."""
+        pos = neg = 0
+        first_feat = None
+        so: list[str] = []
+        ind: list[str] = []
+        spans: list[tuple[int, int]] = []
+        if self.entity_re is not None:
+            for m in self.entity_re.finditer(text):
+                s = m.group(1)
+                k = self.kind_of[s.lower()]
+                spans.append((m.start(1), m.end(1)))
+                if k == "SO":
+                    if s not in so:
+                        so.append(s)
+                elif k == "Indicator":
+                    if s not in ind:
+                        ind.append(s)
+                elif first_feat is None:
+                    first_feat = s
+        if self.term_re is not None:
+            for m in self.term_re.finditer(text):
+                b, e = m.start(1), m.end(1)
+                if spans and any(b < se and sb < e for sb, se in spans):
+                    continue
+                if self.polarity_of[m.group(1).lower()] == "positive":
+                    pos += 1
+                else:
+                    neg += 1
+        return (pos, neg, first_feat, so, ind)
+
+    def match(self, text: str) -> list[tuple]:
+        """Mentions as (begin, end, kind, surface, polarity) tuples —
+        tuples, not dicts: this runs per turn at 10^12 scale and Arrow
+        struct conversion from tuples is ~2x cheaper."""
+        out: list[tuple] = []
         spans: list[tuple[int, int]] = []
         if self.entity_re is not None:
             for m in self.entity_re.finditer(text):
                 surface = m.group(1)
-                kind = self.kind_of[surface.lower()]
-                spans.append((m.start(1), m.end(1)))
-                out.append(
-                    {
-                        "begin": m.start(1),
-                        "end": m.end(1),
-                        "kind": kind,
-                        "surface": surface,
-                        "feats": {},
-                    }
-                )
+                b, e = m.start(1), m.end(1)
+                spans.append((b, e))
+                out.append((b, e, self.kind_of[surface.lower()], surface, None))
         if self.term_re is not None:
             for m in self.term_re.finditer(text):
                 b, e = m.start(1), m.end(1)
-                if any(b < se and sb < e for sb, se in spans):
+                if spans and any(b < se and sb < e for sb, se in spans):
                     continue  # inside an entity/indicator/feature span
+                surface = m.group(1)
                 out.append(
-                    {
-                        "begin": b,
-                        "end": e,
-                        "kind": "OrientationTerm",
-                        "surface": m.group(1),
-                        "feats": {"polarity": self.polarity_of[m.group(1).lower()]},
-                    }
+                    (b, e, "OrientationTerm", surface, self.polarity_of[surface.lower()])
                 )
-        out.sort(key=lambda d: (d["begin"], -(d["end"])))
+        out.sort(key=lambda t: (t[0], -t[1]))
         return out
 
 
@@ -125,11 +152,28 @@ def matcher_from_kb(kb: KnowledgeBase) -> SurfaceMatcher:
     )
 
 
-def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
-    """Append a `mentions` array column to the turn table. No shuffle."""
-    spark = turns.sparkSession
-    sc = spark.sparkContext
-    kb_bc = sc.broadcast(
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TURN_SUMMARY = StructType(
+    [
+        StructField("pos_cnt", IntegerType(), False),
+        StructField("neg_cnt", IntegerType(), False),
+        StructField("feature_surface", StringType(), True),
+        StructField("so_mentions", ArrayType(StringType()), False),
+        StructField("ind_mentions", ArrayType(StringType()), False),
+    ]
+)
+
+
+def _broadcast_kb(turns: DataFrame, kb: KnowledgeBase):
+    sc = turns.sparkSession.sparkContext
+    return sc.broadcast(
         {
             "so": [s for (_u, _n, _t, s) in kb.gazetteer],
             "ind": [row[2] for row in kb.indicators],
@@ -139,15 +183,68 @@ def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
         }
     )
 
+
+def _matcher_from_bc(state: dict, kb_bc) -> SurfaceMatcher:
+    matcher = state.get("m")
+    if matcher is None:
+        d = kb_bc.value
+        matcher = SurfaceMatcher(d["so"], d["ind"], d["feat"], d["pos"], d["neg"])
+        state["m"] = matcher
+    return matcher
+
+
+def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
+    """Append a `mentions` array column (full standoff spans — the evidence
+    path; the analytics hot path uses extract_turn_features). No shuffle."""
+    kb_bc = _broadcast_kb(turns, kb)
     state: dict = {}
 
     @F.pandas_udf(schema.MENTIONS_COL)
     def _detect(text: pd.Series) -> pd.Series:
-        matcher = state.get("m")
-        if matcher is None:
-            d = kb_bc.value
-            matcher = SurfaceMatcher(d["so"], d["ind"], d["feat"], d["pos"], d["neg"])
-            state["m"] = matcher
-        return text.map(lambda t: matcher.match(t) if isinstance(t, str) else [])
+        matcher = _matcher_from_bc(state, kb_bc)
+        match = matcher.match
+        return pd.Series(
+            [match(t) if isinstance(t, str) else [] for t in text.to_numpy()],
+            index=text.index,
+        )
 
     return turns.withColumn("mentions", _detect(F.col("text")))
+
+
+def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
+    """Hot-path UDF: per-turn summary struct (counts + deduped surfaces),
+    flattened to the slim turn_feats layout consumed by relations/aggregate.
+    One Arrow round-trip, no per-occurrence structs, no downstream array
+    lambdas."""
+    kb_bc = _broadcast_kb(turns, kb)
+    state: dict = {}
+
+    @F.pandas_udf(TURN_SUMMARY)
+    def _summ(text: pd.Series) -> pd.DataFrame:
+        matcher = _matcher_from_bc(state, kb_bc)
+        summarize = matcher.summarize
+        rows = [
+            summarize(t) if isinstance(t, str) else (0, 0, None, [], [])
+            for t in text.to_numpy()
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["pos_cnt", "neg_cnt", "feature_surface", "so_mentions", "ind_mentions"],
+            index=text.index,
+        )
+
+    out = turns.select(
+        "conv_id", "turn_idx", "ts_day", _summ(F.col("text")).alias("s")
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts_day",
+        F.col("s.pos_cnt").alias("pos_cnt"),
+        F.col("s.neg_cnt").alias("neg_cnt"),
+        F.signum(F.col("s.pos_cnt") - F.col("s.neg_cnt")).cast("int").alias("turn_score"),
+        F.col("s.feature_surface").alias("feature_surface"),
+        F.col("s.so_mentions").alias("so_mentions"),
+        F.col("s.ind_mentions").alias("ind_mentions"),
+        (F.size("s.so_mentions") > 0).alias("has_so"),
+    )

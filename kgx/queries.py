@@ -53,11 +53,20 @@ def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KG_CACHE: dict = {}
+
+
 def _kg_run(spark: SparkSession, sf_dir: str):
+    """Extraction stages shared by the three kg_* queries; cached per
+    (session, sf_dir) so the trio doesn't re-run the Arrow-UDF stage."""
+    key = (id(spark), sf_dir)
+    if key in _KG_CACHE:
+        return _KG_CACHE[key]
     kb = resources.driver_kb()
     turns = assemble.assemble_turns(_doc_transcripts(spark, sf_dir), num_partitions=32)
-    wm = mentions.detect_mentions(turns, kb)
-    facts, tf = relations.sentence_facts(wm, kb)
+    facts, tf = relations.extract_facts(turns, kb)
+    facts = facts.persist()
+    _KG_CACHE[key] = (facts, tf)
     return facts, tf
 
 

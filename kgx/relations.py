@@ -40,25 +40,37 @@ _NS = "http://kgx.example.org/onto#"
 
 
 def turn_features(turns_with_mentions: DataFrame) -> DataFrame:
-    """Append per-turn scalar columns derived from the mentions array —
-    whole-stage-codegen array expressions, zero shuffle."""
+    """Per-turn scalar columns derived from the mentions array —
+    whole-stage-codegen array expressions, zero shuffle.
+
+    Projects AWAY text/mentions/role/tool: this DataFrame is the fan-out
+    point for direct/indirect/fallback branches and is persisted by
+    sentence_facts, so the cached rows must be slim (the raw text and full
+    annotation array would otherwise dominate cache size and shuffle)."""
     m = F.col("mentions")
-    is_pos = lambda x: (x["kind"] == "OrientationTerm") & (x["feats"]["polarity"] == "positive")  # noqa: E731
-    is_neg = lambda x: (x["kind"] == "OrientationTerm") & (x["feats"]["polarity"] == "negative")  # noqa: E731
-    return (
-        turns_with_mentions
-        .withColumn("pos_cnt", F.size(F.filter(m, is_pos)))
-        .withColumn("neg_cnt", F.size(F.filter(m, is_neg)))
-        .withColumn("turn_score", F.signum(F.col("pos_cnt") - F.col("neg_cnt")).cast("int"))
-        .withColumn(
-            "feature_surface",
-            F.try_element_at(
-                F.filter(m, lambda x: x["kind"] == "Feature"), F.lit(1)
-            )["surface"],  # mentions sorted by begin → element 1 = first by offset
-        )
-        .withColumn("so_mentions", F.filter(m, lambda x: x["kind"] == "SO"))
-        .withColumn("ind_mentions", F.filter(m, lambda x: x["kind"] == "Indicator"))
-        .withColumn("has_so", F.size("so_mentions") > 0)
+    is_pos = lambda x: x["polarity"] == "positive"  # noqa: E731
+    is_neg = lambda x: x["polarity"] == "negative"  # noqa: E731
+    so_surfaces = F.array_distinct(
+        F.transform(F.filter(m, lambda x: x["kind"] == "SO"), lambda x: x["surface"])
+    )
+    ind_surfaces = F.array_distinct(
+        F.transform(F.filter(m, lambda x: x["kind"] == "Indicator"), lambda x: x["surface"])
+    )
+    pos_cnt = F.size(F.filter(m, is_pos))
+    neg_cnt = F.size(F.filter(m, is_neg))
+    return turns_with_mentions.select(
+        "conv_id",
+        "turn_idx",
+        "ts_day",
+        pos_cnt.alias("pos_cnt"),
+        neg_cnt.alias("neg_cnt"),
+        F.signum(pos_cnt - neg_cnt).cast("int").alias("turn_score"),
+        F.try_element_at(F.filter(m, lambda x: x["kind"] == "Feature"), F.lit(1))[
+            "surface"
+        ].alias("feature_surface"),  # mentions sorted by begin → first by offset
+        so_surfaces.alias("so_mentions"),
+        ind_surfaces.alias("ind_mentions"),
+        (F.size(so_surfaces) > 0).alias("has_so"),
     )
 
 
@@ -69,20 +81,9 @@ def linked_turn_entities(turn_feats: DataFrame, gaz_dim: DataFrame) -> DataFrame
         "conv_id",
         "turn_idx",
         "ts_day",
-        "pos_cnt",
-        "neg_cnt",
         "turn_score",
         "feature_surface",
-        F.explode("so_mentions").alias("m"),
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "ts_day",
-        "pos_cnt",
-        "neg_cnt",
-        "turn_score",
-        "feature_surface",
-        F.col("m.surface").alias("surface"),
+        F.explode("so_mentions").alias("surface"),
     )
     linked = linking.link_so_mentions(so, gaz_dim)
     return linked.dropDuplicates(["conv_id", "turn_idx", "entity_id"])
@@ -121,7 +122,7 @@ def indirect_facts(turn_feats: DataFrame, linked_entities: DataFrame, ind_dim: D
             "turn_score",
             F.explode("ind_mentions").alias("m"),
         )
-        .withColumn("surface_lc", F.lower(F.col("m.surface")))
+        .withColumn("surface_lc", F.lower(F.col("m")))
         .join(F.broadcast(ind_dim), "surface_lc", "inner")
         .dropDuplicates(["conv_id", "turn_idx", "indicator_uri"])
         .withColumn("eff_score", (F.col("turn_score") * F.col("correlation")).cast("int"))
@@ -173,22 +174,51 @@ def indirect_facts(turn_feats: DataFrame, linked_entities: DataFrame, ind_dim: D
     )
 
 
-def sentence_facts(
-    turns_with_mentions: DataFrame, kb: KnowledgeBase
+def facts_from_turn_features(
+    tf: DataFrame, kb: KnowledgeBase, persist: bool = True
 ) -> tuple[DataFrame, DataFrame]:
-    """Full stage-3 wiring. Returns (sentence_facts, turn_feats).
+    """Stage-3 wiring from a slim turn_feats DataFrame. Returns
+    (sentence_facts, turn_feats).
 
     sentence_facts columns: conv_id, turn_idx, ts_day, entity_id,
     entity_uri, entity_name, entity_type, pred, score_i, indicator_uri.
+
+    turn_feats and linked entities are each the input of 2+ branches;
+    persisting them keeps the Arrow-UDF stage from re-executing once per
+    branch (Spark does no cross-branch subplan dedup).
     """
-    spark = turns_with_mentions.sparkSession
+    spark = tf.sparkSession
     gaz = linking.gazetteer_dim(spark, kb)
     alias = linking.feature_alias_dim(spark, kb)
     ind = linking.indicators_dim(spark, kb)
 
-    tf = turn_features(turns_with_mentions)
+    if persist:
+        tf = tf.persist()
     linked = linked_turn_entities(tf, gaz)
+    if persist:
+        linked = linked.persist()
     direct = direct_facts(linked, alias)
     indirect = indirect_facts(tf, linked, ind)
     facts = direct.unionByName(indirect)
     return facts, tf
+
+
+def extract_facts(
+    turns: DataFrame, kb: KnowledgeBase, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Hot path: assemble-output turns → slim turn summary (one Arrow
+    round-trip) → facts. Use this in jobs/benchmarks; use sentence_facts
+    when you already materialized the full mention spans."""
+    from kgx import mentions as mentions_mod
+
+    tf = mentions_mod.extract_turn_features(turns, kb)
+    return facts_from_turn_features(tf, kb, persist=persist)
+
+
+def sentence_facts(
+    turns_with_mentions: DataFrame, kb: KnowledgeBase, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Stage-3 wiring from a full-mention DataFrame (evidence path)."""
+    return facts_from_turn_features(
+        turn_features(turns_with_mentions), kb, persist=persist
+    )

@@ -42,14 +42,16 @@ TRANSCRIPTS = StructType(
 
 # standoff annotation model (GATE: type, startOffset, endOffset, FeatureMap —
 # SentimentClassification.java:312-317). Offsets are char offsets into the
-# turn text; `feats` carries kind-specific attributes.
+# turn text. The GATE FeatureMap collapses to the single attribute the
+# pipeline consumes (orientation polarity) — a flat nullable column, because
+# MapType per mention costs ~3x in Arrow transfer and cache at 10^12 turns.
 MENTION = StructType(
     [
         StructField("begin", IntegerType(), False),
         StructField("end", IntegerType(), False),
         StructField("kind", StringType(), False),  # SO | OrientationTerm | Indicator | Feature
         StructField("surface", StringType(), False),
-        StructField("feats", MapType(StringType(), StringType()), True),
+        StructField("polarity", StringType(), True),  # OrientationTerm only
     ]
 )
 

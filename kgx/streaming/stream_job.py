@@ -1,0 +1,81 @@
+"""Structured-streaming wrapper around the batch KG pipeline.
+
+The reference is an unbounded ZeroMQ service (SURVEY.md §2.8): bounded
+buffer (S2), per-document at-least-once transactions with idempotent
+delete-then-insert (A5), graceful drain on FINISH (S4), and — crucially —
+NO cross-document state: every document is self-contained. The correct
+Spark rendering is therefore `foreachBatch` over the *same* batch stages,
+not a custom stateful operator:
+
+  * source: `spark.readStream` on a file/Iceberg/Kafka source of transcript
+    turns; `maxFilesPerTrigger` / `maxOffsetsPerTrigger` is the bounded
+    buffer; `Trigger.AvailableNow` is the FINISH drain;
+  * per micro-batch: run extract → aggregate exactly as in batch and append
+    date-partitioned output (with an Iceberg catalog this is MERGE INTO on
+    (conv_id, classifier) — the reference's delete-then-recompute
+    semantics, ClassifiedDocument.java:76-93);
+  * exactly-once: Spark's checkpointLocation + idempotent per-batch write.
+
+Caveat (documented, matching the reference's own behavior): sentiment is
+per-turn/per-conversation-slice; a conversation whose turns straddle two
+micro-batches contributes document-level rows per slice, which the
+downstream MERGE folds by (conv_id, subj, pred, classifier). For strict
+whole-conversation aggregation use watermarked grouping or close
+conversations upstream (session gap), exactly as the reference assumes one
+message = one complete document.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from kgx import aggregate, assemble, mentions, relations, resources, schema
+
+
+def stream_transcripts_from_files(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File source of transcript parquet — the S1/S2 analogue with
+    `maxFilesPerTrigger` as the bounded admission buffer."""
+    return (
+        spark.readStream.schema(schema.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_kg_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    kb: resources.KnowledgeBase | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Run extract→triples per micro-batch, appending to a date-partitioned
+    sink. `available_now=True` = drain-and-stop (FINISH semantics)."""
+    kb = kb or resources.default_kb()
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        turns = assemble.assemble_turns(batch_df)
+        wm = mentions.detect_mentions(turns, kb)
+        facts, tf = relations.sentence_facts(wm, kb)
+        triples = aggregate.all_triples(facts, tf).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        # append + checkpoint offsets = effectively-once; with Iceberg this
+        # becomes MERGE INTO ... ON conv_id/classifier (A5 idempotency)
+        triples.write.mode("append").partitionBy("ts_day").parquet(out_dir)
+
+    writer = (
+        source.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
