@@ -113,21 +113,23 @@ def run_scaling() -> dict | None:
 
 def write_baseline_md(scaling: dict, sf: str) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    r8, r32 = scaling["local8"], scaling["local32"]
+    rn, r4n = scaling["localN"], scaling["local4N"]
+    n, n4 = scaling["n_cores"], scaling["n4_cores"]
     md = f"""# BENCH/BASELINE — measured results
 
 ## Scaling efficiency (north rule: N → 4N workers, target ≥ 0.8)
 
 Identical KG-extraction job (assemble → Arrow-UDF mentions → relations →
 linking → aggregation → triples) on the identical synthetic transcript
-corpus ({r8["turns"]} turns), two parallelism levels, separate processes:
+corpus ({rn["turns"]} turns), two parallelism levels, separate processes
+(best of {SCALE_RUNS} runs per config — shared host, bursty external load):
 
 | config | wall (s) | turns/s | triples/s |
 |---|---|---|---|
-| local[8]  | {r8["wall_sec"]} | {r8["turns_per_sec"]} | {r8["triples_per_sec"]} |
-| local[32] | {r32["wall_sec"]} | {r32["turns_per_sec"]} | {r32["triples_per_sec"]} |
+| local[{n}]  | {rn["wall_sec"]} | {rn["turns_per_sec"]} | {rn["triples_per_sec"]} |
+| local[{n4}] | {r4n["wall_sec"]} | {r4n["turns_per_sec"]} | {r4n["triples_per_sec"]} |
 
-**efficiency = tput(32c) / (4 × tput(8c)) = {scaling["scaling_efficiency"]}**
+**efficiency = tput({n4}c) / (4 × tput({n}c)) = {scaling["scaling_efficiency"]}**
 
 Note: single-host cores share memory bandwidth and the Python-worker pool,
 so this under-reports true multi-executor scaling (no network shuffle here,

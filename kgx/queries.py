@@ -25,7 +25,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from kgx import aggregate as agg_mod
-from kgx import assemble, dedup, mentions, relations, resources, similarity, textops
+from kgx import (
+    assemble,
+    dedup,
+    mentions,
+    multimodal,
+    relations,
+    resources,
+    similarity,
+    textops,
+)
 
 NS = "http://kgx.example.org/onto#"
 P_REP = resources.PRED_REPUTATION
@@ -750,6 +759,131 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal plumbing (documents → opaque binary media columns)
+# ---------------------------------------------------------------------------
+
+def _doc_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA rows with the text bytes as the opaque
+    payload; deterministic, so the fake decode kernel is oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("meta_width"),
+        F.lit(None).cast("int").alias("meta_height"),
+        ((F.col("doc_id") % 7 + 1) * 1500).cast("int").alias("meta_duration_ms"),
+    )
+
+
+def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas image-decode plumbing, metadata path: the deterministic
+    fake kernel derives (width, height) from the payload sha256 — integer
+    math, so DuckDB reproduces it exactly."""
+    media = _doc_media(spark, sf_dir, "image")
+    out = multimodal.decode_image_features(media, feat_dim=8, fake=True)
+    return out.select("media_id", "width", "height")
+
+
+MM_IMAGE_META_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS INTEGER) AS width,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS INTEGER) AS height
+FROM documents
+"""
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full feature-extraction path incl. the float feature vector (no SQL
+    oracle: float32 math; determinism asserted in pytest)."""
+    media = _doc_media(spark, sf_dir, "image")
+    return multimodal.decode_image_features(media, feat_dim=16, fake=True)
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per (media_id, frame_idx)
+    every 1000 ms of the synthetic duration — pure integer sequence."""
+    media = _doc_media(spark, sf_dir, "video")
+    return multimodal.sample_video_frames(media, every_ms=1000, fake=True)
+
+
+MM_FRAMES_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       unnest(range(0, CAST(floor((doc_id % 7 + 1) * 1500 / 1000.0) AS BIGINT) + 1)) AS frame_idx,
+       unnest(range(0, CAST(floor((doc_id % 7 + 1) * 1500 / 1000.0) AS BIGINT) + 1)) * 1000 AS ts_ms
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# remaining window/grouping parity ops (W3 offsets, A2 case-insensitive)
+# ---------------------------------------------------------------------------
+
+def w3_char_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cumulative char offsets — each doc's start offset within its
+    source stream = running sum of (n_chars + 1) over preceding docs
+    (per-turn offset computation, SURVEY.md §2.5/W3)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("n_chars") + 1).over(w) - (F.col("n_chars") + 1)
+    return d.select(
+        "doc_id", "source", cum.cast("bigint").alias("begin_offset"),
+        (cum + F.col("n_chars")).cast("bigint").alias("end_offset"),
+    )
+
+
+W3_SQL = """
+WITH c AS (
+  SELECT doc_id, source,
+         sum(n_chars + 1) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - (n_chars + 1) AS b,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, source, CAST(b AS BIGINT) AS begin_offset,
+       CAST(b + n_chars AS BIGINT) AS end_offset
+FROM c
+"""
+
+
+def a2_group_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: case-insensitive grouping with first-seen original casing
+    preserved (ClassifiedDocument.java:99-123 equalsIgnoreCase + W2
+    first-wins). Mixed-case keys are derived deterministically so the
+    group-by-lower vs keep-first-casing distinction is actually exercised."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    return (
+        d.select("doc_id", mixed.alias("key_raw"))
+        .groupBy(F.lower("key_raw").alias("key_ci"))
+        .agg(
+            F.min_by("key_raw", "doc_id").alias("first_seen_casing"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+A2_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS key_raw
+  FROM documents
+)
+SELECT lower(key_raw) AS key_ci,
+       arg_min(key_raw, doc_id) AS first_seen_casing,
+       count(*) AS n_rows
+FROM m GROUP BY lower(key_raw)
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational sanity (scan/agg/join pushdown showcases)
 # ---------------------------------------------------------------------------
 
@@ -845,6 +979,11 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
+    "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
+    "mm_image_features": (mm_image_features, None),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
+    "w3_char_offsets": (w3_char_offsets, W3_SQL),
+    "a2_group_pairs": (a2_group_pairs, A2_SQL),
     "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, None),
     "ann_ivf_topk": (ann_ivf_topk, None),
