@@ -884,6 +884,70 @@ FROM m GROUP BY lower(key_raw)
 
 
 # ---------------------------------------------------------------------------
+# canonicalization: connected components (north-rule stage 5)
+# ---------------------------------------------------------------------------
+
+def cc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization via connected components (kgx.canonical):
+    nodes merge when they share lower(name) or a non-null uri; canonical id
+    = component minimum (the order-independent rendering of the reference's
+    first-writer-wins get-or-create, DatabaseFacade.java:987-1018). Node
+    table derived deterministically from `part` so the DuckDB recursive-CTE
+    oracle reproduces the exact same components."""
+    from kgx import canonical
+
+    p = _t(spark, sf_dir, "part")
+    nodes = p.select(
+        F.col("p_partkey").cast("long").alias("entity_id"),
+        F.concat(F.lit("n"), (F.col("p_partkey") % 701).cast("string")).alias("name"),
+        F.when(
+            F.col("p_partkey") % 10 == 0,
+            F.concat(F.lit("u"), (F.col("p_partkey") % 97).cast("string")),
+        ).alias("uri"),
+        F.lit("Entity").alias("entity_type"),
+    )
+    edges = canonical.candidate_edges(nodes)
+    cc = canonical.connected_components(nodes, edges)
+    return cc.select("entity_id", "canonical_id", "name", "uri")
+
+
+CC_SQL = """
+WITH RECURSIVE
+n AS (
+  SELECT CAST(p_partkey AS BIGINT) AS entity_id,
+         'n' || CAST(p_partkey % 701 AS VARCHAR) AS name,
+         CASE WHEN p_partkey % 10 = 0
+              THEN 'u' || CAST(p_partkey % 97 AS VARCHAR) END AS uri
+  FROM part
+),
+by_name AS (
+  SELECT entity_id AS src,
+         min(entity_id) OVER (PARTITION BY lower(name)) AS dst
+  FROM n WHERE name IS NOT NULL
+),
+by_uri AS (
+  SELECT entity_id AS src,
+         min(entity_id) OVER (PARTITION BY uri) AS dst
+  FROM n WHERE uri IS NOT NULL
+),
+e0 AS (
+  SELECT src, dst FROM by_name WHERE src <> dst
+  UNION
+  SELECT src, dst FROM by_uri WHERE src <> dst
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+walk(v, comp) AS (
+  SELECT entity_id, entity_id FROM n
+  UNION
+  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.v
+)
+SELECT n.entity_id, c.canonical_id, n.name, n.uri
+FROM n JOIN (SELECT v AS entity_id, min(comp) AS canonical_id
+             FROM walk GROUP BY v) c USING (entity_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # TPC-H-style relational sanity (scan/agg/join pushdown showcases)
 # ---------------------------------------------------------------------------
 
@@ -979,6 +1043,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
+    "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, None),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
