@@ -44,6 +44,18 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     spark = session.get_spark(
         "kgx-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    # Warm up JVM codegen + the Arrow python-worker pool once so per-query
+    # timings measure the operators, not session cold-start (~14s).
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s * 2
+
+    warm = spark.range(1000).withColumn("y", _warm("id"))
+    warm.join(F.broadcast(spark.range(10)), "id").groupBy().sum("y").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]

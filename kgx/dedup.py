@@ -46,9 +46,14 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def shingles(c: Column, n: int = 5) -> Column:
-    """n-token shingles of lowercase text as array<string> (distinct)."""
-    toks = tokens(F.lower(c))
+def shingles_from_tokens(toks: Column, n: int = 5) -> Column:
+    """n-token shingles as array<string> (distinct), from a token array.
+
+    IMPORTANT: `toks` must reference an already-projected column (e.g.
+    `F.col("toks")`), never an inline `split(...)` expression — expressions
+    referenced inside the transform lambda are re-evaluated once per shingle
+    position, turning tokenization O(len) into O(len^2) (measured 8x on the
+    sf0.1 corpus)."""
     k = F.size(toks) - F.lit(n - 1)
     return F.when(
         k > 0,
@@ -59,6 +64,12 @@ def shingles(c: Column, n: int = 5) -> Column:
             )
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def shingles(c: Column, n: int = 5) -> Column:
+    """n-token shingles of lowercase text (convenience; see the note on
+    shingles_from_tokens — prefer projecting tokens first in hot paths)."""
+    return shingles_from_tokens(tokens(F.lower(c)), n)
 
 
 def ngram_jaccard_pairs(
@@ -75,13 +86,32 @@ def ngram_jaccard_pairs(
     (boilerplate) should be dropped upstream via a document-frequency cap
     at very large scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+    # persist the inverted index: without a barrier Catalyst inlines the
+    # tokenize+shingle expression tree into BOTH sides of the self-join
+    # (26 split() occurrences in the physical plan; 3x wall time measured).
+    # MEMORY_AND_DISK, ~one row per (doc, distinct shingle) — the same
+    # footprint the join shuffle moves anyway.
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("s")).persist()
     a, b = inv.alias("a"), inv.alias("b")
+    # Size-ratio prefilter (exact): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    # J >= t requires t*|B| <= |A| and t*|A| <= |B|. Prunes candidate rows
+    # at the join before the per-pair aggregation ever sees them.
+    t = F.lit(float(threshold))
     inter = (
-        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col("a.id") < F.col("b.id")])
+        a.join(
+            b,
+            on=[
+                F.col("a.s") == F.col("b.s"),
+                F.col("a.id") < F.col("b.id"),
+                F.col("a.n_sh") >= t * F.col("b.n_sh"),
+                F.col("b.n_sh") >= t * F.col("a.n_sh"),
+            ],
+        )
         .groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
@@ -155,10 +185,10 @@ def minhash_lsh_pairs(
     # CPU-heavy signature computation: spread across cores regardless of
     # input file layout (a single parquet file would otherwise pin this to
     # one task)
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).repartition(
-        npart, "id"
-    )
-    sh = base.select("id", shingles(F.col("text"), n).alias("sh")).persist()
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+    ).repartition(npart, "id")
+    sh = base.select("id", shingles_from_tokens(F.col("toks"), n).alias("sh")).persist()
     sig = sh.select("id", minhash_from_shingles(F.col("sh"), k).alias("sig"))
 
     # bucket rows carry only (id, band, key) — the shingle arrays never
@@ -208,26 +238,11 @@ def minhash_lsh_pairs(
 
 # -- SimHash ----------------------------------------------------------------
 
-def simhash64(c: Column, n: int = 3) -> Column:
-    """64-bit SimHash over n-token shingles: bit i of the fingerprint is the
-    sign of sum over shingles of (2*bit_i(xxhash64(s)) - 1)."""
+def _simhash_from_counters(counters: list[Column]) -> Column:
+    """Assemble the 64-bit fingerprint from per-bit counters: bit i set iff
+    counter_i > 0 (sign of the sum)."""
     from functools import reduce
 
-    hashes = F.transform(shingles(c, n), lambda s: F.xxhash64(s))
-    counters = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-                    for i in range(64)
-                ]
-            ),
-            lambda x, y: x + y,
-        ),
-    )
     bit_terms = [
         F.when(
             counters[i] > 0,
@@ -238,13 +253,42 @@ def simhash64(c: Column, n: int = 3) -> Column:
     return reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col), simhash64(F.col(text_col)).alias("simhash"))
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash per doc: bit i of the fingerprint is the sign of
+    sum over n-token shingles of (2*bit_i(xxhash64(shingle)) - 1).
+
+    Implemented as explode -> hash -> groupBy(id) with 64 flat SUM columns:
+    plain aggregates stay inside whole-stage codegen, where the equivalent
+    higher-order-function formulation (aggregate+zip_with over a 64-array
+    per shingle) runs interpreted (~20x slower measured at sf0.1)."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+    )
+    hashed = sh.select("id", F.explode("sh").alias("s")).select(
+        "id", F.xxhash64("s").alias("h")
+    )
+    sums = [
+        F.sum(
+            F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"c{i}")
+        for i in range(64)
+    ]
+    counters = hashed.groupBy("id").agg(*sums)
+    return counters.select(
+        F.col("id").alias(id_col),
+        _simhash_from_counters([F.col(f"c{i}") for i in range(64)]).alias("simhash"),
+    )
 
 
 def simhash_candidates(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Candidate near-dup pairs: equal 16-bit chunk in any of 4 bands
     (catches all pairs with Hamming distance <= 3)."""
+    # barrier: fp usually carries the (expensive) fingerprint expression;
+    # without persist the self-join below inlines it into both sides
+    fp = fp.persist()
     chunks = fp.select(
         F.col(id_col).alias("id"),
         "simhash",
