@@ -883,6 +883,58 @@ FROM m GROUP BY lower(key_raw)
 """
 
 
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standoff mention spans from the Arrow-UDF detector (kgx.mentions)
+    over documents-as-transcripts. The oracle recomputes every span's char
+    offsets in SQL via token-length prefix sums — single-word surfaces over
+    single-space text make regex word-boundary matching ≡ token equality,
+    so begin/end arithmetic is checked exactly."""
+    tr = _doc_transcripts(spark, sf_dir)
+    kb = resources.driver_kb()
+    m = mentions.detect_mentions(tr, kb)
+    ex = m.select("conv_id", F.explode("mentions").alias("mn"))
+    return ex.select(
+        "conv_id",
+        F.col("mn.begin").alias("begin_off"),
+        F.col("mn.end").alias("end_off"),
+        F.col("mn.kind").alias("kind"),
+        F.col("mn.surface").alias("surface"),
+        F.col("mn.polarity").alias("polarity"),
+    )
+
+
+KG_MENTIONS_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+pos AS (
+  SELECT conv_id, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tok
+)
+SELECT conv_id,
+       CAST(b AS INTEGER) AS begin_off,
+       CAST(b + length(tok) AS INTEGER) AS end_off,
+       CASE WHEN tok IN ('spark','customer','vector','stream','window') THEN 'SO'
+            WHEN tok IN ('hash','merge') THEN 'Indicator'
+            WHEN tok = 'value' THEN 'Feature'
+            ELSE 'OrientationTerm' END AS kind,
+       tok AS surface,
+       CASE WHEN tok IN ('fast','big') THEN 'positive'
+            WHEN tok IN ('slow','small') THEN 'negative' END AS polarity
+FROM pos
+WHERE tok IN ('spark','customer','vector','stream','window',
+              'hash','merge','value','fast','big','slow','small')
+"""
+
+
 # ---------------------------------------------------------------------------
 # canonicalization: connected components (north-rule stage 5)
 # ---------------------------------------------------------------------------
@@ -1043,6 +1095,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
+    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, None),
