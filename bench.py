@@ -26,12 +26,16 @@ HEADLINE = [
     "kg_sentence_triples",
     "kg_document_triples",
     "kg_fallback_ratio",
+    "kg_mentions",
+    "cc_canonicalize",
     "a1_posneg_ratio",
     "w1_turn_order",
     "sessionize",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "ann_cosine_topk",
+    "mm_image_meta",
     "tpch_q1_pricing",
     "tpch_q3_revenue",
 ]

@@ -23,6 +23,28 @@ from pyspark.sql import DataFrame
 DEFAULT_MAX_TEXT_LEN = 1_000_000  # CompletePipelineReceiver.java default
 
 
+def admit_turns(
+    transcripts: DataFrame, max_text_len: int = DEFAULT_MAX_TEXT_LEN
+) -> DataFrame:
+    """Map-only admission: size filter + ts_day + txt_h (xxhash64 of text).
+
+    The 100-TB hot path: NO shuffle here — full text never moves. Duplicate
+    (conv_id, turn_idx) rows survive admission and are resolved downstream
+    on *slim* rows (post-UDF summaries / exploded mentions) by the
+    deterministic rule winner = min(txt_h), applied identically in every
+    stage so conflicting duplicates resolve consistently. This replaces
+    assemble_turns' repartition+dropDuplicates, which shuffles the full
+    text column (~the whole corpus) just to dedup (J6,
+    DatabaseFacade.java:517-573)."""
+    return (
+        transcripts.filter(
+            F.col("text").isNotNull() & (F.length("text") <= F.lit(max_text_len))
+        )
+        .withColumn("ts_day", F.to_date("ts"))
+        .withColumn("txt_h", F.xxhash64("text"))
+    )
+
+
 def assemble_turns(
     transcripts: DataFrame,
     max_text_len: int = DEFAULT_MAX_TEXT_LEN,

@@ -59,9 +59,17 @@ def run_pipeline(
     )
     if not (resume and extract_ok):
         with lineage.StageTimer() as t:
-            turns = assemble.assemble_turns(
-                transcripts, max_text_len=max_text_len, num_partitions=num_partitions
-            ).persist()
+            # map-only admission (no full-text shuffle); duplicate
+            # (conv_id, turn_idx) rows are resolved downstream on slim rows
+            # with the deterministic min-txt_h winner rule — see
+            # assemble.admit_turns. Scan split planning
+            # (spark.sql.files.maxPartitionBytes) controls parallelism; set
+            # num_partitions only to fan out a pathological file layout —
+            # it costs one full shuffle of the raw rows.
+            turns = assemble.admit_turns(transcripts, max_text_len=max_text_len)
+            if num_partitions:
+                turns = turns.repartition(num_partitions)
+            turns = turns.persist()
             # hot path: slim summary UDF; evidence path: full-span UDF —
             # two regex passes, but neither drags the other's payload
             # through its shuffle/cache

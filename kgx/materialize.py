@@ -35,19 +35,34 @@ def mention_evidence(turns_with_mentions: DataFrame) -> DataFrame:
         F.lit("Indicator"), F.lit("indicatorPhrase"),
         F.lit("Feature"), F.lit("featurePhrase"),
     )
-    return (
-        turns_with_mentions.select(
-            "conv_id", "turn_idx", "ts_day", F.explode("mentions").alias("m")
+    cols = ["conv_id", "turn_idx", "ts_day"] + (
+        ["txt_h"] if "txt_h" in turns_with_mentions.columns else []
+    )
+    ev = turns_with_mentions.select(
+        *cols, F.explode("mentions").alias("m")
+    ).select(
+        *cols,
+        F.col("m.begin").alias("begin"),
+        F.col("m.end").alias("end"),
+        F.col("m.surface").alias("text"),
+        kind_to_phrase[F.col("m.kind")].alias("phrase_type"),
+    )
+    if "txt_h" in ev.columns:
+        # late-dedup rule on slim exploded rows: keep only mentions from the
+        # winning (min txt_h) text per (conv_id, turn_idx) — the same rule
+        # facts_from_turn_features applies — then collapse exact-duplicate
+        # rows (identical dup texts hash equal and yield identical spans)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("conv_id", "turn_idx")
+        ev = (
+            ev.withColumn("_min_h", F.min("txt_h").over(w))
+            .filter(F.col("txt_h") == F.col("_min_h"))
+            .drop("txt_h", "_min_h")
+            .dropDuplicates(["conv_id", "turn_idx", "begin", "end", "phrase_type"])
         )
-        .select(
-            "conv_id",
-            "turn_idx",
-            F.col("m.begin").alias("begin"),
-            F.col("m.end").alias("end"),
-            F.col("m.surface").alias("text"),
-            kind_to_phrase[F.col("m.kind")].alias("phrase_type"),
-            "ts_day",
-        )
+    return ev.select(
+        "conv_id", "turn_idx", "begin", "end", "text", "phrase_type", "ts_day"
     )
 
 

@@ -233,13 +233,12 @@ def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
             index=text.index,
         )
 
-    out = turns.select(
-        "conv_id", "turn_idx", "ts_day", _summ(F.col("text")).alias("s")
+    passthrough = ["conv_id", "turn_idx", "ts_day"] + (
+        ["txt_h"] if "txt_h" in turns.columns else []
     )
+    out = turns.select(*passthrough, _summ(F.col("text")).alias("s"))
     return out.select(
-        "conv_id",
-        "turn_idx",
-        "ts_day",
+        *passthrough,
         F.col("s.pos_cnt").alias("pos_cnt"),
         F.col("s.neg_cnt").alias("neg_cnt"),
         F.signum(F.col("s.pos_cnt") - F.col("s.neg_cnt")).cast("int").alias("turn_score"),

@@ -31,7 +31,7 @@ the same conv_id-partitioned parent (exchange reuse).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from kgx import linking
 from kgx.resources import KnowledgeBase
@@ -192,6 +192,18 @@ def facts_from_turn_features(
     alias = linking.feature_alias_dim(spark, kb)
     ind = linking.indicators_dim(spark, kb)
 
+    if "txt_h" in tf.columns:
+        # late dedup on SLIM rows (admit_turns path): winner per
+        # (conv_id, turn_idx) = min txt_h — deterministic, order- and
+        # parallelism-independent, and the same rule every stage applies,
+        # so conflicting duplicates resolve consistently across facts and
+        # evidence outputs. The shuffle moves summary structs, not text.
+        w = Window.partitionBy("conv_id", "turn_idx").orderBy("txt_h")
+        tf = (
+            tf.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "txt_h")
+        )
     if persist:
         tf = tf.persist()
     linked = linked_turn_entities(tf, gaz)
