@@ -935,6 +935,55 @@ WHERE tok IN ('spark','customer','vector','stream','window',
 """
 
 
+def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
+    materialize.mention_evidence: mention kinds map to the reference's
+    PHRASE_TYPE vocabulary (insertAllConstantTypes.sql)."""
+    from kgx import materialize
+
+    tr = assemble.admit_turns(_doc_transcripts(spark, sf_dir))
+    kb = resources.driver_kb()
+    ev = materialize.mention_evidence(mentions.detect_mentions(tr, kb))
+    return ev.select(
+        "conv_id",
+        F.col("begin").alias("begin_off"),
+        F.col("end").alias("end_off"),
+        F.col("text").alias("surface"),
+        "phrase_type",
+    )
+
+
+KG_PHRASES_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+pos AS (
+  SELECT conv_id, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tok
+)
+SELECT conv_id,
+       CAST(b AS INTEGER) AS begin_off,
+       CAST(b + length(tok) AS INTEGER) AS end_off,
+       tok AS surface,
+       CASE WHEN tok IN ('spark','customer','vector','stream','window')
+                 THEN 'sentimentObjectPhrase'
+            WHEN tok IN ('hash','merge') THEN 'indicatorPhrase'
+            WHEN tok = 'value' THEN 'featurePhrase'
+            ELSE 'orientationPhrase' END AS phrase_type
+FROM pos
+WHERE tok IN ('spark','customer','vector','stream','window',
+              'hash','merge','value','fast','big','slow','small')
+"""
+
+
 # ---------------------------------------------------------------------------
 # canonicalization: connected components (north-rule stage 5)
 # ---------------------------------------------------------------------------
@@ -1096,6 +1145,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding": (dedup_embedding, None),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, None),
