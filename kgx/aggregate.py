@@ -80,16 +80,21 @@ def sentence_triples(facts: DataFrame) -> DataFrame:
     )
 
 
-def document_triples(facts: DataFrame, with_fuzzy: bool = True) -> DataFrame:
+def document_triples(
+    facts: DataFrame, with_fuzzy: bool = True, salt_buckets: int | None = None
+) -> DataFrame:
     """A2 + A3 (+ A6 fuzzy rows): document-level triples per
-    (conv, entity-name lower, pred)."""
-    grouped = (
-        facts.groupBy(
+    (conv, entity-name lower, pred). salt_buckets switches the rollup to
+    the two-phase salted aggregation (same totals; bounds the largest
+    reduce-side group under hot-entity skew — see salted_doc_rollup)."""
+    if salt_buckets:
+        rolled = salted_doc_rollup(facts, salt_buckets)
+    else:
+        rolled = facts.groupBy(
             "conv_id",
             F.lower("entity_name").alias("name_lc"),
             "pred",
-        )
-        .agg(
+        ).agg(
             F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).alias("pos"),
             F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).alias("neg"),
             # first-seen (lowest turn) original casing + identity — W2
@@ -99,7 +104,8 @@ def document_triples(facts: DataFrame, with_fuzzy: bool = True) -> DataFrame:
             ).alias("subj"),
             F.min("ts_day").alias("ts_day"),
         )
-        .filter((F.col("pos") + F.col("neg")) > 0)  # NaN guard (P6)
+    grouped = (
+        rolled.filter((F.col("pos") + F.col("neg")) > 0)  # NaN guard (P6)
         .withColumn(
             "dscore",
             (F.col("pos") - F.col("neg")).cast("double")
@@ -202,12 +208,19 @@ def fallback_triples(turn_feats: DataFrame) -> DataFrame:
     )
 
 
-def all_triples(facts: DataFrame, turn_feats: DataFrame, with_fuzzy: bool = True) -> DataFrame:
+def all_triples(
+    facts: DataFrame,
+    turn_feats: DataFrame,
+    with_fuzzy: bool = True,
+    salt_buckets: int | None = None,
+) -> DataFrame:
     """sentence ∪ document ∪ fuzzy ∪ fallback — the two classifier branches
     reunite only at the write (SURVEY.md §2.6)."""
     return (
         sentence_triples(facts)
-        .unionByName(document_triples(facts, with_fuzzy=with_fuzzy))
+        .unionByName(
+            document_triples(facts, with_fuzzy=with_fuzzy, salt_buckets=salt_buckets)
+        )
         .unionByName(fallback_triples(turn_feats))
     )
 

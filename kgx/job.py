@@ -40,6 +40,7 @@ def run_pipeline(
     max_text_len: int = assemble.DEFAULT_MAX_TEXT_LEN,
     resume: bool = True,
     run_id: str | None = None,
+    salt_buckets: int | None = None,
 ) -> dict[str, str]:
     """Run all stages; returns {stage: output_path}. Idempotent + resumable."""
     kb = kb or resources.default_kb()
@@ -93,7 +94,9 @@ def run_pipeline(
     # -- stage: triples ----------------------------------------------------
     if not (resume and lineage.stage_output_ok(paths["triples"])):
         with lineage.StageTimer() as t:
-            triples = aggregate.all_triples(facts, turn_feats)
+            triples = aggregate.all_triples(
+                facts, turn_feats, salt_buckets=salt_buckets
+            )
             materialize.write_triples(triples, paths["triples"])
         lineage.mark_stage_ok(paths["triples"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms)
@@ -119,6 +122,12 @@ def main() -> None:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--num-partitions", type=int, default=None)
     p.add_argument("--max-text-len", type=int, default=assemble.DEFAULT_MAX_TEXT_LEN)
+    p.add_argument(
+        "--salt",
+        type=int,
+        default=None,
+        help="salt buckets for the two-phase hot-entity document rollup",
+    )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
 
@@ -133,6 +142,7 @@ def main() -> None:
         num_partitions=args.num_partitions,
         max_text_len=args.max_text_len,
         resume=not args.no_resume,
+        salt_buckets=args.salt,
     )
     n = spark.read.parquet(paths["triples"]).count()
     print(f"kgx: wrote {n} triples to {paths['triples']}")

@@ -177,3 +177,17 @@ def test_mention_evidence_dedup_consistent_with_facts(spark):
     for r in ev.collect():
         wt = wmap[(r["conv_id"], r["turn_idx"])]
         assert wt[r["begin"]:r["end"]].lower() == r["text"].lower()
+
+
+def test_salted_rollup_matches_unsalted(spark):
+    """--salt path: two-phase salted document rollup produces identical
+    triples to the direct groupBy (same totals, same first-wins subject)."""
+    pdf = synth.make_transcripts(n_convs=20, turns_per_conv=6, seed=91, oversize_every=0)
+    kb = resources.default_kb()
+    turns = assemble.admit_turns(spark.createDataFrame(pdf))
+    facts, tf = relations.extract_facts(turns, kb)
+    facts = facts.persist()
+    plain = _triples_set(aggregate.document_triples(facts, salt_buckets=None))
+    salted = _triples_set(aggregate.document_triples(facts, salt_buckets=7))
+    facts.unpersist()
+    assert plain == salted
