@@ -743,11 +743,40 @@ FROM ranked WHERE rank <= 5
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 (no SQL oracle: float accumulation order;
-    pytest-verified against numpy)."""
+    """Brute-force cosine top-5. Cross-engine exact like ann_topk_dot: dot
+    and squared-norm both fold left-to-right in double, and sqrt/divide are
+    correctly-rounded IEEE-754 ops — so the cosine is bit-identical."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.brute_force_topk(emb, q, k=5, metric="cosine")
+    out = similarity.brute_force_topk(emb, q, k=5, metric="cosine")
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_SQL_FOLD_DOT = """list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip({a}, {b}),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b)"""
+
+ANN_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_SQL_FOLD_DOT.format(a="q.qv", b="c.embedding")}
+         / (sqrt({_SQL_FOLD_DOT.format(a="q.qv", b="q.qv")})
+          * sqrt({_SQL_FOLD_DOT.format(a="c.embedding", b="c.embedding")})) AS sim
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,7 +1182,7 @@ REGISTRY: dict[str, tuple] = {
     "w3_char_offsets": (w3_char_offsets, W3_SQL),
     "a2_group_pairs": (a2_group_pairs, A2_SQL),
     "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
-    "ann_cosine_topk": (ann_cosine_topk, None),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
     "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
     "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
