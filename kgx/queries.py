@@ -964,6 +964,44 @@ WHERE tok IN ('spark','customer','vector','stream','window',
 """
 
 
+def stream_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL structured-streaming wrapper (kgx.streaming.stream_job):
+    documents-as-transcripts written to a file source, drained with
+    Trigger.AvailableNow through foreachBatch extract→triples, then the
+    materialized sink compared against the SAME DuckDB oracle as the batch
+    kg_* trio — streaming must equal batch on identical input (each conv is
+    a single turn here, so no conversation straddles a micro-batch)."""
+    import os
+    import tempfile
+
+    from kgx.streaming import stream_job
+
+    base = tempfile.mkdtemp(prefix="kgx_stream_q_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _doc_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
+    source = stream_job.stream_transcripts_from_files(
+        spark, src, max_files_per_trigger=2
+    )
+    q = stream_job.start_kg_stream(
+        spark, source, out, ckpt, kb=resources.driver_kb(), available_now=True
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .select(*_KG_COLS)
+        .withColumn("score", F.col("score").cast("double"))
+    )
+
+
+KG_STREAM_SQL = f"""
+SELECT * FROM ({KG_SENTENCE_SQL})
+UNION ALL
+SELECT * FROM ({KG_DOCUMENT_SQL})
+UNION ALL
+SELECT * FROM ({KG_FALLBACK_SQL})
+"""
+
+
 def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
     materialize.mention_evidence: mention kinds map to the reference's
@@ -1175,6 +1213,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding": (dedup_embedding, None),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
+    "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, None),
