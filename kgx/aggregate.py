@@ -71,6 +71,7 @@ def sentence_triples(facts: DataFrame) -> DataFrame:
         F.col("entity_name").alias("subj_name"),
         F.col("entity_type").alias("subj_type"),
         "pred",
+        "subfeature",
         _polarity_from_int(F.col("score_i")).alias("obj_polarity"),
         _decimal_score(F.col("score_i").cast("double")).alias("score"),
         F.lit(CLS_KNOWLEDGE_BASED).alias("classifier"),
@@ -121,6 +122,7 @@ def document_triples(
         F.col("subj.entity_name").alias("subj_name"),
         F.col("subj.entity_type").alias("subj_type"),
         "pred",
+        F.lit(None).cast("string").alias("subfeature"),
         # polarity = score > 0 ? positive : negative (reference :622-626)
         F.when(F.col("dscore") > 0, F.lit("positive"))
         .otherwise(F.lit("negative"))
@@ -161,6 +163,7 @@ def fuzzy_triples(doc_triples_with_dscore: DataFrame) -> DataFrame:
         "subj_name",
         "subj_type",
         "pred",
+        "subfeature",
         "obj_polarity",
         "score",
         F.lit(CLS_HYBRID_FUZZY).alias("classifier"),
@@ -199,6 +202,7 @@ def fallback_triples(turn_feats: DataFrame) -> DataFrame:
         F.col("conv_id").alias("subj_name"),
         F.lit("Document").alias("subj_type"),
         F.lit(PRED_REPUTATION).alias("pred"),
+        F.lit(None).cast("string").alias("subfeature"),
         _polarity_from_int(F.col("dscore")).alias("obj_polarity"),
         _decimal_score(F.col("dscore")).alias("score"),
         F.lit(CLS_POSNEG_RATIO).alias("classifier"),

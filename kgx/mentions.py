@@ -90,6 +90,9 @@ class SurfaceMatcher:
         surfaces in first-occurrence order; pos/neg count multiplicity."""
         pos = neg = 0
         first_feat = None
+        first_subfeat = None  # second distinct feature by offset — the
+        # SubFeature annotation reference (SentimentClassification.java:349,
+        # stored as the SENTIMENT subfeature FK, db_schema.sql:443)
         so: list[str] = []
         ind: list[str] = []
         spans: list[tuple[int, int]] = []
@@ -106,6 +109,8 @@ class SurfaceMatcher:
                         ind.append(s)
                 elif first_feat is None:
                     first_feat = s
+                elif first_subfeat is None and s.lower() != first_feat.lower():
+                    first_subfeat = s
         if self.term_re is not None:
             for m in self.term_re.finditer(text):
                 b, e = m.start(1), m.end(1)
@@ -115,7 +120,7 @@ class SurfaceMatcher:
                     pos += 1
                 else:
                     neg += 1
-        return (pos, neg, first_feat, so, ind)
+        return (pos, neg, first_feat, first_subfeat, so, ind)
 
     def match(self, text: str) -> list[tuple]:
         """Mentions as (begin, end, kind, surface, polarity) tuples —
@@ -165,6 +170,7 @@ TURN_SUMMARY = StructType(
         StructField("pos_cnt", IntegerType(), False),
         StructField("neg_cnt", IntegerType(), False),
         StructField("feature_surface", StringType(), True),
+        StructField("subfeature_surface", StringType(), True),
         StructField("so_mentions", ArrayType(StringType()), False),
         StructField("ind_mentions", ArrayType(StringType()), False),
     ]
@@ -224,12 +230,13 @@ def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
         matcher = _matcher_from_bc(state, kb_bc)
         summarize = matcher.summarize
         rows = [
-            summarize(t) if isinstance(t, str) else (0, 0, None, [], [])
+            summarize(t) if isinstance(t, str) else (0, 0, None, None, [], [])
             for t in text.to_numpy()
         ]
         return pd.DataFrame(
             rows,
-            columns=["pos_cnt", "neg_cnt", "feature_surface", "so_mentions", "ind_mentions"],
+            columns=["pos_cnt", "neg_cnt", "feature_surface",
+                     "subfeature_surface", "so_mentions", "ind_mentions"],
             index=text.index,
         )
 
@@ -243,6 +250,7 @@ def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
         F.col("s.neg_cnt").alias("neg_cnt"),
         F.signum(F.col("s.pos_cnt") - F.col("s.neg_cnt")).cast("int").alias("turn_score"),
         F.col("s.feature_surface").alias("feature_surface"),
+        F.col("s.subfeature_surface").alias("subfeature_surface"),
         F.col("s.so_mentions").alias("so_mentions"),
         F.col("s.ind_mentions").alias("ind_mentions"),
         (F.size("s.so_mentions") > 0).alias("has_so"),

@@ -56,6 +56,9 @@ def turn_features(turns_with_mentions: DataFrame) -> DataFrame:
     ind_surfaces = F.array_distinct(
         F.transform(F.filter(m, lambda x: x["kind"] == "Indicator"), lambda x: x["surface"])
     )
+    feat_surfaces = F.transform(
+        F.filter(m, lambda x: x["kind"] == "Feature"), lambda x: x["surface"]
+    )
     pos_cnt = F.size(F.filter(m, is_pos))
     neg_cnt = F.size(F.filter(m, is_neg))
     return turns_with_mentions.select(
@@ -68,6 +71,14 @@ def turn_features(turns_with_mentions: DataFrame) -> DataFrame:
         F.try_element_at(F.filter(m, lambda x: x["kind"] == "Feature"), F.lit(1))[
             "surface"
         ].alias("feature_surface"),  # mentions sorted by begin → first by offset
+        F.try_element_at(
+            F.filter(
+                feat_surfaces,
+                lambda s: F.lower(s)
+                != F.lower(F.try_element_at(feat_surfaces, F.lit(1))),
+            ),
+            F.lit(1),
+        ).alias("subfeature_surface"),  # second distinct feature by offset
         so_surfaces.alias("so_mentions"),
         ind_surfaces.alias("ind_mentions"),
         (F.size(so_surfaces) > 0).alias("has_so"),
@@ -83,6 +94,7 @@ def linked_turn_entities(turn_feats: DataFrame, gaz_dim: DataFrame) -> DataFrame
         "ts_day",
         "turn_score",
         "feature_surface",
+        "subfeature_surface",
         F.explode("so_mentions").alias("surface"),
     )
     linked = linking.link_so_mentions(so, gaz_dim)
@@ -90,8 +102,18 @@ def linked_turn_entities(turn_feats: DataFrame, gaz_dim: DataFrame) -> DataFrame
 
 
 def direct_facts(linked_entities: DataFrame, alias_dim: DataFrame) -> DataFrame:
-    """Sentence-level direct sentiment facts."""
+    """Sentence-level direct sentiment facts. `subfeature` is the alias-
+    normalized second feature mention of the turn (the SENTIMENT subfeature
+    FK, db_schema.sql:443; guard P2 `containsKey("SubFeature")`,
+    SentimentClassification.java:349) — null when absent, no default."""
     df = linking.normalize_feature(linked_entities, alias_dim, "feature_surface")
+    sub_alias = alias_dim.select(
+        F.col("alias_lc").alias("sub_alias_lc"),
+        F.col("canonical").alias("subfeature"),
+    )
+    df = df.withColumn("sub_alias_lc", F.lower("subfeature_surface")).join(
+        F.broadcast(sub_alias), "sub_alias_lc", "left"
+    )
     return (
         df.filter(F.col("entity_type") != F.lit("unknown"))
         .select(
@@ -103,6 +125,7 @@ def direct_facts(linked_entities: DataFrame, alias_dim: DataFrame) -> DataFrame:
             "entity_name",
             "entity_type",
             "pred",
+            "subfeature",
             F.col("turn_score").alias("score_i"),
             F.lit(None).cast("string").alias("indicator_uri"),
         )
@@ -144,6 +167,7 @@ def indirect_facts(turn_feats: DataFrame, linked_entities: DataFrame, ind_dim: D
         ind["turn_idx"],
         ind["ts_day"],
         ind["feature_uri"].alias("pred"),
+        F.lit(None).cast("string").alias("subfeature"),
         ind["eff_score"].alias("score_i"),
         ind["indicator_uri"],
         ind["object_class"],

@@ -121,6 +121,9 @@ TRIPLES = StructType(
         StructField("subj_name", StringType(), False),
         StructField("subj_type", StringType(), True),
         StructField("pred", StringType(), False),
+        # second feature mention of the turn, alias-normalized (the SENTIMENT
+        # subfeature FK, db_schema.sql:443); sentence level only, else null
+        StructField("subfeature", StringType(), True),
         StructField("obj_polarity", StringType(), False),  # positive|negative|neutral
         StructField("score", SCORE_TYPE, True),
         StructField("classifier", StringType(), False),

@@ -84,6 +84,8 @@ def make_transcripts(
                     words.insert(rng.randint(0, len(words)), w)
                 if rng.rand() < 0.35:  # explicit feature mention
                     words.insert(rng.randint(0, len(words)), feat_surfaces[rng.randint(len(feat_surfaces))])
+                    if rng.rand() < 0.5:  # second feature → subfeature path
+                        words.insert(rng.randint(0, len(words)), feat_surfaces[rng.randint(len(feat_surfaces))])
             elif conv_has_entities and r < 0.70:
                 # indicator (indirect sentiment) turn
                 words.insert(rng.randint(0, len(words)), ind_surfaces[rng.randint(len(ind_surfaces))])

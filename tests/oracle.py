@@ -132,12 +132,20 @@ class Oracle:
             else:
                 feats.append((b, text[b:e]))
         feats.sort()
+        first_feat = feats[0][1] if feats else None
+        sub = None
+        if first_feat is not None:
+            for (_b, fsurf) in feats[1:]:
+                if fsurf.lower() != first_feat.lower():
+                    sub = fsurf
+                    break
         return {
             "pos": pos,
             "neg": neg,
             "so": so,
             "ind": inds,
-            "first_feature": feats[0][1] if feats else None,
+            "first_feature": first_feat,
+            "subfeature": sub,
         }
 
     # -- pipeline -------------------------------------------------------------
@@ -153,7 +161,7 @@ class Oracle:
         conv_has_so: dict[str, bool] = defaultdict(bool)
         conv_day: dict[str, object] = {}
 
-        facts = []  # (conv, turn, name, uri, type, pred, score_i, ind_uri)
+        facts = []  # (conv, turn, name, uri, type, pred, sub, score_i, ind_uri)
         for row in df.itertuples(index=False):
             m = self.match_turn(row.text)
             day = pd.Timestamp(row.ts).date()
@@ -181,11 +189,16 @@ class Oracle:
             pred = self.feature_canon.get(
                 (m["first_feature"] or "").lower(), PRED_REPUTATION
             )
+            sub = (
+                self.feature_canon.get(m["subfeature"].lower())
+                if m["subfeature"] is not None
+                else None
+            )
             for (name, uri, typ) in linked.values():
                 if typ == "unknown":
                     continue
                 facts.append(
-                    (row.conv_id, row.turn_idx, name, uri, typ, pred, turn_score, None)
+                    (row.conv_id, row.turn_idx, name, uri, typ, pred, sub, turn_score, None)
                 )
 
             # indirect: dedup indicator per turn by uri
@@ -203,11 +216,11 @@ class Oracle:
                     targets = [(ocls, _NS + ocls, ocls)]
                 for (name, uri, typ) in targets:
                     facts.append(
-                        (row.conv_id, row.turn_idx, name, uri, typ, feat, eff, iuri)
+                        (row.conv_id, row.turn_idx, name, uri, typ, feat, None, eff, iuri)
                     )
 
         # sentence triples
-        for (conv, turn, name, uri, typ, pred, s, iuri) in facts:
+        for (conv, turn, name, uri, typ, pred, sub, s, iuri) in facts:
             sent_rows.append(
                 dict(
                     conv_id=conv,
@@ -217,6 +230,7 @@ class Oracle:
                     subj_uri=uri,
                     subj_type=typ,
                     pred=pred,
+                    subfeature=sub,
                     obj_polarity="positive" if s > 0 else ("negative" if s < 0 else "neutral"),
                     score=_dec16(float(s)),
                     classifier=CLS_KNOWLEDGE_BASED,
@@ -227,7 +241,7 @@ class Oracle:
 
         # document-level per (conv, lower name, pred)
         groups: dict[tuple, dict] = {}
-        for (conv, turn, name, uri, typ, pred, s, _iuri) in facts:
+        for (conv, turn, name, uri, typ, pred, _sub, s, _iuri) in facts:
             k = (conv, name.lower(), pred)
             g = groups.setdefault(
                 k, {"pos": 0, "neg": 0, "first": (turn, name, uri, typ)}
@@ -254,6 +268,7 @@ class Oracle:
                 subj_uri=uri,
                 subj_type=typ,
                 pred=pred,
+                subfeature=None,
                 obj_polarity="positive" if dscore > 0 else "negative",
                 score=_dec16(dscore),
                 indicator_uri=None,
@@ -282,6 +297,7 @@ class Oracle:
                     subj_uri=None,
                     subj_type="Document",
                     pred=PRED_REPUTATION,
+                    subfeature=None,
                     obj_polarity="positive" if dscore > 0 else ("negative" if dscore < 0 else "neutral"),
                     score=_dec16(dscore),
                     classifier=CLS_POSNEG_RATIO,

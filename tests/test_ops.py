@@ -221,3 +221,34 @@ def test_video_frame_sampling(spark):
     counts = pdf.groupby("media_id").size().to_dict()
     for mid, dur in vids.items():
         assert counts[mid] == dur // 1000 + 1
+
+
+# ---------------------------------------------------------------------------
+# subfeature extraction (SENTIMENT subfeature FK, db_schema.sql:443)
+# ---------------------------------------------------------------------------
+
+def test_subfeature_second_feature_mention(spark):
+    """The turn's second distinct feature mention becomes the fact's
+    subfeature (alias-normalized); first stays the predicate; turns with one
+    or zero feature mentions get subfeature null."""
+    import pandas as pd
+
+    from kgx import assemble, relations, resources
+
+    kb = resources.default_kb()
+    rows = [
+        # price (pred) then volatility (subfeature), entity acme
+        ("c1", 0, "user", "acme price rally and volatility spike", None, "2025-01-01 00:00:00"),
+        # single feature -> subfeature null
+        ("c2", 0, "user", "acme price rally", None, "2025-01-01 00:00:00"),
+        # repeated same feature -> still null (distinct rule)
+        ("c3", 0, "user", "acme price up price down", None, "2025-01-01 00:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    turns = assemble.admit_turns(spark.createDataFrame(pdf))
+    facts, _tf = relations.extract_facts(turns, kb)
+    got = {r["conv_id"]: (r["pred"], r["subfeature"]) for r in facts.collect()}
+    assert got["c1"] == (resources.PRED_PRICE, resources.PRED_VOLATILITY)
+    assert got["c2"] == (resources.PRED_PRICE, None)
+    assert got["c3"] == (resources.PRED_PRICE, None)

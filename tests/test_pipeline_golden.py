@@ -24,6 +24,7 @@ KEY_COLS = [
     "subj_uri",
     "subj_type",
     "pred",
+    "subfeature",
     "obj_polarity",
     "score",
     "classifier",
