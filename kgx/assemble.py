@@ -73,8 +73,10 @@ def conversation_docs(turns: DataFrame) -> DataFrame:
     Uses sort_array(collect_list(struct(turn_idx, ...))) — NEVER shuffle
     order — so the document text is deterministic (SURVEY.md §2.5/W1).
     """
-    w = (
-        F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    w = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("turn_idx").cast("int").alias("turn_idx"), "text")
+        )
     )
     return (
         turns.groupBy("conv_id")

@@ -252,3 +252,31 @@ def test_subfeature_second_feature_mention(spark):
     assert got["c1"] == (resources.PRED_PRICE, resources.PRED_VOLATILITY)
     assert got["c2"] == (resources.PRED_PRICE, None)
     assert got["c3"] == (resources.PRED_PRICE, None)
+
+
+def test_conversation_docs_offsets_slice_back(spark):
+    """W1+W3: whole-conversation assembly — doc_text is turn texts joined in
+    (conv_id, turn_idx) order regardless of input row order, and every
+    turn_offsets entry slices doc_text back to exactly that turn's text."""
+    import pandas as pd
+
+    from kgx import assemble
+
+    rows = [
+        ("c1", 2, "user", "third turn here", None, "2025-01-01 00:00:02"),
+        ("c1", 0, "user", "first", None, "2025-01-01 00:00:00"),
+        ("c1", 1, "user", "second one", None, "2025-01-01 00:00:01"),
+        ("c2", 0, "user", "solo", None, "2025-01-01 00:00:00"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    docs = {
+        r["conv_id"]: r
+        for r in assemble.conversation_docs(spark.createDataFrame(pdf)).collect()
+    }
+    assert docs["c1"]["doc_text"] == "first\nsecond one\nthird turn here"
+    assert docs["c1"]["n_turns"] == 3
+    texts = {t: x for (c, t, _r, x, _tool, _ts) in rows if c == "c1"}
+    for off in docs["c1"]["turn_offsets"]:
+        assert docs["c1"]["doc_text"][off["begin"]:off["end"]] == texts[off["turn_idx"]]
+    assert docs["c2"]["doc_text"] == "solo"
