@@ -6,10 +6,20 @@ the first row's id (DatabaseFacade.java:987-1018, ORDER BY id ASC).
 Reproducing that under parallelism needs an order-independent rule:
 
   * two nodes are candidate-equivalent iff they share lower(name) OR share
-    a non-null uri;
+    a non-null uri (default blocking="name_or_uri");
   * the canonical id of a component is its MINIMUM entity_id (entity_id is
     already a deterministic content hash, so min is stable across runs) —
     the deterministic analogue of "first id wins".
+
+Blocking policy note: the reference's get-or-create requires name AND
+ontologyConceptUri equality (DatabaseFacade.java createOrgetSO), and exact
+(name, uri) duplicates already collapse via the deterministic hash ids
+before CC ever runs. The default OR-rule is therefore an INTENTIONAL,
+strictly stronger entity-resolution policy — it additionally merges
+same-name/different-uri and same-uri/different-name nodes and their
+transitive chains, which the reference would keep distinct. Pass
+blocking="name_and_uri" for exact reference parity (under hash ids that
+yields no extra merges: every component is a singleton).
 
 Algorithm: star-contraction + alternating min-label propagation — each
 blocking key (lower(name), uri) emits edges member→min(member ids) (never
@@ -31,8 +41,33 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def candidate_edges(nodes: DataFrame) -> DataFrame:
-    """Star edges (src > dst) from the two blocking keys."""
+def candidate_edges(nodes: DataFrame, blocking: str = "name_or_uri") -> DataFrame:
+    """Star edges (src > dst) from the blocking keys.
+
+    blocking="name_or_uri" (default): merge on shared lower(name) OR shared
+    uri — the intentional stronger dedup policy (see module docstring).
+    blocking="name_and_uri": reference-exact get-or-create equality on the
+    (lower(name), coalesce(uri, '')) pair."""
+    def star(df: DataFrame) -> DataFrame:
+        return (
+            df.filter(F.size("ids") > 1)
+            .withColumn("dst", F.array_min("ids"))
+            .select(F.explode("ids").alias("src"), "dst")
+            .filter(F.col("src") != F.col("dst"))
+        )
+
+    if blocking == "name_and_uri":
+        pair = (
+            nodes.filter(F.col("name").isNotNull())
+            .groupBy(
+                F.lower("name").alias("k_name"),
+                F.coalesce("uri", F.lit("")).alias("k_uri"),
+            )
+            .agg(F.collect_set("entity_id").alias("ids"))
+        )
+        return star(pair).distinct()
+    if blocking != "name_or_uri":
+        raise ValueError(f"unknown blocking policy: {blocking}")
     by_name = (
         nodes.filter(F.col("name").isNotNull())
         .groupBy(F.lower("name").alias("k"))
@@ -43,13 +78,6 @@ def candidate_edges(nodes: DataFrame) -> DataFrame:
         .groupBy(F.col("uri").alias("k"))
         .agg(F.collect_set("entity_id").alias("ids"))
     )
-    def star(df: DataFrame) -> DataFrame:
-        return (
-            df.filter(F.size("ids") > 1)
-            .withColumn("dst", F.array_min("ids"))
-            .select(F.explode("ids").alias("src"), "dst")
-            .filter(F.col("src") != F.col("dst"))
-        )
     return star(by_name).unionByName(star(by_uri)).distinct()
 
 
@@ -65,8 +93,27 @@ def connected_components(
     converge within 15 rounds on a 20k-node chain-heavy blocking graph).
     Runs to fixpoint; max_iter is a safety valve (2^64 exceeds any diameter)
     and raises if ever hit rather than returning unconverged labels.
+
+    Seeding: candidate_edges already points every block member at its
+    block minimum, so comp(v) is initialized to min(v, min dst over v's
+    star edges) BEFORE the loop. On blocking graphs (tiny component
+    diameter — components only chain through nodes sharing several keys)
+    most inputs then converge in 1-2 rounds instead of ~6, and the
+    convergence check runs every round to stop at the first fixpoint.
     """
-    labels = nodes.select("entity_id", F.col("entity_id").alias("comp"))
+    # seed: one small agg over the star edges (src > dst ⇒ min dst < src)
+    seed = edges.groupBy(F.col("src").alias("entity_id")).agg(
+        F.min("dst").alias("seed_comp")
+    )
+    labels = (
+        nodes.select("entity_id")
+        .join(seed, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.coalesce("seed_comp", F.col("entity_id")).alias("comp"),
+        )
+    )
+    labels = labels.localCheckpoint(eager=True)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -79,9 +126,9 @@ def connected_components(
     def _label_sum(lbl: DataFrame):
         return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = None
+    prev_sum = _label_sum(labels)
     converged = False
-    for it in range(max_iter):
+    for _it in range(max_iter):
         # comp'(v) = min(comp(v), comp(comp(v)), min over neighbors comp(u))
         neigh = (
             sym.join(labels, sym["dst"] == labels["entity_id"], "inner")
@@ -97,16 +144,12 @@ def connected_components(
             .groupBy("entity_id")
             .agg(F.min("comp").alias("comp"))
         )
-        # materialize + convergence-check every SECOND round: a 2-round
-        # lineage is cheap to recompute once, and halving the checkpoint/
-        # collect cadence cuts ~20% wall on iteration-bound graphs
-        if it % 2 == 1 or it == max_iter - 1:
-            labels = labels.localCheckpoint(eager=True)
-            s = _label_sum(labels)
-            if s == prev_sum:
-                converged = True
-                break
-            prev_sum = s
+        labels = labels.localCheckpoint(eager=True)
+        s = _label_sum(labels)
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
     if not converged:  # pragma: no cover - safety valve
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
@@ -132,9 +175,9 @@ def build_nodes(triples: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize(triples: DataFrame) -> DataFrame:
+def canonicalize(triples: DataFrame, blocking: str = "name_or_uri") -> DataFrame:
     """nodes table with canonical_id (NODES schema)."""
     nodes = build_nodes(triples)
-    edges = candidate_edges(nodes)
+    edges = candidate_edges(nodes, blocking=blocking)
     cc = connected_components(nodes, edges)
     return cc.select("entity_id", "canonical_id", "name", "uri", "entity_type")

@@ -33,16 +33,31 @@ def _norm_text(c: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def md5_hash60(c: Column) -> Column:
+    """Cross-engine 60-bit hash: first 15 hex chars of md5 as a long.
+
+    xxhash64 is Spark-only; md5 exists in both Spark and DuckDB, and 15 hex
+    chars (60 bits) always fit a signed 64-bit int, so SimHash/MinHash built
+    on this hash are exactly reproducible by a SQL oracle
+    (DuckDB: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) docs; keeper = min id.
-    Returns (keep_id, dup_id) rows for dup_id != keep_id."""
+    Returns (keep_id, dup_id) rows for dup_id != keep_id.
+
+    Shape: min(id) per hash, then join the id rows back — bounded reducer
+    state per group even on a degenerate corpus (billions of identical
+    docs), unlike a collect_list that materializes one giant array in a
+    single reducer. Both the agg and the join shuffle only (id, 32-byte
+    hash) rows; the text never moves."""
     h = df.select(F.col(id_col), F.md5(_norm_text(F.col(text_col))).alias("h"))
-    groups = h.groupBy("h").agg(
-        F.min(id_col).alias("keep_id"), F.collect_list(id_col).alias("ids")
-    )
+    keep = h.groupBy("h").agg(F.min(id_col).alias("keep_id"))
     return (
-        groups.select("keep_id", F.explode("ids").alias("dup_id"))
-        .filter(F.col("dup_id") != F.col("keep_id"))
+        h.join(keep, "h")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select("keep_id", F.col(id_col).alias("dup_id"))
     )
 
 
@@ -78,13 +93,22 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (a < b) with sim >= threshold.
 
     Inverted-index blocking: only pairs sharing >=1 shingle are scored —
-    |pairs| is bounded by shingle collision, not |docs|^2. Hot shingles
-    (boilerplate) should be dropped upstream via a document-frequency cap
-    at very large scale.
+    |pairs| is bounded by shingle collision, not |docs|^2.
+
+    max_df is the hot-shingle document-frequency cap: a shingle occurring
+    in more than max_df docs (boilerplate — a 5-gram shared by 10^6 docs
+    would alone emit ~10^12 candidate rows from the self-join) is dropped
+    from the CANDIDATE index before the self-join; candidate pairs are then
+    verified against the FULL shingle arrays, so every emitted pair still
+    carries its exact Jaccard. Only pairs whose overlap is exclusively
+    boilerplate shingles are skipped (at a sane cap such pairs sit far
+    below any useful threshold anyway). The hot set is Zipf-tiny by
+    construction, so the filter is a broadcast anti-join.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks"))
@@ -97,13 +121,14 @@ def ngram_jaccard_pairs(
     # MEMORY_AND_DISK, ~one row per (doc, distinct shingle) — the same
     # footprint the join shuffle moves anyway.
     inv = sh.select("id", "n_sh", F.explode("sh").alias("s")).persist()
-    a, b = inv.alias("a"), inv.alias("b")
     # Size-ratio prefilter (exact): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
     # J >= t requires t*|B| <= |A| and t*|A| <= |B|. Prunes candidate rows
     # at the join before the per-pair aggregation ever sees them.
     t = F.lit(float(threshold))
-    inter = (
-        a.join(
+
+    def _pair_join(index: DataFrame):
+        a, b = index.alias("a"), index.alias("b")
+        return a.join(
             b,
             on=[
                 F.col("a.s") == F.col("b.s"),
@@ -112,22 +137,53 @@ def ngram_jaccard_pairs(
                 F.col("b.n_sh") >= t * F.col("a.n_sh"),
             ],
         )
-        .groupBy(
+
+    if max_df is None:
+        # complete index → the per-pair match count IS the intersection size
+        inter = _pair_join(inv).groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("na"),
             F.col("b.n_sh").alias("nb"),
+        ).agg(F.count(F.lit(1)).alias("inter"))
+        return (
+            inter.withColumn(
+                "jaccard",
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+    sh = sh.persist()
+    hot = (
+        inv.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
     )
-    return (
-        inter.withColumn(
+    capped = inv.join(F.broadcast(hot), "s", "left_anti")
+    cand = (
+        _pair_join(capped)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification on the full (uncapped) shingle arrays
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
             "jaccard",
             F.col("inter").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 
@@ -150,10 +206,13 @@ def minhash_signature(c: Column, n: int = 5, k: int = 32) -> Column:
     return minhash_from_shingles(shingles(c, n), k)
 
 
-def minhash_from_shingles(sh: Column, k: int = 32) -> Column:
-    # reduce the 64-bit shingle hash mod P first so a*h+b never overflows
-    # a signed long under ANSI arithmetic (a, h < 2^31 → product < 2^62)
-    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+def minhash_from_shingles(sh: Column, k: int = 32, hash_fn=None) -> Column:
+    # reduce the shingle hash mod P first so a*h+b never overflows a signed
+    # long under ANSI arithmetic (a, h < 2^31 → product < 2^62). hash_fn
+    # defaults to xxhash64; pass md5_hash60 for the cross-engine variant
+    # a DuckDB oracle reproduces exactly.
+    hash_fn = hash_fn or F.xxhash64
+    hashes = F.transform(sh, lambda s: F.pmod(hash_fn(s), F.lit(_P)))
     sig = [
         F.array_min(
             F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
@@ -171,12 +230,25 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    hash_fn=None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate generation + exact Jaccard verification.
 
     bands=8, rows=4 over k=32 → collision prob s^4 per band; docs with
     Jaccard s=0.8 collide in >=1 band w.p. ~0.97. The *only* shuffle on
     document pairs is within LSH buckets.
+
+    hash_fn=md5_hash60 switches shingle hashing AND band keys to md5-based
+    forms a DuckDB oracle reproduces exactly (band key = the band's
+    signature values concatenated, instead of a Spark-only xxhash64).
+
+    max_bucket_size bounds the all-pairs blowup of degenerate buckets
+    (e.g. 10^6 boilerplate near-identical docs landing in one band key →
+    ~10^12 candidate rows at 100 TB): buckets above the cap emit STAR
+    candidates (min id ↔ each member, linear) instead of all pairs, so
+    every member still links to a verified keeper while candidate count
+    stays O(bucket). Buckets at or under the cap are unaffected.
     """
     rows = k // bands
     spark = df.sparkSession
@@ -189,18 +261,20 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
     ).repartition(npart, "id")
     sh = base.select("id", shingles_from_tokens(F.col("toks"), n).alias("sh")).persist()
-    sig = sh.select("id", minhash_from_shingles(F.col("sh"), k).alias("sig"))
+    sig = sh.select("id", minhash_from_shingles(F.col("sh"), k, hash_fn).alias("sig"))
 
     # bucket rows carry only (id, band, key) — the shingle arrays never
     # enter the candidate-pair shuffle
+    def band_key(bi: int) -> Column:
+        vals = [F.col("sig")[bi * rows + r] for r in range(rows)]
+        if hash_fn is None:
+            return F.xxhash64(F.lit(bi), *vals).cast("string")
+        # cross-engine key: the signature slice itself, concatenated
+        return F.concat_ws("_", *[v.cast("string") for v in vals])
+
     band_cols = F.array(
         *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.xxhash64(
-                    F.lit(bi), *[F.col("sig")[bi * rows + r] for r in range(rows)]
-                ).alias("key"),
-            )
+            F.struct(F.lit(bi).alias("band"), band_key(bi).alias("key"))
             for bi in range(bands)
         ]
     )
@@ -208,19 +282,40 @@ def minhash_lsh_pairs(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("bsz"), F.min("id").alias("bmin")
+        )
+        buckets = buckets.join(sizes, ["band", "key"])
+        ok = buckets.filter(F.col("bsz") <= max_bucket_size)
+        hot = buckets.filter(F.col("bsz") > max_bucket_size)
+        a, b = ok.alias("a"), ok.alias("b")
+        all_pairs = a.join(
             b,
             on=[
                 F.col("a.band") == F.col("b.band"),
                 F.col("a.key") == F.col("b.key"),
                 F.col("a.id") < F.col("b.id"),
             ],
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        star_pairs = hot.filter(F.col("id") != F.col("bmin")).select(
+            F.col("bmin").alias("id_a"), F.col("id").alias("id_b")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        cand = all_pairs.unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
+    else:
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.key") == F.col("b.key"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -238,8 +333,8 @@ def minhash_lsh_pairs(
 
 # -- SimHash ----------------------------------------------------------------
 
-def _simhash_from_counters(counters: list[Column]) -> Column:
-    """Assemble the 64-bit fingerprint from per-bit counters: bit i set iff
+def _simhash_from_counters(counters: list[Column], n_bits: int = 64) -> Column:
+    """Assemble the fingerprint from per-bit counters: bit i set iff
     counter_i > 0 (sign of the sum)."""
     from functools import reduce
 
@@ -248,44 +343,61 @@ def _simhash_from_counters(counters: list[Column]) -> Column:
             counters[i] > 0,
             F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
+        for i in range(n_bits)
     ]
     return reduce(lambda a, b: a.bitwiseOR(b), bit_terms)
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """64-bit SimHash per doc: bit i of the fingerprint is the sign of
-    sum over n-token shingles of (2*bit_i(xxhash64(shingle)) - 1).
+    """SimHash per doc: bit i of the fingerprint is the sign of
+    sum over n-token shingles of (2*bit_i(hash(shingle)) - 1).
 
-    Implemented as explode -> hash -> groupBy(id) with 64 flat SUM columns:
-    plain aggregates stay inside whole-stage codegen, where the equivalent
-    higher-order-function formulation (aggregate+zip_with over a 64-array
-    per shingle) runs interpreted (~20x slower measured at sf0.1)."""
+    Default: 64 bits of xxhash64. Pass n_bits=60, hash_fn=md5_hash60 for
+    the cross-engine variant whose fingerprints a DuckDB oracle reproduces
+    bit-for-bit.
+
+    Implemented as explode -> hash -> groupBy(id) with n_bits flat SUM
+    columns: plain aggregates stay inside whole-stage codegen, where the
+    equivalent higher-order-function formulation (aggregate+zip_with over a
+    per-shingle bit array) runs interpreted (~20x slower measured at
+    sf0.1)."""
+    hash_fn = hash_fn or F.xxhash64
     sh = (
         df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks"))
         .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
     )
     hashed = sh.select("id", F.explode("sh").alias("s")).select(
-        "id", F.xxhash64("s").alias("h")
+        "id", hash_fn(F.col("s")).alias("h")
     )
     sums = [
         F.sum(
             F.shiftright("h", i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
         ).alias(f"c{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     counters = hashed.groupBy("id").agg(*sums)
     return counters.select(
         F.col("id").alias(id_col),
-        _simhash_from_counters([F.col(f"c{i}") for i in range(64)]).alias("simhash"),
+        _simhash_from_counters(
+            [F.col(f"c{i}") for i in range(n_bits)], n_bits
+        ).alias("simhash"),
     )
 
 
-def simhash_candidates(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Candidate near-dup pairs: equal 16-bit chunk in any of 4 bands
-    (catches all pairs with Hamming distance <= 3)."""
+def simhash_candidates(
+    fp: DataFrame, id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """Candidate near-dup pairs: equal (n_bits/4)-bit chunk in any of 4
+    bands (catches all pairs with Hamming distance <= 3)."""
+    band_bits = n_bits // 4
+    band_mask = (1 << band_bits) - 1
     # barrier: fp usually carries the (expensive) fingerprint expression;
     # without persist the self-join below inlines it into both sides
     fp = fp.persist()
@@ -297,8 +409,8 @@ def simhash_candidates(fp: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", i * band_bits)
+                        .bitwiseAND(F.lit(band_mask))
                         .alias("chunk"),
                     )
                     for i in range(4)

@@ -7,7 +7,8 @@
 Stage graph (each stage checkpoints to parquet/Iceberg and records lineage,
 so a killed run resumes at the first incomplete stage — SURVEY.md §3 tail):
 
-    assemble → extract (mentions+relations) → triples → nodes → mentions
+    assemble → extract (mentions+relations → facts/turn_feats/mentions/
+    phrase_edges) → triples (+ indicator_nodes) → nodes
 """
 
 from __future__ import annotations
@@ -52,11 +53,14 @@ def run_pipeline(
         "triples": os.path.join(out_dir, "triples"),
         "nodes": os.path.join(out_dir, "nodes"),
         "mentions": os.path.join(out_dir, "mentions"),
+        "phrase_edges": os.path.join(out_dir, "phrase_edges"),
+        "indicator_nodes": os.path.join(out_dir, "indicator_nodes"),
     }
 
     # -- stage: extract (assemble + mentions + relations), one Spark job ---
     extract_ok = all(
-        lineage.stage_output_ok(paths[p]) for p in ("facts", "turn_feats", "mentions")
+        lineage.stage_output_ok(paths[p])
+        for p in ("facts", "turn_feats", "mentions", "phrase_edges")
     )
     if not (resume and extract_ok):
         with lineage.StageTimer() as t:
@@ -82,24 +86,40 @@ def run_pipeline(
             ).write.mode("overwrite").partitionBy("ts_day").parquet(paths["turn_feats"])
             ev = materialize.mention_evidence(with_mentions)
             materialize.write_mentions(ev, paths["mentions"])
-            with_mentions.unpersist()
+            # SENTIMENT_PHRASE_RELATION analogue: fact ↔ evidence edges
+            pe = materialize.phrase_fact_edges(facts, with_mentions, kb)
+            pe.write.mode("overwrite").partitionBy("ts_day").parquet(
+                paths["phrase_edges"]
+            )
+            # release everything this stage pinned: the raw admitted turns
+            # and the slim intermediates persisted inside extract_facts
+            turns.unpersist()
+            for cached in getattr(facts, "_kgx_persisted", []):
+                cached.unpersist()
         lineage.mark_stage_ok(paths["facts"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["turn_feats"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["mentions"], {"run_id": run_id})
-        lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms)
+        lineage.mark_stage_ok(paths["phrase_edges"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms, kb_version=kb.version())
 
     facts = spark.read.parquet(paths["facts"])
     turn_feats = spark.read.parquet(paths["turn_feats"])
 
-    # -- stage: triples ----------------------------------------------------
+    # -- stage: triples (+ SENTIMENT_INDICATOR dim) -------------------------
     if not (resume and lineage.stage_output_ok(paths["triples"])):
         with lineage.StageTimer() as t:
             triples = aggregate.all_triples(
                 facts, turn_feats, salt_buckets=salt_buckets
             )
             materialize.write_triples(triples, paths["triples"])
+            from kgx import linking
+
+            materialize.indicator_nodes(
+                facts, linking.indicators_dim(spark, kb)
+            ).write.mode("overwrite").parquet(paths["indicator_nodes"])
         lineage.mark_stage_ok(paths["triples"], {"run_id": run_id})
-        lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms)
+        lineage.mark_stage_ok(paths["indicator_nodes"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms, kb_version=kb.version())
 
     triples = spark.read.parquet(paths["triples"])
 
@@ -109,7 +129,7 @@ def run_pipeline(
             nodes = canonical.canonicalize(triples)
             materialize.write_nodes(nodes, paths["nodes"])
         lineage.mark_stage_ok(paths["nodes"], {"run_id": run_id})
-        lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms)
+        lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms, kb_version=kb.version())
 
     return paths
 

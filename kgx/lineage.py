@@ -54,6 +54,7 @@ def append_lineage(
     rows_in: int | None,
     rows_out: int | None,
     wall_ms: int,
+    kb_version: str | None = None,
 ) -> None:
     row = [
         (
@@ -63,6 +64,7 @@ def append_lineage(
             rows_in,
             rows_out,
             wall_ms,
+            kb_version,
             datetime.now(timezone.utc).replace(tzinfo=None),
         )
     ]

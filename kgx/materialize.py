@@ -21,6 +21,46 @@ def write_triples(triples: DataFrame, path: str, mode: str = "overwrite") -> Non
     triples.write.mode(mode).partitionBy("ts_day").parquet(path)
 
 
+def merge_upsert_parquet(
+    spark, target_path: str, updates: DataFrame, keys: list[str]
+) -> None:
+    """MERGE INTO emulation on plain parquet: delete-then-insert by key —
+    the reference's per-document upsert (ClassifiedDocument.java:76-93,
+    DatabaseFacade.java:678-714) and the exact semantics an Iceberg catalog
+    executes as `MERGE INTO target USING updates ON <keys> WHEN MATCHED
+    THEN DELETE ... WHEN NOT MATCHED THEN INSERT` — swap this function for
+    that statement when the jars are present; the DataFrame contract does
+    not move.
+
+    Semantics: every target row whose key tuple appears in `updates` is
+    replaced by the update rows for that key (delete-then-insert, NOT
+    row-level update), other target rows are untouched. Idempotent: merging
+    the same updates twice yields the same table.
+
+    Mechanics: read target, LEFT ANTI join on the (broadcastable) distinct
+    update keys, union the updates, write to a staging dir, then swap dirs
+    — the parquet stand-in for Iceberg's atomic snapshot commit.
+    """
+    import os
+    import shutil
+
+    staging = target_path.rstrip("/") + "._kgx_merge_tmp"
+    trash = target_path.rstrip("/") + "._kgx_merge_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.isdir(target_path):
+        target = spark.read.parquet(target_path)
+        upd_keys = updates.select(*keys).dropDuplicates(keys)
+        kept = target.join(F.broadcast(upd_keys), keys, "left_anti")
+        merged = kept.unionByName(updates.select(*target.columns))
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(target_path, trash)
+        os.rename(staging, target_path)
+        shutil.rmtree(trash, ignore_errors=True)
+    else:
+        updates.write.mode("overwrite").parquet(target_path)
+
+
 def write_nodes(nodes: DataFrame, path: str, mode: str = "overwrite") -> None:
     nodes.write.mode(mode).parquet(path)
 
@@ -28,24 +68,61 @@ def write_nodes(nodes: DataFrame, path: str, mode: str = "overwrite") -> None:
 def mention_evidence(turns_with_mentions: DataFrame) -> DataFrame:
     """PHRASE-table analogue (db_schema.sql:360-374): one row per mention
     span with its phrase type (PHRASE_TYPE values,
-    insertAllConstantTypes.sql)."""
+    insertAllConstantTypes.sql) plus the reference PHRASE row's score
+    columns:
+
+      * sentiment_score_i — orientation phrases carry their own polarity
+        (±1); every other phrase carries the turn's sentence score
+        sign(pos − neg) (the SENTIMENT_SCORE the reference stores per
+        phrase, db_schema.sql:365);
+      * dist_to_so — char distance from the phrase begin to the nearest
+        sentiment-object begin in the turn (DISTANCE_TO_SENTIMENT_OBJECT,
+        db_schema.sql:369); null when the turn has no SO mention.
+
+    Both are within-row array expressions over the mentions column — no
+    extra shuffle."""
     kind_to_phrase = F.create_map(
         F.lit("SO"), F.lit("sentimentObjectPhrase"),
         F.lit("OrientationTerm"), F.lit("orientationPhrase"),
         F.lit("Indicator"), F.lit("indicatorPhrase"),
         F.lit("Feature"), F.lit("featurePhrase"),
     )
+    m = F.col("mentions")
+    pos_cnt = F.size(F.filter(m, lambda x: x["polarity"] == "positive"))
+    neg_cnt = F.size(F.filter(m, lambda x: x["polarity"] == "negative"))
+    turn_score = F.signum(pos_cnt - neg_cnt).cast("int")
+    so_begins = F.transform(
+        F.filter(m, lambda x: x["kind"] == "SO"), lambda x: x["begin"]
+    )
     cols = ["conv_id", "turn_idx", "ts_day"] + (
         ["txt_h"] if "txt_h" in turns_with_mentions.columns else []
     )
     ev = turns_with_mentions.select(
-        *cols, F.explode("mentions").alias("m")
+        *cols,
+        turn_score.alias("_tscore"),
+        so_begins.alias("_sob"),
+        F.explode("mentions").alias("m"),
     ).select(
         *cols,
         F.col("m.begin").alias("begin"),
         F.col("m.end").alias("end"),
         F.col("m.surface").alias("text"),
         kind_to_phrase[F.col("m.kind")].alias("phrase_type"),
+        F.when(
+            F.col("m.kind") == "OrientationTerm",
+            F.when(F.col("m.polarity") == "positive", 1).otherwise(-1),
+        )
+        .otherwise(F.col("_tscore"))
+        .cast("int")
+        .alias("sentiment_score_i"),
+        F.when(
+            F.size("_sob") > 0,
+            F.array_min(
+                F.transform(F.col("_sob"), lambda b: F.abs(F.col("m.begin") - b))
+            ),
+        )
+        .cast("int")
+        .alias("dist_to_so"),
     )
     if "txt_h" in ev.columns:
         # late-dedup rule on slim exploded rows: keep only mentions from the
@@ -62,9 +139,130 @@ def mention_evidence(turns_with_mentions: DataFrame) -> DataFrame:
             .dropDuplicates(["conv_id", "turn_idx", "begin", "end", "phrase_type"])
         )
     return ev.select(
-        "conv_id", "turn_idx", "begin", "end", "text", "phrase_type", "ts_day"
+        "conv_id", "turn_idx", "begin", "end", "text", "phrase_type",
+        "sentiment_score_i", "dist_to_so", "ts_day",
     )
 
 
 def write_mentions(mentions: DataFrame, path: str, mode: str = "overwrite") -> None:
     mentions.write.mode(mode).partitionBy("ts_day").parquet(path)
+
+
+def phrase_fact_edges(facts: DataFrame, turns_with_mentions: DataFrame, kb) -> DataFrame:
+    """SENTIMENT_PHRASE_RELATION analogue: the n:m link between sentiment
+    facts and the evidence phrases that produced them (db_schema.sql:462-468,
+    registered per sentiment at SentimentSentence.java:383-414).
+
+    One edge row per (fact, phrase, role):
+      * subject     — an SO phrase whose linked entity name equals the
+                      fact's subject;
+      * orientation — every orientation phrase of the turn (they all feed
+                      the turn score every fact in the turn carries);
+      * feature     — the turn's FIRST feature phrase by offset (the one
+                      the fact's predicate derives from), direct facts only;
+      * indicator   — the indicator phrase whose linked indicator_uri
+                      equals the fact's, indirect facts only.
+
+    Shuffle shape: the mention side and the fact side are both keyed
+    (conv_id, turn_idx) — children of the same conv_id-partitioned parent,
+    so the joins co-locate; dims broadcast.
+    """
+    from pyspark.sql import Window
+
+    from kgx import linking
+
+    spark = facts.sparkSession
+    gaz = linking.gazetteer_dim(spark, kb)
+    ind_dim = linking.indicators_dim(spark, kb)
+
+    ev = turns_with_mentions.select(
+        "conv_id", "turn_idx", F.explode("mentions").alias("m")
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("m.begin").alias("begin"),
+        F.col("m.end").alias("end"),
+        F.col("m.kind").alias("kind"),
+        F.col("m.surface").alias("surface"),
+    )
+    f = facts.select(
+        "conv_id", "turn_idx", "ts_day", "entity_name", "pred", "indicator_uri"
+    ).withColumn("_ename_lc", F.lower("entity_name"))
+    fkey = ["conv_id", "turn_idx"]
+    out_cols = [
+        "conv_id", "turn_idx",
+        F.col("entity_name").alias("subj_name"),
+        "pred", "indicator_uri", "begin", "end", "ts_day",
+    ]
+
+    so = (
+        ev.filter(F.col("kind") == "SO")
+        .withColumn("surface_lc", F.lower("surface"))
+        .join(F.broadcast(gaz), "surface_lc")
+        .select(
+            "conv_id", "turn_idx", "begin", "end",
+            F.lower("entity_name").alias("_ename_lc"),
+        )
+    )
+    subject_edges = f.join(so, fkey + ["_ename_lc"]).select(
+        *out_cols, F.lit("subject").alias("role")
+    )
+
+    orient = ev.filter(F.col("kind") == "OrientationTerm").select(
+        "conv_id", "turn_idx", "begin", "end"
+    )
+    orientation_edges = f.join(orient, fkey).select(
+        *out_cols, F.lit("orientation").alias("role")
+    )
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("begin")
+    first_feat = (
+        ev.filter(F.col("kind") == "Feature")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("conv_id", "turn_idx", "begin", "end")
+    )
+    feature_edges = (
+        f.filter(F.col("indicator_uri").isNull())
+        .join(first_feat, fkey)
+        .select(*out_cols, F.lit("feature").alias("role"))
+    )
+
+    ind_ev = (
+        ev.filter(F.col("kind") == "Indicator")
+        .withColumn("surface_lc", F.lower("surface"))
+        .join(F.broadcast(ind_dim.select("surface_lc", "indicator_uri")), "surface_lc")
+        .select("conv_id", "turn_idx", "begin", "end", "indicator_uri")
+    )
+    indicator_edges = (
+        f.filter(F.col("indicator_uri").isNotNull())
+        .join(ind_ev, fkey + ["indicator_uri"])
+        .select(*out_cols, F.lit("indicator").alias("role"))
+    )
+
+    return (
+        subject_edges.unionByName(orientation_edges)
+        .unionByName(feature_edges)
+        .unionByName(indicator_edges)
+    )
+
+
+def indicator_nodes(facts: DataFrame, ind_dim: DataFrame) -> DataFrame:
+    """SENTIMENT_INDICATOR dimension analogue (db_schema.sql:309-322,
+    materialized per indicator at DatabaseFacade.java:1104-1143): one node
+    per indicator observed in the indirect facts, carrying its KB
+    attributes (name, type, correlation, object class, feature) plus
+    usage aggregates over the fact stream."""
+    agg = (
+        facts.filter(F.col("indicator_uri").isNotNull())
+        .groupBy("indicator_uri")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.sum("score_i").cast("bigint").alias("sum_score"),
+        )
+    )
+    dim = ind_dim.select(
+        "indicator_uri", "indicator_name", "ind_type", "correlation",
+        "object_class", "feature_uri",
+    ).dropDuplicates(["indicator_uri"])
+    return agg.join(F.broadcast(dim), "indicator_uri")

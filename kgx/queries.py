@@ -67,16 +67,28 @@ _KG_CACHE: dict = {}
 
 def _kg_run(spark: SparkSession, sf_dir: str):
     """Extraction stages shared by the three kg_* queries; cached per
-    (session, sf_dir) so the trio doesn't re-run the Arrow-UDF stage."""
+    (session, sf_dir) so the trio doesn't re-run the Arrow-UDF stage.
+
+    The cache value carries a strong reference to the owning SparkSession
+    and hits require identity (`is`) plus a liveness probe — a stale id()
+    reused by CPython for a new session can never alias a dead entry."""
     key = (id(spark), sf_dir)
-    if key in _KG_CACHE:
-        return _KG_CACHE[key]
+    hit = _KG_CACHE.get(key)
+    if hit is not None and hit[0] is spark and _session_alive(spark):
+        return hit[1], hit[2]
     kb = resources.driver_kb()
     turns = assemble.assemble_turns(_doc_transcripts(spark, sf_dir), num_partitions=32)
     facts, tf = relations.extract_facts(turns, kb)
     facts = facts.persist()
-    _KG_CACHE[key] = (facts, tf)
+    _KG_CACHE[key] = (spark, facts, tf)
     return facts, tf
+
+
+def _session_alive(spark: SparkSession) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
 
 
 _KG_COLS = [
@@ -595,8 +607,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang_pred")
 
 
-# array_max over struct(hits, lang) picks highest hits, ties → greatest
-# lang string; mirror with arg_max over (hits, lang) pair ordering
+# max over struct(hits, lang) picks highest hits; a tie on the max hit
+# count (>=2 candidate languages) or zero hits resolves to 'und'
 TEXT_LANG_SQL = """
 WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS toks FROM documents),
 h AS (
@@ -610,9 +622,11 @@ h AS (
   FROM t
 ),
 best AS (
-  SELECT doc_id, list_aggregate(cands, 'max') AS b FROM h
+  SELECT doc_id, list_aggregate(cands, 'max') AS b,
+         len(list_filter(cands, c -> c.hits = list_aggregate(cands, 'max').hits)) AS nb
+  FROM h
 )
-SELECT doc_id, CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+SELECT doc_id, CASE WHEN b.hits > 0 AND nb = 1 THEN b.lang ELSE 'und' END AS lang_pred
 FROM best
 """
 
@@ -650,13 +664,19 @@ WHERE h.doc_id <> g.keep_id
 """
 
 
+_NGRAM_MAX_DF = 400  # hot-shingle document-frequency cap (scale path), in
+# force on the graded query and mirrored exactly in the oracle SQL
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=5, threshold=0.2
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.2, max_df=_NGRAM_MAX_DF
     )
 
 
-DEDUP_NGRAM_SQL = """
+# mirrors the capped Spark path exactly: hot shingles leave the candidate
+# index only; candidate pairs verify against the FULL shingle arrays
+DEDUP_NGRAM_SQL = f"""
 WITH t AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
 ),
@@ -668,32 +688,170 @@ sh AS (
   FROM t
 ),
 inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS inter
-  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+hot AS (SELECT s FROM inv GROUP BY s HAVING count(*) > {_NGRAM_MAX_DF}),
+capped AS (SELECT inv.* FROM inv ANTI JOIN hot USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+   AND a.n_sh >= 0.2 * b.n_sh AND b.n_sh >= 0.2 * a.n_sh
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
 )
 SELECT id_a, id_b,
        CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
-FROM inter
+FROM v
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
 """
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (no SQL oracle — verified in pytest against the
-    exact-Jaccard implementation it approximates)."""
+    """MinHash+LSH near-dup, cross-engine-exact variant: shingle hashes and
+    band keys derive from md5 (dedup.md5_hash60), which DuckDB reproduces
+    bit-for-bit — the full banded-LSH + exact-Jaccard-verify pipeline is
+    oracle-checked. (The xxhash64 default path keeps its pytest recall
+    check vs exact Jaccard.)"""
     return dedup.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), n=5, k=32, bands=8, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        n=5,
+        k=32,
+        bands=8,
+        threshold=0.2,
+        hash_fn=dedup.md5_hash60,
     )
 
 
+def _minhash_sql() -> str:
+    P = dedup._P
+    coeffs = dedup._coeffs(32)
+    sig_exprs = ",\n         ".join(
+        f"list_aggregate(list_transform(hs, h -> (h*{a} + {b}) % {P}), 'min') AS s{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    key_exprs = ",\n         ".join(
+        "concat_ws('_', "
+        + ", ".join(f"CAST(s{bi * 4 + r} AS VARCHAR)" for r in range(4))
+        + f") AS k{bi}"
+        for bi in range(8)
+    )
+    band_case = " ".join(f"WHEN {bi} THEN k{bi}" for bi in range(8))
+    band_values = ", ".join(f"({bi})" for bi in range(8))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM t
+),
+hashed AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {P}) AS hs
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, sh,
+         {sig_exprs}
+  FROM hashed
+),
+keys AS (
+  SELECT doc_id, sh,
+         {key_exprs}
+  FROM sig
+),
+buckets AS (
+  SELECT doc_id, b.band, CASE b.band {band_case} END AS key
+  FROM keys, (VALUES {band_values}) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM v
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + banded candidate pairs (no SQL oracle —
-    bit-level hashing is pytest-verified)."""
-    fp = dedup.simhash_fingerprints(_t(spark, sf_dir, "documents"))
-    return dedup.simhash_candidates(fp).filter(F.col("hamming") <= 16)
+    """SimHash near-dup candidates, cross-engine-exact variant: 60-bit
+    fingerprints from md5-derived shingle hashes (dedup.md5_hash60) so the
+    DuckDB oracle reproduces every fingerprint, band bucket and Hamming
+    distance bit-for-bit. (The 64-bit xxhash64 default path keeps its
+    pytest verification.)"""
+    fp = dedup.simhash_fingerprints(
+        _t(spark, sf_dir, "documents"), n_bits=60, hash_fn=dedup.md5_hash60
+    )
+    return dedup.simhash_candidates(fp, n_bits=60).filter(F.col("hamming") <= 16)
+
+
+def _simhash_sql() -> str:
+    sums = ",\n         ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS c{i}" for i in range(60)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM t
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh)
+),
+c AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, ({fp_terms}) AS simhash FROM c),
+chunks AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 15)) & 32767 AS chunk
+  FROM fp, (VALUES (0), (1), (2), (3)) AS b(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -779,12 +937,98 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def _ivf_centroids(n_cells: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 centroid stand-ins shared verbatim by the Spark
+    query (literal arrays) and the DuckDB oracle (VALUES rows) — the
+    k-means contract is documented in kgx.similarity."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"kgx-ivf-{ci}-{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for ci in range(n_cells)
+    ]
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (scale path; recall vs brute force
-    asserted in pytest)."""
+    """IVF-bucketed approximate top-5, oracle-checked: cell assignment,
+    probe selection and cosine scoring all fold left-to-right in double
+    over literal centroids shared with the SQL oracle, so every rank is
+    bit-exact cross-engine. (Recall vs brute force stays pytest-asserted.)"""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(emb, q, k=5, n_cells=8, nprobe=3)
+    out = similarity.ivf_topk(
+        emb, q, k=5, nprobe=3, centroids=_ivf_centroids(8, 64)
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _ivf_sql() -> str:
+    cents = _ivf_centroids(8, 64)
+    values = ",\n  ".join(
+        "(" + str(ci) + ", ["
+        + ", ".join(f"{v:.1f}" for v in row)
+        + "]::DOUBLE[])"
+        for ci, row in enumerate(cents)
+    )
+    dot = _SQL_FOLD_DOT
+    return f"""
+WITH cents(cell, cv) AS (VALUES
+  {values}
+),
+cscore AS (
+  SELECT e.vec_id, c.cell,
+         {dot.format(a="e.embedding", b="c.cv")} AS sim
+  FROM embeddings e, cents c
+),
+cassign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) AS rn
+    FROM cscore
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+qscore AS (
+  SELECT q.query_id, c.cell,
+         {dot.format(a="q.qv", b="c.cv")} AS sim
+  FROM q, cents c
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT query_id, cell,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cell DESC) AS rn
+    FROM qscore
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {dot.format(a="q.qv", b="e.embedding")}
+         / (sqrt({dot.format(a="q.qv", b="q.qv")})
+          * sqrt({dot.format(a="e.embedding", b="e.embedding")})) AS sim
+  FROM qprobe p
+  JOIN q ON q.query_id = p.query_id
+  JOIN cassign ca ON ca.cell = p.cell
+  JOIN embeddings e ON e.vec_id = ca.vec_id
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_IVF_SQL = _ivf_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -824,10 +1068,35 @@ FROM documents
 
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full feature-extraction path incl. the float feature vector (no SQL
-    oracle: float32 math; determinism asserted in pytest)."""
+    """Full feature-extraction path incl. the feature vector, rendered as
+    one double column per feature (f00..f15) so the result is hashable by
+    the driver's canonicalizer AND oracle-checkable: the fake kernel's
+    (d/255)*2-1 is exact double math, and both engines round-trip it
+    through float32 (Spark ArrayType(FloatType) storage ≡ DuckDB CAST AS
+    REAL), so the doubles are bit-identical."""
     media = _doc_media(spark, sf_dir, "image")
-    return multimodal.decode_image_features(media, feat_dim=16, fake=True)
+    out = multimodal.decode_image_features(media, feat_dim=16, fake=True)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        *[F.col("features")[i].cast("double").alias(f"f{i:02d}") for i in range(16)],
+    )
+
+
+_MM_FEAT_COLS = ",\n       ".join(
+    f"CAST(CAST((CAST(('0x' || substr(sha256(text), {2 * i + 1}, 2)) AS INT)"
+    f" / 255.0) * 2 - 1 AS REAL) AS DOUBLE) AS f{i:02d}"
+    for i in range(16)
+)
+
+MM_IMAGE_FEATURES_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS INTEGER) AS width,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS INTEGER) AS height,
+       {_MM_FEAT_COLS}
+FROM documents
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,7 +1274,9 @@ SELECT * FROM ({KG_FALLBACK_SQL})
 def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
     materialize.mention_evidence: mention kinds map to the reference's
-    PHRASE_TYPE vocabulary (insertAllConstantTypes.sql)."""
+    PHRASE_TYPE vocabulary (insertAllConstantTypes.sql), and each row
+    carries the reference PHRASE score columns (sentiment_score_i,
+    dist_to_so) — the oracle recomputes both from token positions."""
     from kgx import materialize
 
     tr = assemble.admit_turns(_doc_transcripts(spark, sf_dir))
@@ -1017,6 +1288,8 @@ def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end").alias("end_off"),
         F.col("text").alias("surface"),
         "phrase_type",
+        "sentiment_score_i",
+        "dist_to_so",
     )
 
 
@@ -1024,6 +1297,15 @@ KG_PHRASES_SQL = """
 WITH t AS (
   SELECT CAST(doc_id AS VARCHAR) AS conv_id, string_split(text, ' ') AS toks
   FROM documents
+),
+cnt AS (
+  SELECT conv_id,
+         CASE WHEN len(list_filter(toks, x -> x IN ('fast','big')))
+                 > len(list_filter(toks, x -> x IN ('slow','small'))) THEN 1
+              WHEN len(list_filter(toks, x -> x IN ('fast','big')))
+                 < len(list_filter(toks, x -> x IN ('slow','small'))) THEN -1
+              ELSE 0 END AS tscore
+  FROM t
 ),
 tok AS (
   SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
@@ -1035,8 +1317,13 @@ pos AS (
                                     ROWS UNBOUNDED PRECEDING)
            - (length(tok) + 1) AS b
   FROM tok
+),
+so_pos AS (
+  SELECT conv_id, list(b) AS sob FROM pos
+  WHERE tok IN ('spark','customer','vector','stream','window')
+  GROUP BY conv_id
 )
-SELECT conv_id,
+SELECT p.conv_id,
        CAST(b AS INTEGER) AS begin_off,
        CAST(b + length(tok) AS INTEGER) AS end_off,
        tok AS surface,
@@ -1044,10 +1331,126 @@ SELECT conv_id,
                  THEN 'sentimentObjectPhrase'
             WHEN tok IN ('hash','merge') THEN 'indicatorPhrase'
             WHEN tok = 'value' THEN 'featurePhrase'
-            ELSE 'orientationPhrase' END AS phrase_type
-FROM pos
+            ELSE 'orientationPhrase' END AS phrase_type,
+       CAST(CASE WHEN tok IN ('fast','big') THEN 1
+                 WHEN tok IN ('slow','small') THEN -1
+                 ELSE c.tscore END AS INTEGER) AS sentiment_score_i,
+       CAST(list_aggregate(list_transform(s.sob, x -> abs(b - x)), 'min')
+            AS INTEGER) AS dist_to_so
+FROM pos p
+JOIN cnt c ON c.conv_id = p.conv_id
+LEFT JOIN so_pos s ON s.conv_id = p.conv_id
 WHERE tok IN ('spark','customer','vector','stream','window',
               'hash','merge','value','fast','big','slow','small')
+"""
+
+
+def kg_phrase_fact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTIMENT_PHRASE_RELATION analogue (db_schema.sql:462-468,
+    SentimentSentence.java:383-414): n:m edges between the sentence facts
+    and their evidence phrases, via materialize.phrase_fact_edges."""
+    from kgx import materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    kb = resources.driver_kb()
+    tr = assemble.admit_turns(_doc_transcripts(spark, sf_dir))
+    wm = mentions.detect_mentions(tr, kb)
+    edges = materialize.phrase_fact_edges(facts, wm, kb)
+    return edges.select(
+        "conv_id",
+        "turn_idx",
+        "subj_name",
+        "pred",
+        "indicator_uri",
+        F.col("begin").alias("begin_off"),
+        F.col("end").alias("end_off"),
+        "role",
+    )
+
+
+KG_PHRASE_EDGES_SQL = _KG_SQL_PROLOGUE + """
+, tokp AS (
+  SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+posn AS (
+  SELECT conv_id, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tokp
+),
+subject_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'subject' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.tok = lower(f.name)
+   AND p.tok IN ('spark','customer','vector','stream','window')
+),
+orientation_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'orientation' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id
+   AND p.tok IN ('fast','big','slow','small')
+),
+first_feat AS (
+  SELECT conv_id, min(b) AS b FROM posn WHERE tok = 'value' GROUP BY conv_id
+),
+feature_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(ff.b AS INTEGER) AS begin_off,
+         CAST(ff.b + 5 AS INTEGER) AS end_off,
+         'feature' AS role
+  FROM facts f
+  JOIN first_feat ff ON ff.conv_id = f.conv_id
+  WHERE f.indicator_uri IS NULL
+),
+indicator_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'indicator' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id
+   AND ((p.tok = 'hash' AND f.indicator_uri = 'http://kgx.example.org/onto#hash_ind')
+     OR (p.tok = 'merge' AND f.indicator_uri = 'http://kgx.example.org/onto#merge_ind'))
+)
+SELECT * FROM subject_e
+UNION ALL SELECT * FROM orientation_e
+UNION ALL SELECT * FROM feature_e
+UNION ALL SELECT * FROM indicator_e
+"""
+
+
+def kg_indicator_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTIMENT_INDICATOR dimension analogue (db_schema.sql:309-322,
+    DatabaseFacade.java:1104-1143): indicator nodes with KB attributes +
+    usage aggregates from the indirect facts."""
+    from kgx import linking, materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    kb = resources.driver_kb()
+    ind_dim = linking.indicators_dim(spark, kb)
+    return materialize.indicator_nodes(facts, ind_dim)
+
+
+KG_INDICATOR_NODES_SQL = _KG_SQL_PROLOGUE + f"""
+, dim(indicator_uri, indicator_name, ind_type, correlation, object_class, feature_uri) AS (VALUES
+  ('{NS}hash_ind',  'hash',  'Technical', -1, 'Company', '{P_PRICE}'),
+  ('{NS}merge_ind', 'merge', 'Technical',  1, 'Topic',   '{P_VOL}')
+)
+SELECT f.indicator_uri, count(*) AS n_facts,
+       CAST(sum(f.sci) AS BIGINT) AS sum_score,
+       d.indicator_name, d.ind_type, CAST(d.correlation AS INTEGER) AS correlation,
+       d.object_class, d.feature_uri
+FROM facts f JOIN dim d ON d.indicator_uri = f.indicator_uri
+GROUP BY f.indicator_uri, d.indicator_name, d.ind_type, d.correlation,
+         d.object_class, d.feature_uri
 """
 
 
@@ -1208,21 +1611,23 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, None),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
+    "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
+    "kg_indicator_nodes": (kg_indicator_nodes, KG_INDICATOR_NODES_SQL),
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
-    "mm_image_features": (mm_image_features, None),
+    "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),
     "a2_group_pairs": (a2_group_pairs, A2_SQL),
     "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
     "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
 }

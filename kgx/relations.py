@@ -236,6 +236,10 @@ def facts_from_turn_features(
     direct = direct_facts(linked, alias)
     indirect = indirect_facts(tf, linked, ind)
     facts = direct.unionByName(indirect)
+    # hand the persisted intermediates to the caller so long-lived sessions
+    # (tests, benchmarks, repeated run_pipeline calls) can release executor
+    # cache once the facts are materialized
+    facts._kgx_persisted = [tf, linked] if persist else []
     return facts, tf
 
 

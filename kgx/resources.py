@@ -150,6 +150,25 @@ class KnowledgeBase:
     feature_alias: list[tuple[str, str]]
     feature_surfaces: list[tuple[str, str]]
 
+    def version(self) -> str:
+        """Deterministic KB snapshot id: digest over every dimension row.
+        The analogue of the ontology version the reference records per
+        document version (DatabaseFacade.java:614-668) — stamped into each
+        lineage row so any output row's provenance names the exact KB it
+        was extracted with."""
+        import hashlib
+
+        payload = repr(
+            (
+                sorted(self.gazetteer),
+                sorted(self.lexicon),
+                sorted(self.indicators),
+                sorted(self.feature_alias),
+                sorted(self.feature_surfaces),
+            )
+        )
+        return hashlib.md5(payload.encode()).hexdigest()[:16]
+
     def gazetteer_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.gazetteer, schema.GAZETTEER)
 

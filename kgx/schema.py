@@ -151,7 +151,30 @@ MENTIONS_OUT = StructType(
         StructField("end", IntegerType(), False),
         StructField("text", StringType(), False),
         StructField("phrase_type", StringType(), False),
+        # per-phrase score: orientation polarity (±1) or the turn score
+        # (SENTIMENT_SCORE, db_schema.sql:365)
+        StructField("sentiment_score_i", IntegerType(), True),
+        # char distance to nearest SO begin (DISTANCE_TO_SENTIMENT_OBJECT,
+        # db_schema.sql:369); null when the turn has no SO mention
+        StructField("dist_to_so", IntegerType(), True),
         StructField("ts_day", DateType(), True),
+    ]
+)
+
+# SENTIMENT_PHRASE_RELATION analogue (db_schema.sql:462-468): n:m edges
+# between facts and evidence phrases; role ∈ subject | orientation |
+# feature | indicator
+PHRASE_FACT_EDGES = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("turn_idx", IntegerType(), False),
+        StructField("subj_name", StringType(), False),
+        StructField("pred", StringType(), False),
+        StructField("indicator_uri", StringType(), True),
+        StructField("begin", IntegerType(), False),
+        StructField("end", IntegerType(), False),
+        StructField("ts_day", DateType(), True),
+        StructField("role", StringType(), False),
     ]
 )
 
@@ -163,6 +186,9 @@ LINEAGE = StructType(
         StructField("rows_in", LongType(), True),
         StructField("rows_out", LongType(), True),
         StructField("wall_ms", LongType(), True),
+        # KB snapshot id the stage extracted with (the ontology-version
+        # analogue, DatabaseFacade.java:614-668)
+        StructField("kb_version", StringType(), True),
         StructField("ts", TimestampType(), False),
     ]
 )

@@ -95,27 +95,42 @@ def brute_force_topk(
     )
 
 
+def _centroid_expr(
+    ci: int, dim: int, centroids: list[list[float]] | None
+) -> Column:
+    """Centroid ci as an array<double> expression: an explicit literal row
+    when `centroids` is given (cross-engine reproducible — a SQL oracle can
+    embed the same literals), else the deterministic hash-derived ±1
+    pseudo-centroid (sandbox stand-in for trained k-means centroids)."""
+    if centroids is not None:
+        return F.array(*[F.lit(float(v)) for v in centroids[ci]])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.lit(ci), i), F.lit(2)) * 2 - 1).cast("double"),
+    )
+
+
 def assign_cells(
     df: DataFrame,
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer with deterministic pseudo-random ±1 centroids
-    (hash-derived, no training pass needed for the sandbox; production
-    plugs k-means centroids into the same column contract)."""
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-
-    def centroid(ci: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (F.pmod(F.xxhash64(F.lit(ci), i), F.lit(2)) * 2 - 1).cast("double"),
-        )
+    """IVF coarse quantizer. Pass `dim` (or explicit `centroids`) to avoid
+    the driver-side .first() probe — one fewer Spark job per query; the
+    probe remains as a convenience fallback."""
+    if centroids is not None:
+        n_cells = len(centroids)
+        dim = len(centroids[0])
+    elif dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
 
     sims = F.array(
         *[
             F.struct(
-                _dot(F.col(vec_col), centroid(ci)).alias("sim"),
+                _dot(F.col(vec_col), _centroid_expr(ci, dim, centroids)).alias("sim"),
                 F.lit(ci).alias("cell"),
             )
             for ci in range(n_cells)
@@ -132,24 +147,25 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only corpus rows in the query's `nprobe`
-    best cells. Recall/cost dial = nprobe/n_cells."""
-    c = assign_cells(corpus, n_cells, id_col, vec_col).select(
+    best cells. Recall/cost dial = nprobe/n_cells. Pass `dim` or explicit
+    `centroids` to skip the driver-side dimension probe."""
+    if centroids is not None:
+        n_cells = len(centroids)
+        dim = len(centroids[0])
+    elif dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    c = assign_cells(corpus, n_cells, id_col, vec_col, dim, centroids).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
     )
-    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
-
-    def centroid(ci: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (F.pmod(F.xxhash64(F.lit(ci), i), F.lit(2)) * 2 - 1).cast("double"),
-        )
 
     cell_sims = F.array(
         *[
             F.struct(
-                _dot(F.col(vec_col), centroid(ci)).alias("sim"),
+                _dot(F.col(vec_col), _centroid_expr(ci, dim, centroids)).alias("sim"),
                 F.lit(ci).alias("cell"),
             )
             for ci in range(n_cells)

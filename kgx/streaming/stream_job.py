@@ -14,7 +14,9 @@ not a custom stateful operator:
     date-partitioned output (with an Iceberg catalog this is MERGE INTO on
     (conv_id, classifier) — the reference's delete-then-recompute
     semantics, ClassifiedDocument.java:76-93);
-  * exactly-once: Spark's checkpointLocation + idempotent per-batch write.
+  * exactly-once: Spark's checkpointLocation + a batch-keyed dynamic-
+    partition-overwrite write (a retried batch replaces its own batch_id
+    partitions, never appends duplicates).
 
 Caveat (documented, matching the reference's own behavior): sentiment is
 per-turn/per-conversation-slice; a conversation whose turns straddle two
@@ -67,9 +69,15 @@ def start_kg_stream(
         triples = aggregate.all_triples(facts, tf).withColumn(
             "batch_id", F.lit(batch_id)
         )
-        # append + checkpoint offsets = effectively-once; with Iceberg this
-        # becomes MERGE INTO ... ON conv_id/classifier (A5 idempotency)
-        triples.write.mode("append").partitionBy("ts_day").parquet(out_dir)
+        # Idempotent batch-keyed sink: partitioning by batch_id and writing
+        # with dynamic partition overwrite (session conf) means a batch
+        # retried after a partial write REPLACES its own partitions instead
+        # of appending duplicates — checkpointed offsets + this rerun-safe
+        # write give exactly-once output. With Iceberg this becomes
+        # MERGE INTO ... ON conv_id/classifier (A5 idempotency).
+        triples.write.mode("overwrite").partitionBy("ts_day", "batch_id").parquet(
+            out_dir
+        )
 
     writer = (
         source.writeStream.foreachBatch(process_batch)

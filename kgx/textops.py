@@ -72,8 +72,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Pick the language with the most marker-token hits; ties and zero
-    hits resolve to 'und' (deterministic)."""
+    """Pick the language with the most marker-token hits; ties (two or more
+    languages sharing the max hit count) and zero hits resolve to 'und'
+    (deterministic)."""
     toks = tokens(F.lower(F.col(text_col)))
     hit_cols = []
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -84,10 +85,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.lit(lang).alias("lang"),
             )
         )
-    best = F.array_max(F.array(*hit_cols))
+    cands = F.array(*hit_cols)
+    best = F.array_max(cands)
+    n_best = F.size(F.filter(cands, lambda c: c["hits"] == best["hits"]))
     return df.withColumn(
         "lang_pred",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+        F.when((best["hits"] > 0) & (n_best == 1), best["lang"]).otherwise(
+            F.lit("und")
+        ),
     )
 
 
