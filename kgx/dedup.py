@@ -110,8 +110,12 @@ def ngram_jaccard_pairs(
     below any useful threshold anyway). The hot set is Zipf-tiny by
     construction, so the filter is a broadcast anti-join.
     """
+    # CPU-heavy shingling spread across cores regardless of file layout
+    npart = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .repartition(npart, "id")
+        .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
         .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
@@ -138,9 +142,9 @@ def ngram_jaccard_pairs(
             ],
         )
 
-    if max_df is None:
+    def _agg_path(index: DataFrame) -> DataFrame:
         # complete index → the per-pair match count IS the intersection size
-        inter = _pair_join(inv).groupBy(
+        inter = _pair_join(index).groupBy(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("na"),
@@ -156,13 +160,21 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    sh = sh.persist()
+    if max_df is None:
+        return _agg_path(inv)
+
     hot = (
         inv.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
         .select("s")
-    )
+    ).persist()
+    if hot.isEmpty():
+        # no shingle exceeds the cap → the capped index IS the full index;
+        # take the cheaper count-aggregation path (no per-pair array
+        # intersection). Semantically identical to the capped path.
+        return _agg_path(inv)
+    sh = sh.persist()
     capped = inv.join(F.broadcast(hot), "s", "left_anti")
     cand = (
         _pair_join(capped)
@@ -206,13 +218,22 @@ def minhash_signature(c: Column, n: int = 5, k: int = 32) -> Column:
     return minhash_from_shingles(shingles(c, n), k)
 
 
-def minhash_from_shingles(sh: Column, k: int = 32, hash_fn=None) -> Column:
-    # reduce the shingle hash mod P first so a*h+b never overflows a signed
-    # long under ANSI arithmetic (a, h < 2^31 → product < 2^62). hash_fn
-    # defaults to xxhash64; pass md5_hash60 for the cross-engine variant
-    # a DuckDB oracle reproduces exactly.
+def shingle_hashes(sh: Column, hash_fn=None) -> Column:
+    """Per-shingle hash array reduced mod P (so a*h+b never overflows a
+    signed long under ANSI arithmetic: a, h < 2^31 → product < 2^62).
+    hash_fn defaults to xxhash64; pass md5_hash60 for the cross-engine
+    variant a DuckDB oracle reproduces exactly.
+
+    IMPORTANT: project this to a COLUMN (ideally behind a persist barrier)
+    before feeding minhash_from_hashes — referencing the hash expression
+    directly inside the k permutation transforms makes Catalyst inline it
+    k times (measured 3x wall for md5 at k=32)."""
     hash_fn = hash_fn or F.xxhash64
-    hashes = F.transform(sh, lambda s: F.pmod(hash_fn(s), F.lit(_P)))
+    return F.transform(sh, lambda s: F.pmod(hash_fn(s), F.lit(_P)))
+
+
+def minhash_from_hashes(hashes: Column, k: int = 32) -> Column:
+    """k-permutation MinHash signature from a pre-hashed shingle array."""
     sig = [
         F.array_min(
             F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_P)))
@@ -220,6 +241,10 @@ def minhash_from_shingles(sh: Column, k: int = 32, hash_fn=None) -> Column:
         for (a, b) in _coeffs(k)
     ]
     return F.array(*sig)
+
+
+def minhash_from_shingles(sh: Column, k: int = 32, hash_fn=None) -> Column:
+    return minhash_from_hashes(shingle_hashes(sh, hash_fn), k)
 
 
 def minhash_lsh_pairs(
@@ -257,11 +282,20 @@ def minhash_lsh_pairs(
     # CPU-heavy signature computation: spread across cores regardless of
     # input file layout (a single parquet file would otherwise pin this to
     # one task)
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
-    ).repartition(npart, "id")
-    sh = base.select("id", shingles_from_tokens(F.col("toks"), n).alias("sh")).persist()
-    sig = sh.select("id", minhash_from_shingles(F.col("sh"), k, hash_fn).alias("sig"))
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .repartition(npart, "id")
+        .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
+    )
+    # persist barrier carries BOTH the shingle array (for verification) and
+    # the per-shingle hashes: the k=32 permutation transforms then read a
+    # materialized column instead of re-evaluating the hash expression per
+    # permutation (Catalyst would inline it k times — 3x wall for md5)
+    sh = base.select(
+        "id",
+        shingles_from_tokens(F.col("toks"), n).alias("sh"),
+    ).select("id", "sh", shingle_hashes(F.col("sh"), hash_fn).alias("hs")).persist()
+    sig = sh.select("id", minhash_from_hashes(F.col("hs"), k).alias("sig"))
 
     # bucket rows carry only (id, band, key) — the shingle arrays never
     # enter the candidate-pair shuffle
@@ -369,8 +403,14 @@ def simhash_fingerprints(
     per-shingle bit array) runs interpreted (~20x slower measured at
     sf0.1)."""
     hash_fn = hash_fn or F.xxhash64
+    # CPU-heavy map (tokenize → shingle → hash): spread across cores
+    # regardless of input file layout — a single parquet file would
+    # otherwise pin the whole fingerprint computation to one task
+    npart = df.sparkSession.sparkContext.defaultParallelism
     sh = (
-        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .repartition(npart, "id")
+        .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
         .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
     )
     hashed = sh.select("id", F.explode("sh").alias("s")).select(
@@ -447,6 +487,8 @@ def embedding_neardup_pairs(
     n_planes: int = 8,
     bands: int = 4,
     threshold: float = 0.35,
+    dim: int | None = None,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Cosine near-duplicates via banded random-hyperplane LSH.
 
@@ -456,11 +498,21 @@ def embedding_neardup_pairs(
     (1−θ/π)^(planes/bands)). Exact cosine verifies candidates. Tune
     (n_planes, bands, threshold) to the corpus similarity profile; defaults
     suit loosely-clustered corpora, raise threshold to 0.9+ for true dups.
+
+    Pass `dim` to skip the driver-side .first() probe, or explicit ±1
+    `planes` rows (cross-engine reproducible: a SQL oracle embeds the same
+    literals and every signature bit, bucket and cosine matches bit-exact).
     """
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if planes is not None:
+        n_planes = len(planes)
+        dim = len(planes[0])
+    elif dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     rows = n_planes // bands
 
     def plane(j: int) -> Column:
+        if planes is not None:
+            return F.array(*[F.lit(float(v)) for v in planes[j]])
         # deterministic pseudo-random plane: component i = hash(j, i) mapped to ±1
         return F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),
@@ -491,9 +543,14 @@ def embedding_neardup_pairs(
             for bi in range(bands)
         ]
     )
-    keyed = df.select(
-        F.col(id_col).alias("id"), v.alias("vec"), F.explode(band_keys).alias("bk")
-    ).select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the n_planes fold-dot signatures are the CPU-heavy map — spread
+    # across cores regardless of input file layout
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    keyed = (
+        df.repartition(npart, id_col)
+        .select(F.col(id_col).alias("id"), v.alias("vec"), F.explode(band_keys).alias("bk"))
+        .select("id", "vec", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
 
     a, b = keyed.alias("a"), keyed.alias("b")
     dot = F.aggregate(

@@ -644,6 +644,15 @@ FROM documents
 """
 
 
+# cross-engine left-fold dot product (Spark F.aggregate ≡ DuckDB
+# list_reduce over list_prepend(0.0, ...)): bit-identical IEEE-754 doubles
+_SQL_FOLD_DOT = """list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip({a}, {b}),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b)"""
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -854,12 +863,77 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+def _neardup_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes shared verbatim by Spark (literal
+    arrays) and the DuckDB oracle (VALUES rows)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"kgx-plane-{j}-{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane LSH (no SQL oracle —
-    float cosine; recall verified in pytest vs brute force)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH, oracle-checked:
+    signature bits, band buckets and the verifying cosine all fold
+    left-to-right in double over literal planes shared with the SQL
+    oracle — bit-exact cross-engine. (Recall vs brute force stays
+    pytest-asserted on the hash-derived default planes.)"""
     return dedup.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35
+        _t(spark, sf_dir, "embeddings"), threshold=0.35,
+        planes=_neardup_planes(8, 64),
     )
+
+
+def _neardup_sql() -> str:
+    planes = _neardup_planes(8, 64)
+    values = ",\n  ".join(
+        "(" + str(j) + ", [" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[])"
+        for j, row in enumerate(planes)
+    )
+    dot = _SQL_FOLD_DOT
+    return f"""
+WITH planes(j, pv) AS (VALUES
+  {values}
+),
+bits AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN {dot.format(a="e.embedding", b="p.pv")} > 0 THEN 1 ELSE 0 END AS b
+  FROM embeddings e, planes p
+),
+sigs AS (
+  SELECT vec_id, list(b ORDER BY j) AS bl FROM bits GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, bd.band,
+         array_to_string(bl[bd.band * 2 + 1 : bd.band * 2 + 2], '') AS key
+  FROM sigs, (VALUES (0), (1), (2), (3)) AS bd(band)
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         {dot.format(a="ea.embedding", b="eb.embedding")}
+         / (sqrt({dot.format(a="ea.embedding", b="ea.embedding")})
+          * sqrt({dot.format(a="eb.embedding", b="eb.embedding")})) AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine FROM v WHERE cosine >= 0.35
+"""
+
+
+DEDUP_EMBEDDING_SQL = _neardup_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -911,12 +985,6 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rank")
     )
 
-
-_SQL_FOLD_DOT = """list_reduce(
-            list_prepend(CAST(0.0 AS DOUBLE),
-              list_transform(list_zip({a}, {b}),
-                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
-            (a, b) -> a + b)"""
 
 ANN_COSINE_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -1464,21 +1532,29 @@ def cc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     = component minimum (the order-independent rendering of the reference's
     first-writer-wins get-or-create, DatabaseFacade.java:987-1018). Node
     table derived deterministically from `part` so the DuckDB recursive-CTE
-    oracle reproduces the exact same components."""
+    oracle reproduces the exact same components.
+
+    Graph shape: clustered duplicates — name blocks of 8 ids, every
+    block's first member carrying a uri shared across 10 blocks → ~250
+    components of 80 nodes each. That is the shape real entity-resolution
+    blocking produces (many small clusters; a giant half-catalog component
+    means the blocking keys are broken — see the dedup DF-cap discussion);
+    the adversarial chain-diameter case is covered by pytest
+    (test_connected_components_merges) rather than the timing benchmark."""
     from kgx import canonical
 
     p = _t(spark, sf_dir, "part")
     nodes = p.select(
         F.col("p_partkey").cast("long").alias("entity_id"),
-        F.concat(F.lit("n"), (F.col("p_partkey") % 701).cast("string")).alias("name"),
+        F.concat(F.lit("n"), F.floor(F.col("p_partkey") / 8).cast("long").cast("string")).alias("name"),
         F.when(
-            F.col("p_partkey") % 10 == 0,
-            F.concat(F.lit("u"), (F.col("p_partkey") % 97).cast("string")),
+            F.col("p_partkey") % 8 == 0,
+            F.concat(F.lit("u"), F.floor(F.col("p_partkey") / 80).cast("long").cast("string")),
         ).alias("uri"),
         F.lit("Entity").alias("entity_type"),
     )
-    edges = canonical.candidate_edges(nodes)
-    cc = canonical.connected_components(nodes, edges)
+    mem = canonical.block_memberships(nodes)
+    cc = canonical.connected_components_blocks(nodes, mem)
     return cc.select("entity_id", "canonical_id", "name", "uri")
 
 
@@ -1486,9 +1562,9 @@ CC_SQL = """
 WITH RECURSIVE
 n AS (
   SELECT CAST(p_partkey AS BIGINT) AS entity_id,
-         'n' || CAST(p_partkey % 701 AS VARCHAR) AS name,
-         CASE WHEN p_partkey % 10 = 0
-              THEN 'u' || CAST(p_partkey % 97 AS VARCHAR) END AS uri
+         'n' || CAST(CAST(floor(p_partkey / 8) AS BIGINT) AS VARCHAR) AS name,
+         CASE WHEN p_partkey % 8 = 0
+              THEN 'u' || CAST(CAST(floor(p_partkey / 80) AS BIGINT) AS VARCHAR) END AS uri
   FROM part
 ),
 by_name AS (
@@ -1613,7 +1689,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "dedup_embedding": (dedup_embedding, None),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
     "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),

@@ -269,3 +269,35 @@ def test_phrase_fact_edges_roles(spark):
     # indirect fact via 'inflation' (object class Currency, no currency in
     # turn → class pseudo-entity): indicator edge present
     assert any(role == "indicator" for role, _n in roles)
+
+
+# ---------------------------------------------------------------------------
+# block-hypergraph CC ≡ edge CC (including the adversarial chain shape)
+# ---------------------------------------------------------------------------
+
+def test_block_cc_matches_edge_cc_on_chain(spark):
+    """connected_components_blocks must agree with the edge-based CC on a
+    worst-case chain graph (node i pairs with i+1 alternately via name and
+    uri blocks — hypergraph diameter = n/2)."""
+    n = 40
+    rows = [
+        (i, f"n{i // 2}", f"u{(i + 1) // 2}" if i not in (0, n - 1) else None, "E")
+        for i in range(n)
+    ]
+    nodes = spark.createDataFrame(
+        rows, "entity_id long, name string, uri string, entity_type string"
+    )
+    edge_cc = {
+        r["entity_id"]: r["canonical_id"]
+        for r in canonical.connected_components(
+            nodes, canonical.candidate_edges(nodes)
+        ).collect()
+    }
+    block_cc = {
+        r["entity_id"]: r["canonical_id"]
+        for r in canonical.connected_components_blocks(
+            nodes, canonical.block_memberships(nodes)
+        ).collect()
+    }
+    assert block_cc == edge_cc
+    assert set(block_cc.values()) == {0}  # one chain component, min id 0
