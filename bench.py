@@ -90,15 +90,20 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
         _KG_CACHE.clear()
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # two timed passes, min per query: the shared host's bursty external
+    # load only ever slows a pass down, so min = the least-interference
+    # estimate of each operator's own cost (same rule as the scaling probe)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn, _sql = REGISTRY[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.monotonic() - t0
-        timings[name] = round(dt, 3)
-        print(f"  {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    for pass_i in range(2):
+        for name in HEADLINE:
+            fn, _sql = REGISTRY[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.monotonic() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            print(f"  {name}[{pass_i}]: {dt:.2f}s ({n} rows)", file=sys.stderr)
     spark.stop()
     return timings
 

@@ -55,12 +55,14 @@ def run_pipeline(
         "mentions": os.path.join(out_dir, "mentions"),
         "phrase_edges": os.path.join(out_dir, "phrase_edges"),
         "indicator_nodes": os.path.join(out_dir, "indicator_nodes"),
+        "doc_meta": os.path.join(out_dir, "doc_meta"),
+        "results": os.path.join(out_dir, "results"),
     }
 
     # -- stage: extract (assemble + mentions + relations), one Spark job ---
     extract_ok = all(
         lineage.stage_output_ok(paths[p])
-        for p in ("facts", "turn_feats", "mentions", "phrase_edges")
+        for p in ("facts", "turn_feats", "mentions", "phrase_edges", "doc_meta")
     )
     if not (resume and extract_ok):
         with lineage.StageTimer() as t:
@@ -91,6 +93,10 @@ def run_pipeline(
             pe.write.mode("overwrite").partitionBy("ts_day").parquet(
                 paths["phrase_edges"]
             )
+            # DOCUMENT_META_DATA provenance rows
+            materialize.document_meta(turns).write.mode("overwrite").parquet(
+                paths["doc_meta"]
+            )
             # release everything this stage pinned: the raw admitted turns
             # and the slim intermediates persisted inside extract_facts
             turns.unpersist()
@@ -100,6 +106,7 @@ def run_pipeline(
         lineage.mark_stage_ok(paths["turn_feats"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["mentions"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["phrase_edges"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["doc_meta"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms, kb_version=kb.version())
 
     facts = spark.read.parquet(paths["facts"])
@@ -117,8 +124,13 @@ def run_pipeline(
             materialize.indicator_nodes(
                 facts, linking.indicators_dim(spark, kb)
             ).write.mode("overwrite").parquet(paths["indicator_nodes"])
+            # S8 nested-result marshal: one ordered result doc per conv
+            materialize.result_docs(triples).write.mode("overwrite").partitionBy(
+                "ts_day"
+            ).parquet(paths["results"])
         lineage.mark_stage_ok(paths["triples"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["indicator_nodes"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["results"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms, kb_version=kb.version())
 
     triples = spark.read.parquet(paths["triples"])

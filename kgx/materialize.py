@@ -247,6 +247,113 @@ def phrase_fact_edges(facts: DataFrame, turns_with_mentions: DataFrame, kb) -> D
     )
 
 
+def document_meta(turns: DataFrame) -> DataFrame:
+    """DOCUMENT_META_DATA analogue (db_schema.sql:333-349): one provenance
+    row per conversation — word/char/turn counts (A7) plus retrieval date
+    and the website FK (db_schema.sql:229-265 WEBSITE dim; the reference
+    stores URL/TITLE/AUTHOR/RETRIEVAL_DATE per document). Source column is
+    optional in the transcript input; when absent the website key is null.
+
+    One keyed aggregation on conv_id (reuses the conv_id partitioning);
+    the website dim join key is a deterministic hash, so the dim table
+    (see website_dim) needs no sequence generator."""
+    has_source = "source" in turns.columns
+    src = F.col("source") if has_source else F.lit(None).cast("string")
+    slim_cols = ["conv_id", "turn_idx"] + (
+        ["txt_h"] if "txt_h" in turns.columns else []
+    )
+    # counts become SLIM columns map-side — the text itself never enters
+    # the shuffle; duplicate (conv_id, turn_idx) rows from the map-only
+    # admission path resolve on the slim rows with the same deterministic
+    # min-txt_h winner rule every other stage applies
+    per_turn = turns.select(
+        *slim_cols,
+        F.size(F.split("text", " ")).alias("w"),
+        F.length("text").alias("c"),
+        F.col("ts"),
+        src.alias("source"),
+    )
+    if "txt_h" in per_turn.columns:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("conv_id", "turn_idx").orderBy("txt_h")
+        per_turn = (
+            per_turn.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "txt_h")
+        )
+    return per_turn.groupBy("conv_id").agg(
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("c").cast("bigint").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("retrieval_ts"),
+        F.min(F.to_date("ts")).alias("retrieval_date"),
+        F.min_by("source", F.struct("turn_idx")).alias("source"),
+    ).withColumn(
+        "website_id",
+        F.when(F.col("source").isNotNull(), F.xxhash64(F.lower("source"))),
+    )
+
+
+def website_dim(doc_meta: DataFrame) -> DataFrame:
+    """WEBSITE dimension (db_schema.sql:229-265): distinct sources with
+    deterministic hash ids + usage counts — the get-or-create dim rendered
+    as a groupBy (first-seen-free: the id is content-derived)."""
+    return (
+        doc_meta.filter(F.col("source").isNotNull())
+        .groupBy(F.lower("source").alias("website"), "website_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def result_docs(triples: DataFrame) -> DataFrame:
+    """S8 nested-result marshal analogue (ClassifiedDocument JAXB tree,
+    CompletePipelineWorker.java:244-262): one row per conversation with the
+    sentence/document triples nested as a deterministically ORDERED array
+    (sort_array, never shuffle order) — the parquet/JSON rendering of the
+    reference's result XML. A digest column gives a cheap equality handle
+    over the nested payload (integer/string fields only — no float
+    formatting in the digest)."""
+    trip = F.struct(
+        "level", "subj_name", "pred",
+        F.coalesce("subfeature", F.lit("")).alias("subfeature"),
+        "obj_polarity", "classifier",
+        F.coalesce("dom_label", F.lit("")).alias("dom_label"),
+        F.coalesce("indicator_uri", F.lit("")).alias("indicator_uri"),
+        F.coalesce(F.col("turn_idx").cast("int"), F.lit(-1)).alias("turn_idx"),
+    )
+    return (
+        triples.groupBy("conv_id")
+        .agg(
+            F.sort_array(F.collect_list(trip)).alias("sentiments"),
+            F.count(F.lit(1)).alias("n_triples"),
+            F.min("ts_day").alias("ts_day"),
+        )
+        .withColumn(
+            "digest",
+            # sort the FORMATTED LINES (not the structs): line order is
+            # then plain binary string order, which any SQL engine's
+            # `string_agg(line ORDER BY line)` reproduces exactly
+            F.md5(
+                F.concat_ws(
+                    "\n",
+                    F.sort_array(
+                        F.transform(
+                            "sentiments",
+                            lambda s: F.concat_ws(
+                                "|",
+                                s["level"], s["subj_name"], s["pred"], s["subfeature"],
+                                s["obj_polarity"], s["classifier"], s["dom_label"],
+                                s["indicator_uri"], s["turn_idx"].cast("string"),
+                            ),
+                        )
+                    ),
+                )
+            ),
+        )
+    )
+
+
 def indicator_nodes(facts: DataFrame, ind_dim: DataFrame) -> DataFrame:
     """SENTIMENT_INDICATOR dimension analogue (db_schema.sql:309-322,
     materialized per indicator at DatabaseFacade.java:1104-1143): one node

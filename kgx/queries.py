@@ -1522,6 +1522,93 @@ GROUP BY f.indicator_uri, d.indicator_name, d.ind_type, d.correlation,
 """
 
 
+def _doc_transcripts_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.col("source"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def kg_document_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT_META_DATA provenance rows (db_schema.sql:333-349) via
+    materialize.document_meta: per-conversation counts + retrieval date +
+    source. website_key is an md5 rendering for the cross-engine check;
+    the operator's long website_id (xxhash64) is pytest-covered."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    return meta.select(
+        "conv_id", "n_words", "n_chars", "n_turns",
+        F.col("retrieval_date").cast("string").alias("retrieval_date"),
+        "source",
+    ).withColumn("website_key", F.md5(F.lower("source")))
+
+
+KG_DOC_META_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       len(string_split(text, ' ')) AS n_words,
+       length(text) AS n_chars,
+       CAST(1 AS BIGINT) AS n_turns,
+       '2025-01-01' AS retrieval_date,
+       source,
+       md5(lower(source)) AS website_key
+FROM documents
+"""
+
+
+def kg_website_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBSITE dimension (db_schema.sql:229-265) via materialize.website_dim
+    — distinct sources with usage counts; md5 key for the oracle check."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    dim = materialize.website_dim(meta)
+    return dim.select("website", "n_docs").withColumn(
+        "website_key", F.md5("website")
+    )
+
+
+KG_WEBSITE_SQL = """
+SELECT lower(source) AS website, count(*) AS n_docs,
+       md5(lower(source)) AS website_key
+FROM documents GROUP BY lower(source)
+"""
+
+
+def kg_result_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 nested-result marshal (ClassifiedDocument JAXB tree,
+    CompletePipelineWorker.java:244-262) via materialize.result_docs: one
+    row per conversation; the nested sentiments array is verified through
+    its order-canonical digest (md5 over sorted formatted lines — the
+    driver's canonicalizer can't hash raw nested arrays)."""
+    from kgx import materialize
+
+    facts, tf = _kg_run(spark, sf_dir)
+    triples = agg_mod.all_triples(facts, tf)
+    rd = materialize.result_docs(triples)
+    return rd.select("conv_id", "n_triples", "digest")
+
+
+KG_RESULT_DOCS_SQL = f"""
+WITH allt AS ({KG_STREAM_SQL}),
+fmt AS (
+  SELECT conv_id,
+         level || '|' || subj_name || '|' || pred || '||' || obj_polarity
+           || '|' || classifier || '|' || coalesce(dom_label, '')
+           || '|' || coalesce(indicator_uri, '')
+           || '|' || CAST(coalesce(turn_idx, -1) AS VARCHAR) AS line
+  FROM allt
+)
+SELECT conv_id, count(*) AS n_triples,
+       md5(string_agg(line, chr(10) ORDER BY line)) AS digest
+FROM fmt GROUP BY conv_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # canonicalization: connected components (north-rule stage 5)
 # ---------------------------------------------------------------------------
@@ -1694,6 +1781,9 @@ REGISTRY: dict[str, tuple] = {
     "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
     "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
     "kg_indicator_nodes": (kg_indicator_nodes, KG_INDICATOR_NODES_SQL),
+    "kg_document_meta": (kg_document_meta, KG_DOC_META_SQL),
+    "kg_website_dim": (kg_website_dim, KG_WEBSITE_SQL),
+    "kg_result_docs": (kg_result_docs, KG_RESULT_DOCS_SQL),
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
