@@ -6,8 +6,12 @@ entry(spark)   — flagship: the full KG-extraction pipeline (Arrow-UDF
                  single-turn transcripts; returns the triples DataFrame.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  training-data ops), each (spark, sf_dir) -> DataFrame.
-oracle_sql()   — matching DuckDB SQL per query (omitted only for float-
-                 accumulation / bit-hash ops, which are pytest-verified).
+oracle_sql()   — matching DuckDB SQL for EVERY registered query: float
+                 folds use the left-fold double trick, hashing uses
+                 md5-derived forms (dedup.md5_hash60, literal centroids /
+                 hyperplanes), so even the MinHash / SimHash / IVF /
+                 hyperplane-LSH pipelines are value-hash-checked
+                 cross-engine.
 """
 
 from __future__ import annotations

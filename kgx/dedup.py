@@ -112,13 +112,19 @@ def ngram_jaccard_pairs(
     """
     # CPU-heavy shingling spread across cores regardless of file layout
     npart = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
+    # token arrays MATERIALIZED (persist) before shingling: ProjectCollapse
+    # otherwise inlines tokens() into the shingle transform lambda, where
+    # outer expressions re-evaluate once per shingle position — O(len^2)
+    # tokenization (measured 4s of the 5s ngram wall at sf0.1)
+    tok = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
         .repartition(npart, "id")
         .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
-        .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
+        .persist()
     )
+    sh = tok.select(
+        "id", shingles_from_tokens(F.col("toks"), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
     # persist the inverted index: without a barrier Catalyst inlines the
     # tokenize+shingle expression tree into BOTH sides of the self-join
     # (26 split() occurrences in the physical plan; 3x wall time measured).
@@ -282,10 +288,12 @@ def minhash_lsh_pairs(
     # CPU-heavy signature computation: spread across cores regardless of
     # input file layout (a single parquet file would otherwise pin this to
     # one task)
+    # token arrays materialized before shingling — see ngram_jaccard_pairs
     base = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
         .repartition(npart, "id")
         .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
+        .persist()
     )
     # persist barrier carries BOTH the shingle array (for verification) and
     # the per-shingle hashes: the k=32 permutation transforms then read a
@@ -407,12 +415,14 @@ def simhash_fingerprints(
     # regardless of input file layout — a single parquet file would
     # otherwise pin the whole fingerprint computation to one task
     npart = df.sparkSession.sparkContext.defaultParallelism
-    sh = (
+    # token arrays materialized before shingling — see ngram_jaccard_pairs
+    tok = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
         .repartition(npart, "id")
         .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
-        .select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+        .persist()
     )
+    sh = tok.select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
     hashed = sh.select("id", F.explode("sh").alias("s")).select(
         "id", hash_fn(F.col("s")).alias("h")
     )
