@@ -1339,6 +1339,87 @@ SELECT * FROM ({KG_FALLBACK_SQL})
 """
 
 
+def stream_conversation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState,
+    kgx.streaming.stateful): documents-as-transcripts fed through a file
+    source in multiple micro-batches; conversations buffer in keyed state
+    and emit once the event-time watermark passes last_turn + gap. Two
+    far-future sentinel files advance the watermark so every data
+    conversation closes deterministically; the oracle recomputes the
+    per-conversation docs in SQL (single-turn convs here, so doc_text =
+    text and the ts bounds are the shared literal timestamp)."""
+    import os as _os
+    import tempfile
+
+    from kgx.streaming import stateful
+
+    base = tempfile.mkdtemp(prefix="kgx_state_q_")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    tr = _doc_transcripts(spark, sf_dir)
+    half = tr.filter(F.col("conv_id").cast("long") % 2 == 0)
+    other = tr.filter(F.col("conv_id").cast("long") % 2 == 1)
+    half.coalesce(1).write.parquet(f"{src}/p0")
+    other.coalesce(1).write.parquet(f"{src}/p1")
+
+    def sentinel(name: str, ts: str) -> None:
+        spark.createDataFrame(
+            [(name, 0, "user", "s", None, ts)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    sentinel("__s1", "2025-01-02 00:00:00")
+    sentinel("__s2", "2025-01-03 00:00:00")
+    # file order == batch order: data first, sentinels last (modification
+    # times ascending in EXPLICIT logical order — an alphabetical listing
+    # would put the __sentinels first and the watermark would then drop
+    # every data row as late)
+    import glob
+
+    for i, name in enumerate(("p0", "p1", "__s1", "__s2")):
+        for f in glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    from kgx import schema as _schema
+
+    source = (
+        spark.readStream.schema(_schema.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    docs = stateful.sessionize_conversations(
+        source, gap="10 minutes", gap_ms=10 * 60 * 1000
+    )
+    q = (
+        docs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .filter(~F.col("conv_id").startswith("__"))
+        .select("conv_id", "n_turns", "doc_text", "ts_min_ms", "ts_max_ms")
+    )
+
+
+# 2025-01-01 00:00:00 UTC = 1735689600000 ms
+STREAM_CONV_DOCS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       CAST(1 AS INTEGER) AS n_turns,
+       text AS doc_text,
+       CAST(1735689600000 AS BIGINT) AS ts_min_ms,
+       CAST(1735689600000 AS BIGINT) AS ts_max_ms
+FROM documents
+"""
+
+
 def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
     materialize.mention_evidence: mention kinds map to the reference's
@@ -1785,6 +1866,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_website_dim": (kg_website_dim, KG_WEBSITE_SQL),
     "kg_result_docs": (kg_result_docs, KG_RESULT_DOCS_SQL),
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
+    "stream_conversation_docs": (stream_conversation_docs, STREAM_CONV_DOCS_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),

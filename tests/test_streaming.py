@@ -50,3 +50,75 @@ def test_stream_matches_batch(spark, tmp_path):
     g = sorted(map(tuple, got[key].astype(str).values.tolist()))
     w = sorted(map(tuple, want[key].astype(str).values.tolist()))
     assert g == w
+
+
+def test_stateful_sessionization_emits_closed_conversations(spark, tmp_path):
+    """applyInPandasWithState conversation sessionization: turns straddling
+    micro-batches buffer in keyed state; a conversation is emitted exactly
+    once, after the event-time watermark passes last_turn_ts + gap, with
+    doc_text identical to the batch assembly (W1 ordering, J6 dedup)."""
+    import time as _time
+
+    import pandas as pd
+
+    from kgx import schema
+    from kgx.streaming import stateful
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def turn(conv, idx, text, ts):
+        return {"conv_id": conv, "turn_idx": idx, "role": "user",
+                "text": text, "tool": None, "ts": pd.Timestamp(ts)}
+
+    files = [
+        # conv A split across two batches (out-of-order turn_idx), plus a
+        # duplicate delivery of (A, 1) with conflicting text -> min-text wins
+        [turn("A", 1, "second turn", "2025-01-01 10:00:30"),
+         turn("A", 0, "first turn", "2025-01-01 10:00:00")],
+        [turn("A", 2, "third turn", "2025-01-01 10:01:00"),
+         turn("A", 1, "zzz conflicting duplicate", "2025-01-01 10:00:30"),
+         turn("B", 0, "only turn of B", "2025-01-01 10:30:00")],
+        # sentinel 1 advances the watermark far past A/B timeouts...
+        [turn("__S1", 0, "s", "2025-01-01 12:00:00")],
+        # ...and sentinel 2 triggers the batch in which those timeouts fire
+        [turn("__S2", 0, "s", "2025-01-01 14:00:00")],
+    ]
+    for i, rows in enumerate(files):
+        p = f"{src}/f{i}.parquet"
+        pd.DataFrame(rows).astype({"turn_idx": "int32", "tool": "string", "ts": "datetime64[us]"}).to_parquet(p, index=False)
+        _time.sleep(0.05)
+        os.utime(p, (1000 + i, 1000 + i))  # file order == batch order
+
+    source = (
+        spark.readStream.schema(schema.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    docs = stateful.sessionize_conversations(
+        source, gap="10 minutes", gap_ms=10 * 60 * 1000
+    )
+    q = (
+        docs.writeStream.format("memory")
+        .queryName("convdocs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["conv_id"]: r
+        for r in spark.sql("SELECT * FROM convdocs").collect()
+    }
+    # A and B closed (watermark passed); sentinel 1 closes too (the drain
+    # runs a final timer batch once sentinel 2 advanced the watermark);
+    # sentinel 2's own timeout is never passed -> still open, not emitted
+    assert set(got) == {"A", "B", "__S1"}
+    assert "__S2" not in got
+    assert got["A"]["n_turns"] == 3
+    # W1 order + J6 min-text winner for the duplicated turn_idx 1
+    assert got["A"]["doc_text"] == "first turn\nsecond turn\nthird turn"
+    assert got["B"]["doc_text"] == "only turn of B"
+    assert got["A"]["ts_min_ms"] < got["A"]["ts_max_ms"]
