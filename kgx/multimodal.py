@@ -103,6 +103,58 @@ def decode_image_features(
     return pruned.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("features", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def _fake_decode_audio(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for a real audio decoder (duration, sample
+    rate, MFCC-ish feature vector from the payload digest)."""
+    d = hashlib.sha256(payload or b"").digest()
+    duration_ms = 1000 + d[2] * 16
+    sample_rate = 8000 + (d[3] % 4) * 8000
+    feats = [((d[(4 + i) % 32] / 255.0) * 2 - 1) for i in range(feat_dim)]
+    return duration_ms, sample_rate, feats
+
+
+def decode_audio_features(
+    media: DataFrame, feat_dim: int = 8, fake: bool = False
+) -> DataFrame:
+    """mapInPandas audio decode + feature extraction — same plumbing
+    contract as decode_image_features (payload pruned until this stage,
+    bounded Arrow batches, fixed-width feature output). Real decoding
+    requires an audio library (not in this container): raises
+    NotImplementedError unless fake=True (deterministic test kernel)."""
+    if not fake:
+        try:
+            import soundfile  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "audio decode requires soundfile/torchaudio; pass fake=True "
+                "for the deterministic test kernel"
+            ) from e
+
+    pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dur, sr, feats = _fake_decode_audio(payload, feat_dim)
+                rows.append((mid, dur, sr, feats))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "sample_rate", "features"]
+            )
+
+    return pruned.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:

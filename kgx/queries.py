@@ -1167,6 +1167,36 @@ FROM documents
 """
 
 
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas audio-decode plumbing: the deterministic fake kernel
+    derives (duration, sample rate, features) from the payload sha256 —
+    integer math + the float32 round-trip, so DuckDB reproduces every
+    value exactly (same trick as mm_image_features)."""
+    media = _doc_media(spark, sf_dir, "audio")
+    out = multimodal.decode_audio_features(media, feat_dim=8, fake=True)
+    return out.select(
+        "media_id",
+        "duration_ms",
+        "sample_rate",
+        *[F.col("features")[i].cast("double").alias(f"f{i:02d}") for i in range(8)],
+    )
+
+
+_MM_AUDIO_FEAT_COLS = ",\n       ".join(
+    f"CAST(CAST((CAST(('0x' || substr(sha256(text), {2 * (4 + i) + 1}, 2)) AS INT)"
+    f" / 255.0) * 2 - 1 AS REAL) AS DOUBLE) AS f{i:02d}"
+    for i in range(8)
+)
+
+MM_AUDIO_FEATURES_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(1000 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) * 16 AS INTEGER) AS duration_ms,
+       CAST(8000 + (CAST(('0x' || substr(sha256(text), 7, 2)) AS INT) % 4) * 8000 AS INTEGER) AS sample_rate,
+       {_MM_AUDIO_FEAT_COLS}
+FROM documents
+"""
+
+
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one row per (media_id, frame_idx)
     every 1000 ms of the synthetic duration — pure integer sequence."""
@@ -1870,6 +1900,7 @@ REGISTRY: dict[str, tuple] = {
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
+    "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),
     "a2_group_pairs": (a2_group_pairs, A2_SQL),

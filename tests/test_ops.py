@@ -280,3 +280,17 @@ def test_conversation_docs_offsets_slice_back(spark):
     for off in docs["c1"]["turn_offsets"]:
         assert docs["c1"]["doc_text"][off["begin"]:off["end"]] == texts[off["turn_idx"]]
     assert docs["c2"]["doc_text"] == "solo"
+
+
+def test_multimodal_audio_stub(spark):
+    """Audio decode plumbing: deterministic fake kernel, gated real path."""
+    media = multimodal.make_fake_media(spark, n=24)
+    out = multimodal.decode_audio_features(media, feat_dim=8, fake=True)
+    rows = out.collect()
+    assert rows and all(r["kind"] if False else len(r["features"]) == 8 for r in rows)
+    assert all(1000 <= r["duration_ms"] <= 1000 + 255 * 16 for r in rows)
+    assert all(r["sample_rate"] in (8000, 16000, 24000, 32000) for r in rows)
+    # deterministic re-run
+    assert sorted(map(str, rows)) == sorted(map(str, out.collect()))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio_features(media, fake=False).collect()

@@ -301,3 +301,56 @@ def test_block_cc_matches_edge_cc_on_chain(spark):
     }
     assert block_cc == edge_cc
     assert set(block_cc.values()) == {0}  # one chain component, min id 0
+
+
+# ---------------------------------------------------------------------------
+# Aho-Corasick matcher engine ≡ regex alternation engine
+# ---------------------------------------------------------------------------
+
+def test_aho_corasick_matches_regex_engine():
+    """The AC engine (scale path for 10^5+ gazetteer surfaces) must produce
+    byte-identical matches and summaries to the alternation regex on
+    overlapping patterns, multi-word surfaces, boundary cases and
+    punctuation-bearing surfaces."""
+    import random
+
+    from kgx import mentions, resources
+
+    kb = resources.default_kb()
+
+    def build(engine):
+        return mentions.SurfaceMatcher(
+            so_surfaces=[s for (_u, _n, _t, s) in kb.gazetteer],
+            indicator_surfaces=[row[2] for row in kb.indicators],
+            feature_surfaces=[s for (s, _c) in kb.feature_surfaces],
+            pos_terms=[t for (t, p) in kb.lexicon if p == "positive"],
+            neg_terms=[t for (t, p) in kb.lexicon if p == "negative"],
+            engine=engine,
+        )
+
+    rx, ac = build("regex"), build("aho")
+    assert ac.entity_ac is not None and rx.entity_ac is None
+
+    vocab = (
+        [s for (_u, _n, _t, s) in kb.gazetteer]
+        + [row[2] for row in kb.indicators]
+        + [t for (t, _p) in kb.lexicon]
+        + ["noise", "acmecorp", "the", "x", "Acme", "P/E", "ratio", "gain,s"]
+    )
+    rng = random.Random(42)
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25)))
+        for _ in range(200)
+    ]
+    texts += [
+        "ACME Corporation plc gains while Globex shares crash",
+        "acmecorp gains nothing: no boundary for Acme there",
+        "P/E ratio beats the debt ratio, head and shoulders pattern",
+        "gain gains gaining gained",           # boundary + longest-first
+        "Acme Corp,Acme Corp.Acme",            # punctuation boundaries
+        "",                                    # empty
+        "inflation rate hike interest rate",   # overlapping indicator surfaces
+    ]
+    for t in texts:
+        assert rx.match(t) == ac.match(t), t
+        assert rx.summarize(t) == ac.summarize(t), t
