@@ -1860,6 +1860,81 @@ LIMIT 10
 """
 
 
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style local-supplier revenue: 6-table join (region → nation →
+    customer/supplier → orders → lineitem) with the customer and supplier
+    in the SAME nation; dims broadcast, facts join on keys. Decimal
+    accumulation for cross-engine exactness."""
+    # deterministic region choice without data peeking: smallest key
+    region = _t(spark, sf_dir, "region").orderBy("r_regionkey").limit(1)
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nr = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    out = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .filter(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nr), supp["s_nationkey"] == nr["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+
+
+TPCH_Q5_SQL = """
+WITH r AS (SELECT * FROM region ORDER BY r_regionkey LIMIT 1)
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN r        ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+def tpch_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function showcase: top-2 parts per brand by retail price
+    (row_number over a composite deterministic order) — the per-group
+    LIMIT pattern (§2.6) as a single window, no per-group scans."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+TPCH_TOPK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+)
+WHERE rk <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1909,4 +1984,6 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
     "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
+    "tpch_q5_local_supplier": (tpch_q5_local_supplier, TPCH_Q5_SQL),
+    "tpch_topk_per_group": (tpch_topk_per_group, TPCH_TOPK_SQL),
 }

@@ -354,3 +354,30 @@ def test_aho_corasick_matches_regex_engine():
     for t in texts:
         assert rx.match(t) == ac.match(t), t
         assert rx.summarize(t) == ac.summarize(t), t
+
+
+def test_aho_corasick_equivalence_property():
+    """Property-based equivalence: random pattern sets (incl. substrings
+    and shared prefixes/suffixes) and random texts — the AC engine must
+    reproduce the regex engine's matches exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kgx import mentions
+
+    alphabet = "ab_ c"  # tiny alphabet maximizes overlaps and boundaries
+    pattern = st.text(alphabet="abc", min_size=1, max_size=4)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        pats=st.lists(pattern, min_size=1, max_size=8, unique=True),
+        terms=st.lists(pattern, min_size=0, max_size=4, unique=True),
+        text=st.text(alphabet=alphabet, min_size=0, max_size=40),
+    )
+    def check(pats, terms, text):
+        rx = mentions.SurfaceMatcher(pats, [], [], terms, [], engine="regex")
+        ac = mentions.SurfaceMatcher(pats, [], [], terms, [], engine="aho")
+        assert rx.match(text) == ac.match(text)
+        assert rx.summarize(text) == ac.summarize(text)
+
+    check()
