@@ -381,3 +381,38 @@ def test_aho_corasick_equivalence_property():
         assert rx.summarize(text) == ac.summarize(text)
 
     check()
+
+
+def test_pipeline_with_large_gazetteer_uses_ac_and_matches_oracle(spark):
+    """End-to-end with a KB big enough to auto-select the Aho-Corasick
+    engine inside the Arrow UDF (>512 surfaces): triples must still match
+    the independent differential oracle exactly."""
+    import dataclasses
+
+    from kgx import aggregate, assemble, mentions as mentions_mod, relations, synth
+    from kgx.mentions import AC_AUTO_THRESHOLD, matcher_from_kb
+    from tests.oracle import Oracle
+    from tests.test_pipeline_golden import _canon
+
+    base = resources.default_kb()
+    # pad the gazetteer past the AC threshold with surfaces that never
+    # occur in the synthetic texts (they only flip the engine)
+    pad = [
+        (f"http://kgx.example.org/onto#pad{i}", f"pad{i}", "Company", f"padsurface{i}")
+        for i in range(AC_AUTO_THRESHOLD + 50)
+    ]
+    kb = dataclasses.replace(base, gazetteer=base.gazetteer + pad)
+    assert matcher_from_kb(kb).entity_ac is not None  # AC engine active
+
+    import pyspark.sql.functions as SF
+
+    pdf = synth.make_transcripts(n_convs=20, turns_per_conv=6, seed=202, oversize_every=0)
+    turns = assemble.admit_turns(spark.createDataFrame(pdf))
+    facts, tf = relations.extract_facts(turns, kb)
+    got = _canon(
+        aggregate.all_triples(facts, tf)
+        .withColumn("score", SF.col("score").cast("string"))
+        .toPandas()
+    )
+    want = _canon(Oracle(kb).run(pdf))
+    assert got == want
