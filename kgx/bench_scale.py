@@ -1,10 +1,17 @@
 """Scaling-efficiency probe (north rule): run the identical KG job on the
 identical input at a given parallelism and print one JSON line with wall
-time + throughput. bench.py launches this twice (local[8], local[32]) in
-separate processes — the sandbox stand-in for N vs 4N executors — and
-computes efficiency = tput(32) / (4 * tput(8)).
+time + throughput.
 
-Usage: python -m kgx.bench_scale --cpus 8 --input /tmp/bench_transcripts.parquet
+Two modes:
+  * --executors E --exec-cores C: master = local-cluster[E,C,3072] — REAL
+    separate executor JVMs (own memory, own Python worker pools,
+    inter-process shuffle). bench.py runs E=1 vs E=4: literally N vs 4N
+    executors, the north rule's own phrasing.
+  * --cpus N (thread mode): master = local[N]; the lighter-weight probe
+    for per-core sweeps.
+
+Usage: python -m kgx.bench_scale --executors 4 --exec-cores 2 --input DIR
+       python -m kgx.bench_scale --cpus 8 --input DIR
 """
 
 from __future__ import annotations
@@ -17,7 +24,12 @@ import time
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--cpus", type=int, required=True)
+    p.add_argument("--cpus", type=int, default=0, help="thread mode: local[N]")
+    p.add_argument(
+        "--executors", type=int, default=0,
+        help="executor mode: local-cluster[E, exec-cores, 3072]",
+    )
+    p.add_argument("--exec-cores", type=int, default=2)
     p.add_argument("--input", required=True)
     p.add_argument(
         "--trials",
@@ -36,11 +48,27 @@ def main() -> None:
     # (measured: 48s -> 25s at local[32] on 600k turns). On a real cluster
     # AQE stays ON (skew-join splitting matters at 10^12 turns) and its
     # re-planning cost amortizes over minutes-long stages.
+    import os
+
+    extra = {"spark.sql.adaptive.enabled": "false"}
+    if args.executors:
+        # real executor processes: each owns 3 GB + its Python workers;
+        # PYTHONPATH ships the package to the executors' workers (the
+        # spark-submit deployment uses --py-files dist/kgx.zip instead)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        extra["spark.executorEnv.PYTHONPATH"] = repo
+        master = f"local-cluster[{args.executors},{args.exec_cores},3072]"
+        cpus = args.executors * args.exec_cores
+        label = f"{args.executors}x{args.exec_cores}"
+    else:
+        master = f"local[{args.cpus}]"
+        cpus = args.cpus
+        label = str(args.cpus)
     spark = session.get_spark(
-        f"kgx-scale-{args.cpus}",
-        master=f"local[{args.cpus}]",
-        shuffle_partitions=max(args.cpus, 8),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        f"kgx-scale-{label}",
+        master=master,
+        shuffle_partitions=max(cpus, 8),
+        extra_conf=extra,
     )
     kb = resources.default_kb()
     transcripts = spark.read.parquet(args.input)
@@ -81,7 +109,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "cpus": args.cpus,
+                "master": master,
+                "executors": args.executors or None,
+                "cpus": cpus,
                 "turns": n_turns,
                 "triples": n_triples,
                 "wall_sec": wall,
