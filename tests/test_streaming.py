@@ -122,3 +122,59 @@ def test_stateful_sessionization_emits_closed_conversations(spark, tmp_path):
     assert got["A"]["doc_text"] == "first turn\nsecond turn\nthird turn"
     assert got["B"]["doc_text"] == "only turn of B"
     assert got["A"]["ts_min_ms"] < got["A"]["ts_max_ms"]
+
+
+def test_stream_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Kill the stream mid-drain, restart from the same checkpoint: the
+    batch-keyed dynamic-partition-overwrite sink + checkpointed offsets
+    give exactly-once output — the final triples equal the batch pipeline,
+    no duplicates from re-run batches."""
+    import time as _time
+
+    pdf = synth.make_transcripts(n_convs=12, turns_per_conv=5, seed=31, oversize_every=0)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    convs = sorted(pdf["conv_id"].unique())
+    for i in range(4):  # 4 files -> 4 micro-batches at maxFilesPerTrigger=1
+        part = convs[i::4]
+        pdf[pdf["conv_id"].isin(part)].to_parquet(f"{src_dir}/f{i}.parquet", index=False)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    source = stream_job.stream_transcripts_from_files(spark, src_dir, max_files_per_trigger=1)
+    # phase 1: run WITHOUT availableNow, stop as soon as >=1 batch committed
+    q = stream_job.start_kg_stream(spark, source, out_dir, ckpt, available_now=False)
+    for _ in range(300):
+        if os.path.isdir(out_dir) and any(
+            f.startswith("ts_day=") for f in os.listdir(out_dir)
+        ):
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    source2 = stream_job.stream_transcripts_from_files(spark, src_dir, max_files_per_trigger=1)
+    q2 = stream_job.start_kg_stream(spark, source2, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(120)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .drop("batch_id", "ts_day")
+        .withColumn("score", F.col("score").cast("string"))
+        .toPandas()
+    )
+    kb = resources.default_kb()
+    turns = assemble.assemble_turns(spark.createDataFrame(pdf))
+    wm = mentions.detect_mentions(turns, kb)
+    facts, tf = relations.sentence_facts(wm, kb)
+    want = (
+        aggregate.all_triples(facts, tf)
+        .drop("ts_day")
+        .withColumn("score", F.col("score").cast("string"))
+        .toPandas()
+    )
+    key = sorted(got.columns)
+    g = sorted(map(tuple, got[key].astype(str).values.tolist()))
+    w = sorted(map(tuple, want[key].astype(str).values.tolist()))
+    assert g == w
