@@ -631,6 +631,44 @@ FROM best
 """
 
 
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus top-20 tokens (textops.top_tokens) — count desc, token
+    asc tie-break; rank included."""
+    return textops.top_tokens(_t(spark, sf_dir, "documents"), k=20)
+
+
+TEXT_TOP_TOKENS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+SELECT tok, n,
+       CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+FROM c ORDER BY n DESC, tok ASC LIMIT 20
+"""
+
+
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (textops.vocab_stats): types, hapax,
+    tokens, type-token ratio — single exact double division."""
+    return textops.vocab_stats(_t(spark, sf_dir, "documents"))
+
+
+TEXT_VOCAB_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok)
+SELECT count(*) AS n_types,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS type_token_ratio
+FROM c
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = textops.fingerprint(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", "fp_exact", "fp_bag")
@@ -1958,6 +1996,8 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
+    "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
+    "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

@@ -15,7 +15,7 @@ Operators:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # tiny deterministic stopword list (quality + lang heuristics)
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
@@ -92,6 +92,46 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         "lang_pred",
         F.when((best["hits"] > 0) & (n_best == 1), best["lang"]).otherwise(
             F.lit("und")
+        ),
+    )
+
+
+def top_tokens(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: exact top-k tokens by document frequency and
+    total count, deterministic tie-break (count desc, token asc). The
+    training-data-pipeline staple behind stopword lists, boilerplate
+    detection and the dedup DF caps.
+
+    Scale shape: explode → two-level agg on the token key (map-side
+    partial combine bounds the shuffle to |vocab| per partition); the
+    top-k is a single ORDER BY LIMIT over |vocab| rows, never over the
+    corpus."""
+    tok = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("tok").asc()))
+            .cast("bigint"),
+        )
+    )
+
+
+def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics: distinct tokens, hapax legomena
+    (tokens occurring exactly once), total token count, type-token ratio —
+    one exact aggregation pass over the exploded tokens."""
+    tok = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")).alias(
+            "type_token_ratio"
         ),
     )
 
