@@ -26,8 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from kgx import aggregate as agg_mod
 from kgx import (
+    asof,
     assemble,
     dedup,
+    graph,
     mentions,
     multimodal,
     relations,
@@ -679,6 +681,51 @@ SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_exact,
        md5(array_to_string(list_sort(list_distinct(string_split(lower(text),' '))), ' ')) AS fp_bag
 FROM documents
+"""
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (textops.repetition):
+    duplicate-word fraction + top-bigram coverage, computed entirely
+    in-row (map-only, zero shuffle)."""
+    d = textops.repetition(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_words", "dup_word_frac", "top_bigram_count", "top_bigram_frac"
+    )
+
+
+# the oracle counts bigrams via explode + groupBy — a deliberately
+# DIFFERENT algorithm from Spark's in-row sorted-run fold, same answer
+TEXT_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd FROM t
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i FROM t
+),
+bg AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bigram,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM pos
+),
+cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+best AS (SELECT doc_id, max(c) AS best FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_words,
+       CASE WHEN b.n > 0
+            THEN CAST(b.n - b.nd AS DOUBLE) / CAST(b.n AS DOUBLE) END AS dup_word_frac,
+       CAST(coalesce(best.best, 0) AS BIGINT) AS top_bigram_count,
+       CASE WHEN b.n > 1
+            THEN CAST(coalesce(best.best, 0) AS DOUBLE) / CAST(b.n - 1 AS DOUBLE)
+       END AS top_bigram_frac
+FROM base b LEFT JOIN best ON b.doc_id = best.doc_id
 """
 
 
@@ -1974,6 +2021,195 @@ WHERE rk <= 2
 
 
 # ---------------------------------------------------------------------------
+# time-series joins: as-of + interval (kgx/asof.py)
+# ---------------------------------------------------------------------------
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the latest purchase at or
+    before it for the same user (union-tag + single-shuffle window — see
+    kgx/asof.py). Oracle = DuckDB's NATIVE ASOF JOIN, an independent
+    algorithm (build-side (user_id, ts) is unique in this corpus, so the
+    native join is deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "purchase")
+    out = asof.asof_join(
+        probe, build, on="user_id", payload=["value"], tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "prior_ts", "prior_value")
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS prior_ts, p.value AS prior_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via time-bin bucketing (kgx/asof.py):
+    error events land in the 30-min-gap session of the user's OTHER
+    activity whose [first, last] interval contains them. Physical plan is
+    a hash equi-join on (user_id, hour-bin) + exact BETWEEN filter — no
+    range join, no cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.filter(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = (
+        act.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            # the session's open window: last activity + the 30-min gap
+            (F.max("ts") + F.expr("INTERVAL 1800 SECOND")).alias("end_ts"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof.interval_join(
+        errors, sess, on="user_id", point_ts="ts", bin_seconds=3600
+    )
+    return joined.select("event_id", "user_id", "ts", "session_id")
+
+
+RANGE_JOIN_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE event_type <> 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+         ts
+  FROM g
+),
+iv AS (
+  SELECT user_id, session_id, min(ts) AS start_ts,
+         max(ts) + INTERVAL 1800 SECOND AS end_ts
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, iv.session_id
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+WHERE e.event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph analytics (kgx/graph.py) over the customer—supplier bipartite graph
+# ---------------------------------------------------------------------------
+
+def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+    )
+    return graph.undirected_edges(pairs, "o_custkey", "l_suppkey")
+
+
+_GRAPH_EDGE_CTE = """
+e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+und AS (
+  SELECT c AS src, s AS dst FROM e0
+  UNION ALL
+  SELECT s AS src, c AS dst FROM e0
+)
+"""
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer—supplier graph (graph.degree_histogram)."""
+    return graph.degree_histogram(_cust_supp_edges(spark, sf_dir))
+
+
+GRAPH_DEGREE_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)
+SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_nodes FROM deg GROUP BY deg
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer PageRank, 3 iterations (graph.pagerank_int): integral
+    `div` arithmetic makes the iterative fixpoint bit-identical across
+    engines — the oracle unrolls the same three iterations as CTEs."""
+    return graph.pagerank_int(_cust_supp_edges(spark, sf_dir), iters=3)
+
+
+_PR_ITER = """
+s{i} AS (
+  SELECT e.dst AS node, sum(r{j}.r // r{j}.deg) AS s
+  FROM und e JOIN r{j} ON e.src = r{j}.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.src, CAST(150000000000 + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r,
+         d.deg
+  FROM deg d LEFT JOIN s{i} ON d.src = s{i}.node
+)"""
+
+GRAPH_PAGERANK_SQL = (
+    f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+r0 AS (SELECT src, CAST(1000000000000 AS BIGINT) AS r, deg FROM deg),"""
+    + ",".join(_PR_ITER.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+SELECT src AS node, r AS rank FROM r3
+"""
+)
+
+
+def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood sizes for a 1%-sample source set
+    (graph.two_hop_counts): customers reachable through a shared supplier."""
+    edges = _cust_supp_edges(spark, sf_dir)
+    sources = edges.select("src").filter(
+        F.col("src").startswith("c")
+        & (F.substring("src", 2, 100).cast("long") % 100 == 1)
+    ).distinct().withColumnRenamed("src", "node")
+    return graph.two_hop_counts(edges, sources)
+
+
+GRAPH_TWO_HOP_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+sources AS (
+  SELECT DISTINCT src AS origin FROM und
+  WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) % 100 = 1
+),
+hop1 AS (
+  SELECT s.origin, e.dst AS mid FROM sources s JOIN und e ON e.src = s.origin
+),
+hop2 AS (
+  SELECT h.origin, e.dst AS nbr2 FROM hop1 h JOIN und e ON e.src = h.mid
+  WHERE e.dst <> h.origin
+)
+SELECT origin, count(DISTINCT nbr2) AS n_two_hop FROM hop2 GROUP BY origin
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2026,4 +2262,10 @@ REGISTRY: dict[str, tuple] = {
     "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
     "tpch_q5_local_supplier": (tpch_q5_local_supplier, TPCH_Q5_SQL),
     "tpch_topk_per_group": (tpch_topk_per_group, TPCH_TOPK_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "range_join_sessions": (range_join_sessions, RANGE_JOIN_SQL),
+    "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
 }

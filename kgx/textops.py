@@ -136,6 +136,54 @@ def vocab_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction and the fraction of word positions covered by
+    the single most frequent word bigram. High values flag boilerplate /
+    degenerate generations for training-data filtering.
+
+    Entirely IN-ROW (higher-order functions over the token array — sort
+    the bigram array and fold a max-run-length accumulator), so the
+    operator is map-only: zero shuffle at any corpus size, unlike the
+    naive explode→groupBy(doc, bigram) shape whose shuffle carries one
+    row per bigram occurrence. Ratios are single exact-integer divisions
+    (cross-engine deterministic)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.get(toks, i + 1)),
+    )
+    run = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return (
+        df.withColumn("n_words", n.cast("bigint"))
+        .withColumn(
+            "dup_word_frac",
+            F.when(n > 0, (n - n_distinct).cast("double") / n.cast("double")),
+        )
+        .withColumn("top_bigram_count", run.cast("bigint"))
+        .withColumn(
+            "top_bigram_frac",
+            F.when(n > 1, run.cast("double") / (n - 1).cast("double")),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 over whitespace-normalized lowercase text
     (exact-dup key) and over the sorted distinct token set (bag key —

@@ -1,0 +1,157 @@
+"""Round-2 additions: as-of join, interval join, graph analytics,
+repetition quality."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from kgx import asof, graph, textops
+
+TS = dt.datetime
+
+
+def test_asof_join_basic_and_tie_semantics(spark):
+    build = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 10, 0, 0), 100, 10.0),
+            (1, TS(2024, 1, 1, 12, 0, 0), 101, 20.0),
+            # two build rows at the SAME ts: greatest tiebreak (event_id) wins
+            (2, TS(2024, 1, 1, 9, 0, 0), 200, 1.0),
+            (2, TS(2024, 1, 1, 9, 0, 0), 201, 2.0),
+        ],
+        "user_id int, ts timestamp, event_id long, value double",
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, TS(2024, 1, 1, 11, 0, 0), 900),  # between builds -> 10.0
+            (1, TS(2024, 1, 1, 12, 0, 0), 901),  # exactly at build ts -> visible
+            (1, TS(2024, 1, 1, 9, 0, 0), 902),  # before any build -> null
+            (2, TS(2024, 1, 1, 9, 30, 0), 903),  # tie on build side -> id 201
+            (3, TS(2024, 1, 1, 9, 0, 0), 904),  # key with no build -> null
+        ],
+        "user_id int, ts timestamp, event_id long",
+    )
+    out = {
+        r["event_id"]: r["prior_value"]
+        for r in asof.asof_join(
+            probe, build, on="user_id", payload=["value"], tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {900: 10.0, 901: 20.0, 902: None, 903: 2.0, 904: None}
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    build = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 0, 0), 1, 5.0)],
+        "user_id int, ts timestamp, event_id long, value double",
+    )
+    probe = spark.createDataFrame(
+        [(1, TS(2024, 1, 1, 0, 30, 0), 10), (1, TS(2024, 1, 2, 0, 0, 0), 11)],
+        "user_id int, ts timestamp, event_id long",
+    )
+    out = {
+        r["event_id"]: (r["prior_value"], r["prior_ts"])
+        for r in asof.asof_join(
+            probe,
+            build,
+            on="user_id",
+            payload=["value"],
+            tiebreak="event_id",
+            tolerance_s=3600,
+        ).collect()
+    }
+    assert out[10] == (5.0, TS(2024, 1, 1, 0, 0, 0))
+    assert out[11] == (None, None)  # 24h-old match exceeds the 1h tolerance
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    intervals = spark.createDataFrame(
+        [
+            (1, 100, TS(2024, 1, 1, 10, 0, 0), TS(2024, 1, 1, 13, 30, 0)),
+            (1, 101, TS(2024, 1, 2, 0, 0, 0), TS(2024, 1, 2, 0, 0, 30)),
+            (2, 200, TS(2024, 1, 1, 10, 0, 0), TS(2024, 1, 1, 11, 0, 0)),
+        ],
+        "user_id int, session_id long, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, 1, TS(2024, 1, 1, 10, 0, 0)),  # at start boundary
+            (1, 2, TS(2024, 1, 1, 13, 30, 0)),  # at end boundary
+            (1, 3, TS(2024, 1, 1, 14, 0, 0)),  # outside
+            (1, 4, TS(2024, 1, 2, 0, 0, 15)),  # inside the 30s interval
+            (2, 5, TS(2024, 1, 1, 10, 30, 0)),  # other key
+            (3, 6, TS(2024, 1, 1, 10, 30, 0)),  # key without intervals
+        ],
+        "user_id int, event_id long, ts timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["session_id"])
+        for r in asof.interval_join(
+            points, intervals, on="user_id", bin_seconds=3600
+        ).collect()
+    )
+    naive = sorted(
+        (r["event_id"], r["session_id"])
+        for r in points.join(intervals, "user_id")
+        .filter(F.col("ts").between(F.col("start_ts"), F.col("end_ts")))
+        .collect()
+    )
+    assert got == naive == [(1, 100), (2, 100), (4, 101), (5, 200)]
+
+
+def _toy_edges(spark):
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (3, 12), (1, 10)], "cust long, supp long"
+    )
+    return graph.undirected_edges(pairs, "cust", "supp")
+
+
+def test_undirected_edges_distinct_and_symmetric(spark):
+    e = _toy_edges(spark)
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    assert ("c1", "s10") in rows and ("s10", "c1") in rows
+    assert len(rows) == 8  # 4 distinct pairs x 2 directions
+
+
+def test_pagerank_int_exact_values_on_toy_graph(spark):
+    # path graph a-b, b-c: by symmetry a and c tie, b strictly higher
+    pairs = spark.createDataFrame([(1, 10), (2, 10)], "cust long, supp long")
+    e = graph.undirected_edges(pairs, "cust", "supp")
+    r = {row["node"]: row["rank"] for row in graph.pagerank_int(e, iters=3).collect()}
+    assert r["c1"] == r["c2"]
+    assert r["s10"] > r["c1"]
+    # exact integer recurrence, hand-unrolled:
+    r0 = 10**12
+    base = 15 * r0 // 100
+    b1, a1 = base + (85 * (r0 // 1 * 2)) // 100, base + (85 * (r0 // 2)) // 100
+    b2, a2 = base + (85 * (a1 // 1 * 2)) // 100, base + (85 * (b1 // 2)) // 100
+    b3, a3 = base + (85 * (a2 // 1 * 2)) // 100, base + (85 * (b2 // 2)) // 100
+    assert r["s10"] == b3 and r["c1"] == a3
+
+
+def test_two_hop_counts(spark):
+    e = _toy_edges(spark)
+    src = spark.createDataFrame([("c1",)], "node string")
+    out = {r["origin"]: r["n_two_hop"] for r in graph.two_hop_counts(e, src).collect()}
+    # c1 -> {s10, s11} -> {c1, c2}; c1 excluded -> {c2}
+    assert out == {"c1": 1}
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),  # bigrams: "a b","b a","a b","b a" -> top count 2
+            (2, "x y z"),  # all distinct
+            (3, "w"),  # single word: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in textops.repetition(df).collect()}
+    assert out[1]["n_words"] == 5
+    assert out[1]["dup_word_frac"] == (5 - 2) / 5
+    assert out[1]["top_bigram_count"] == 2
+    assert out[1]["top_bigram_frac"] == 2 / 4
+    assert out[2]["top_bigram_count"] == 1 and out[2]["dup_word_frac"] == 0.0
+    assert out[3]["top_bigram_count"] == 0 and out[3]["top_bigram_frac"] is None
