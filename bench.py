@@ -38,6 +38,8 @@ HEADLINE = [
     "mm_image_meta",
     "tpch_q1_pricing",
     "tpch_q3_revenue",
+    "asof_last_purchase",
+    "graph_pagerank",
 ]
 
 

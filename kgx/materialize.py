@@ -65,6 +65,36 @@ def write_nodes(nodes: DataFrame, path: str, mode: str = "overwrite") -> None:
     nodes.write.mode(mode).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str = "conv_id",
+    num_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Bucketed parquet table — the co-location primitive for the hot join
+    keys (the parquet stand-in for Iceberg's `bucket(N, conv_id)` partition
+    transform in our target table spec, SURVEY.md §4 item 1).
+
+    Every downstream equi-join or aggregation on `key` between two tables
+    bucketed with the SAME bucket count reads pre-hashed, pre-sorted
+    buckets and skips BOTH the exchange and the sort — at 10^12 turns the
+    triples⋈mentions and triples⋈nodes joins become zero-shuffle
+    (tests/test_round2b.py asserts the Exchange-free plan). Buckets also
+    bound file counts: output files = num_buckets × write tasks, versus
+    one file per (task × partition-value) for raw partitionBy."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+
+
 def mention_evidence(turns_with_mentions: DataFrame) -> DataFrame:
     """PHRASE-table analogue (db_schema.sql:360-374): one row per mention
     span with its phrase type (PHRASE_TYPE values,

@@ -139,6 +139,60 @@ def assign_cells(
     return df.withColumn("cell", F.array_max(sims)["cell"])
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means — trains the IVF coarse quantizer that
+    assign_cells/ivf_topk previously stubbed with hash-derived ±1
+    pseudo-centroids (the documented contract: centroids are driver-side
+    literals, however obtained).
+
+    Deterministic init: the k corpus vectors with the smallest
+    xxhash64(id) (content-derived, order-independent). Each iteration:
+      1. assign every row to its nearest centroid — a narrow map over the
+         corpus (centroids are literal expressions, no join);
+      2. new centroid = per-cell coordinate mean via posexplode →
+         groupBy(cell, pos) — partial aggregation makes the shuffle
+         O(k · dim · partitions), never O(corpus);
+      3. collect the k·dim means to the driver (tiny by construction —
+         that is what makes the quantizer broadcastable at any corpus
+         size). Cells that lose all members keep their previous centroid.
+    """
+    if init_centroids is not None:
+        cents = [list(map(float, c)) for c in init_centroids]
+        k = len(cents)
+    else:
+        seeds = (
+            df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+            .orderBy("h")
+            .limit(k)
+            .collect()
+        )
+        cents = [[float(x) for x in r["v"]] for r in seeds]
+
+    for _ in range(iters):
+        assigned = assign_cells(df, id_col=id_col, vec_col=vec_col, centroids=cents)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for ci, coords in by_cell.items():
+            new[ci] = [coords[p] for p in sorted(coords)]
+        cents = new
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -155,3 +155,57 @@ def test_repetition_metrics(spark):
     assert out[1]["top_bigram_frac"] == 2 / 4
     assert out[2]["top_bigram_count"] == 1 and out[2]["dup_word_frac"] == 0.0
     assert out[3]["top_bigram_count"] == 0 and out[3]["top_bigram_frac"] is None
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    join WITHOUT any Exchange (and, sorted, without an extra Sort) —
+    the co-location contract write_bucketed promises."""
+    from kgx import materialize
+
+    a = spark.range(0, 1000).selectExpr("cast(id as string) conv_id", "id * 2 AS x")
+    b = spark.range(0, 1000).selectExpr("cast(id as string) conv_id", "id * 3 AS y")
+    materialize.write_bucketed(a, "bkt_a", str(tmp_path / "a"), num_buckets=4)
+    materialize.write_bucketed(b, "bkt_b", str(tmp_path / "b"), num_buckets=4)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a non-broadcast join so the test exercises the shuffle path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "conv_id")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # unbucketed control: the same join DOES shuffle
+        ctrl = a.join(b, "conv_id")
+        ctrl_plan = ctrl._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in ctrl_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_kmeans_centroids_recover_clusters_and_lift_ivf_recall(spark):
+    import pyspark.sql.functions as F2
+
+    from kgx import similarity
+
+    # two tight clusters around (10,0) and (0,10)
+    rows = [(i, [10.0 + (i % 3) * 0.1, 0.0 + (i % 2) * 0.1]) for i in range(20)]
+    rows += [(100 + i, [0.0 + (i % 3) * 0.1, 10.0 + (i % 2) * 0.1]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.kmeans_centroids(df, k=2, iters=4)
+    cents.sort(key=lambda c: c[0])
+    assert abs(cents[0][1] - 10.05) < 0.2 and abs(cents[0][0] - 0.1) < 0.2
+    assert abs(cents[1][0] - 10.1) < 0.2 and abs(cents[1][1] - 0.05) < 0.2
+    # assignment splits the clusters exactly
+    a = similarity.assign_cells(df, centroids=cents)
+    n_cells = a.groupBy("cell").count().collect()
+    assert sorted(r["count"] for r in n_cells) == [20, 20]
+    # trained quantizer: nprobe=1 already finds same-cluster neighbors
+    q = df.filter(F2.col("vec_id").isin(0, 100))
+    out = similarity.ivf_topk(df, q, k=3, nprobe=1, centroids=cents).collect()
+    assert len(out) == 6
+    for r in out:
+        same_cluster = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
+        assert same_cluster
