@@ -264,6 +264,65 @@ FROM conv WHERE pos + neg > 0
 """
 
 
+def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-importance rollup over the extracted fact stream (the KG
+    read-side degree profile): per linked entity, how many conversations,
+    facts, polarized facts and distinct predicates reference it. One
+    keyed aggregation over the already-persisted facts — the first thing
+    a KG consumer asks of the output graph."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    return facts.groupBy(
+        F.col("entity_name").alias("subj_name"),
+        F.col("entity_uri").alias("subj_uri"),
+    ).agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+
+
+KG_ENTITY_DEGREES_SQL = _KG_SQL_PROLOGUE + """
+SELECT name AS subj_name, uri AS subj_uri,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_facts,
+       CAST(sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       count(DISTINCT pred) AS n_preds
+FROM facts GROUP BY 1, 2
+"""
+
+
+def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges of the output KG: entity pairs linked in
+    the same conversation, weighted by conversation count. The self-join
+    runs on the conv_id key AFTER deduplicating to distinct
+    (conv_id, entity) rows, so its fan-out is bounded by
+    (entities-per-conversation)² — single digits here, never deg(entity)²
+    across the corpus."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    ce = facts.select("conv_id", F.col("entity_uri").alias("uri")).distinct()
+    return (
+        ce.alias("a")
+        .join(
+            ce.alias("b"),
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.uri") < F.col("b.uri")),
+        )
+        .groupBy(F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b"))
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )
+
+
+KG_COOCCURRENCE_SQL = _KG_SQL_PROLOGUE + """
+, ce AS (SELECT DISTINCT conv_id, uri FROM facts)
+SELECT a.uri AS uri_a, b.uri AS uri_b, count(*) AS n_convs
+FROM ce a JOIN ce b ON a.conv_id = b.conv_id AND a.uri < b.uri
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # window / ordering (W1, W2) and sessionization
 # ---------------------------------------------------------------------------
@@ -2265,6 +2324,8 @@ REGISTRY: dict[str, tuple] = {
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
     "range_join_sessions": (range_join_sessions, RANGE_JOIN_SQL),
+    "kg_entity_degrees": (kg_entity_degrees, KG_ENTITY_DEGREES_SQL),
+    "kg_entity_cooccurrence": (kg_entity_cooccurrence, KG_COOCCURRENCE_SQL),
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
