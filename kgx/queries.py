@@ -2168,6 +2168,28 @@ WHERE e.event_type = 'error'
 """
 
 
+def stats_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile per event_type (kgx/stats.py): exact grouped
+    quantiles + extremes + counts; the approx_percentile sketch variant is
+    the same shape for unbounded groups (pytest asserts it brackets the
+    exact answer)."""
+    from kgx import stats
+
+    return stats.profile_numeric(_t(spark, sf_dir, "events"))
+
+
+STATS_PROFILE_SQL = """
+SELECT event_type,
+       count(value) AS n,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # graph analytics (kgx/graph.py) over the customer—supplier bipartite graph
 # ---------------------------------------------------------------------------
@@ -2329,4 +2351,5 @@ REGISTRY: dict[str, tuple] = {
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
+    "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
 }

@@ -209,3 +209,30 @@ def test_kmeans_centroids_recover_clusters_and_lift_ivf_recall(spark):
     for r in out:
         same_cluster = (r["query_id"] < 100) == (r["neighbor_id"] < 100)
         assert same_cluster
+
+
+def test_approx_profile_brackets_exact(spark):
+    from kgx import stats
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r["event_type"]: r for r in stats.profile_numeric(ev).collect()}
+    approx = {r["event_type"]: r for r in stats.profile_numeric_approx(ev).collect()}
+    assert set(exact) == set(approx)
+    vals = {
+        k: sorted(
+            r["value"]
+            for r in ev.filter(F.col("event_type") == k).select("value").collect()
+        )
+        for k in exact
+    }
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n"] == e["n"] and a["vmin"] == e["vmin"] and a["vmax"] == e["vmax"]
+        v = vals[k]
+        for q, p in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            # approx_percentile returns an ORDER STATISTIC (no interpolation);
+            # at accuracy=10000 its rank error on these group sizes is ~0 —
+            # require it to be an actual value within ±2 ranks of the target
+            target = p * (len(v) - 1)
+            lo, hi = max(0, int(target) - 2), min(len(v) - 1, int(target) + 3)
+            assert a[q] in v[lo : hi + 1], (k, q, a[q], v[lo : hi + 1])
