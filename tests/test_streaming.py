@@ -178,3 +178,80 @@ def test_stream_checkpoint_recovery_no_duplicates(spark, tmp_path):
     g = sorted(map(tuple, got[key].astype(str).values.tolist()))
     w = sorted(map(tuple, want[key].astype(str).values.tolist()))
     assert g == w
+
+
+def test_streaming_dedup_exact_and_watermarked(spark, tmp_path):
+    """Streaming dedup: exact-once per content key across micro-batches
+    (dropDuplicates state), and watermarked dedup that suppresses
+    duplicates arriving within the delay but EVICTS state afterwards —
+    a late re-post past the watermark re-emits (re-crawl semantics)."""
+    import pandas as pd
+
+    from kgx.streaming import dedup_stream
+
+    def doc(i, text, ts):
+        return {"doc_id": i, "text": text, "ts": pd.Timestamp(ts)}
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: two originals; batch 2: near-in-time duplicate of d0 (same
+    # normalized content, different case/whitespace) + a fresh doc;
+    # batch 3: a next-day doc that ADVANCES the watermark (watermark used
+    # by a batch is computed from previous batches, so eviction needs a
+    # batch in between); batch 4: far-future re-post of d0's content,
+    # arriving after its dedup state was evicted
+    batches = [
+        [doc(0, "Alpha beta GAMMA", "2025-01-01 10:00:00"),
+         doc(1, "delta epsilon", "2025-01-01 10:00:10")],
+        [doc(2, "  alpha   BETA gamma ", "2025-01-01 10:02:00"),
+         doc(3, "zeta eta", "2025-01-01 10:02:30")],
+        [doc(5, "theta iota", "2025-01-02 09:00:00")],
+        # the watermark a batch uses is computed from PREVIOUS batches and
+        # expired state is evicted at end-of-batch, so the re-post needs
+        # two batches after the watermark-advancing event: one for the
+        # advanced watermark to take effect + evict, then the re-post
+        [doc(6, "kappa lambda", "2025-01-02 09:10:00")],
+        [doc(4, "ALPHA beta gamma", "2025-01-02 10:00:00")],
+    ]
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark rejects NANOS
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        # FileStreamSource orders batches by mtime: make it explicit
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    schema_str = "doc_id bigint, text string, ts timestamp"
+
+    def drain(make_query, name):
+        stream = (
+            spark.readStream.schema(schema_str)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = make_query(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"] for r in spark.sql(f"SELECT doc_id FROM {name}").collect()}
+
+    exact = drain(dedup_stream.dedup_stream_exact, "dedup_exact_mem")
+    # lifetime state: only the FIRST sighting of each content key survives
+    assert exact == {0, 1, 3, 5, 6}
+
+    wm = drain(
+        lambda s: dedup_stream.dedup_stream_watermarked(s, delay="10 minutes"),
+        "dedup_wm_mem",
+    )
+    # doc2 (duplicate within 10 min) suppressed; doc4 (next day, state
+    # evicted by the watermark) re-emits
+    assert wm == {0, 1, 3, 4, 5, 6}
