@@ -336,6 +336,24 @@ def website_dim(doc_meta: DataFrame) -> DataFrame:
     )
 
 
+def corpus_meta(doc_meta: DataFrame) -> DataFrame:
+    """CORPUS_META_DATA + CORPUS_RELATION analogue (db_schema.sql:114-127,
+    :422-428): a corpus is one source/website; roll up its document, word
+    and char counts plus the retrieval-date range. The reference keeps an
+    n:m corpus↔document relation table — with deterministic ids that edge
+    set is just (conv_id, website_id) on doc_meta, so the only new table
+    is this per-corpus rollup (one small keyed aggregation)."""
+    return doc_meta.filter(F.col("source").isNotNull()).groupBy(
+        F.lower("source").alias("corpus")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("retrieval_date").alias("first_retrieval"),
+        F.max("retrieval_date").alias("last_retrieval"),
+    )
+
+
 def result_docs(triples: DataFrame) -> DataFrame:
     """S8 nested-result marshal analogue (ClassifiedDocument JAXB tree,
     CompletePipelineWorker.java:244-262): one row per conversation with the

@@ -1815,6 +1815,31 @@ FROM documents
 """
 
 
+def kg_corpus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS_META_DATA rollup (db_schema.sql:114-127) via
+    materialize.corpus_meta over the per-document provenance rows."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    out = materialize.corpus_meta(meta)
+    return out.select(
+        "corpus", "n_docs", "n_words", "n_chars",
+        F.col("first_retrieval").cast("string").alias("first_retrieval"),
+        F.col("last_retrieval").cast("string").alias("last_retrieval"),
+    )
+
+
+KG_CORPUS_META_SQL = """
+SELECT lower(source) AS corpus,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       '2025-01-01' AS first_retrieval,
+       '2025-01-01' AS last_retrieval
+FROM documents GROUP BY 1
+"""
+
+
 def kg_website_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WEBSITE dimension (db_schema.sql:229-265) via materialize.website_dim
     — distinct sources with usage counts; md5 key for the oracle check."""
@@ -2326,6 +2351,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_indicator_nodes": (kg_indicator_nodes, KG_INDICATOR_NODES_SQL),
     "kg_document_meta": (kg_document_meta, KG_DOC_META_SQL),
     "kg_website_dim": (kg_website_dim, KG_WEBSITE_SQL),
+    "kg_corpus_meta": (kg_corpus_meta, KG_CORPUS_META_SQL),
     "kg_result_docs": (kg_result_docs, KG_RESULT_DOCS_SQL),
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "stream_conversation_docs": (stream_conversation_docs, STREAM_CONV_DOCS_SQL),
