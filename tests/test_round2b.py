@@ -236,3 +236,33 @@ def test_approx_profile_brackets_exact(spark):
             target = p * (len(v) - 1)
             lo, hi = max(0, int(target) - 2), min(len(v) - 1, int(target) + 3)
             assert a[q] in v[lo : hi + 1], (k, q, a[q], v[lo : hi + 1])
+
+
+def test_ts_day_partition_pruning(spark, tmp_path):
+    """The date-partitioned triples layout (materialize.write_triples,
+    the Iceberg days(ts) analogue) must prune at the scan: a ts_day
+    filter shows up as PartitionFilters and non-matching partitions are
+    never read."""
+    import pyspark.sql.functions as F2
+
+    from kgx import materialize
+
+    df = spark.range(0, 100).select(
+        F2.col("id").alias("conv_id"),
+        F2.lit(1).alias("score_i"),
+        F2.when(F2.col("id") % 2 == 0, "2025-01-01")
+        .otherwise("2025-01-02")
+        .alias("ts_day"),
+    )
+    out = str(tmp_path / "triples")
+    materialize.write_triples(df, out)
+    read = spark.read.parquet(out).filter(F2.col("ts_day") == "2025-01-01")
+    assert read.count() == 50
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2025-01-01" in plan, plan
+    # the pruned scan lists only the matching partition directory
+    files = [
+        f.asDict()["file_path"] if hasattr(f, "asDict") else f["file_path"]
+        for f in read.select(F2.input_file_name().alias("file_path")).distinct().collect()
+    ]
+    assert all("ts_day=2025-01-01" in p for p in files)
