@@ -2092,6 +2092,73 @@ def tpch_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: order revenue by ROLLUP(nation, order
+    priority) — subtotals and a grand total in one pass (Spark expands
+    grouping sets map-side; each level still gets partial aggregation).
+    Decimal accumulation keeps the cross-row sums order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("n_name", "o_orderpriority", "n_orders", "revenue")
+    )
+
+
+TPCH_ROLLUP_SQL = """
+SELECT n_name, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format per-user activity matrix via pivot with an EXPLICIT
+    value list (an open-ended pivot would need a distinct-scan job and
+    yields nondeterministic column sets on drifting data)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+"""
+
+
 TPCH_TOPK_SQL = """
 SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS BIGINT) AS rk
 FROM (
@@ -2378,4 +2445,6 @@ REGISTRY: dict[str, tuple] = {
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
     "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
+    "tpch_rollup_revenue": (tpch_rollup_revenue, TPCH_ROLLUP_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
 }
