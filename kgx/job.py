@@ -8,7 +8,8 @@ Stage graph (each stage checkpoints to parquet/Iceberg and records lineage,
 so a killed run resumes at the first incomplete stage — SURVEY.md §3 tail):
 
     assemble → extract (mentions+relations → facts/turn_feats/mentions/
-    phrase_edges) → triples (+ indicator_nodes) → nodes
+    phrase_edges) → triples (+ indicator_nodes) → nodes → analytics
+    (entity_degrees + corpus_meta read-side rollups)
 """
 
 from __future__ import annotations
@@ -57,6 +58,8 @@ def run_pipeline(
         "indicator_nodes": os.path.join(out_dir, "indicator_nodes"),
         "doc_meta": os.path.join(out_dir, "doc_meta"),
         "results": os.path.join(out_dir, "results"),
+        "entity_degrees": os.path.join(out_dir, "entity_degrees"),
+        "corpus_meta": os.path.join(out_dir, "corpus_meta"),
     }
 
     # -- stage: extract (assemble + mentions + relations), one Spark job ---
@@ -142,6 +145,33 @@ def run_pipeline(
             materialize.write_nodes(nodes, paths["nodes"])
         lineage.mark_stage_ok(paths["nodes"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms, kb_version=kb.version())
+
+    # -- stage: read-side analytics (entity degrees + corpus rollup) --------
+    analytics_ok = all(
+        lineage.stage_output_ok(paths[p]) for p in ("entity_degrees", "corpus_meta")
+    )
+    if not (resume and analytics_ok):
+        with lineage.StageTimer() as t:
+            facts.groupBy(
+                F.col("entity_name").alias("subj_name"),
+                F.col("entity_uri").alias("subj_uri"),
+            ).agg(
+                F.countDistinct("conv_id").alias("n_convs"),
+                F.count(F.lit(1)).alias("n_facts"),
+                F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pos"),
+                F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_neg"),
+                F.countDistinct("pred").alias("n_preds"),
+            ).write.mode("overwrite").parquet(paths["entity_degrees"])
+            materialize.corpus_meta(
+                spark.read.parquet(paths["doc_meta"])
+            ).write.mode("overwrite").parquet(paths["corpus_meta"])
+        lineage.mark_stage_ok(paths["entity_degrees"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["corpus_meta"], {"run_id": run_id})
+        lineage.append_lineage(spark, lin_dir, run_id, "analytics", None, None, t.wall_ms, kb_version=kb.version())
 
     return paths
 
