@@ -118,6 +118,13 @@ def run_pipeline(
     # -- stage: triples (+ SENTIMENT_INDICATOR dim) -------------------------
     if not (resume and lineage.stage_output_ok(paths["triples"])):
         with lineage.StageTimer() as t:
+            # conversation-level validity gate (the reference's
+            # skip-the-whole-document abort, SentimentClassification.java:
+            # 280-284); the offender count lands in the stage marker
+            bad = relations.invalid_convs(facts)
+            n_invalid = bad.count()
+            if n_invalid:
+                facts = facts.join(F.broadcast(bad), "conv_id", "left_anti")
             triples = aggregate.all_triples(
                 facts, turn_feats, salt_buckets=salt_buckets
             )
@@ -131,7 +138,9 @@ def run_pipeline(
             materialize.result_docs(triples).write.mode("overwrite").partitionBy(
                 "ts_day"
             ).parquet(paths["results"])
-        lineage.mark_stage_ok(paths["triples"], {"run_id": run_id})
+        lineage.mark_stage_ok(
+            paths["triples"], {"run_id": run_id, "n_invalid_convs": n_invalid}
+        )
         lineage.mark_stage_ok(paths["indicator_nodes"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["results"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms, kb_version=kb.version())

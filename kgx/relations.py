@@ -262,3 +262,35 @@ def sentence_facts(
     return facts_from_turn_features(
         turn_features(turns_with_mentions), kb, persist=persist
     )
+
+
+def drop_invalid_convs(facts: DataFrame) -> DataFrame:
+    """Conversation-level validity gate — the reference's abort semantics
+    (SentimentClassification.java:280-284: a null sentiment-object or
+    feature throws, the catch at CompletePipelineWorker.java:290-335 skips
+    the WHOLE document; nothing partial is ever written).
+
+    Our extractor derives entity/pred deterministically so invalid rows
+    cannot arise from the happy path, but upstream KB edits or malformed
+    annotations can reintroduce them — this gate reproduces the skip as a
+    distributed rule: any conversation containing a fact with a null
+    subject or predicate loses ALL its facts. Implemented as a left-anti
+    join on the (tiny, usually empty) distinct offending conv set, which
+    Catalyst broadcasts; count the skips via the companion
+    invalid_conv_count for lineage metrics."""
+    import pyspark.sql.functions as FF
+
+    bad = invalid_convs(facts)
+    return facts.join(FF.broadcast(bad), "conv_id", "left_anti")
+
+
+def invalid_convs(facts: DataFrame) -> DataFrame:
+    """Distinct conv_ids carrying a null-subject or null-pred fact (the
+    offender set drop_invalid_convs removes; count it for metrics)."""
+    import pyspark.sql.functions as FF
+
+    return (
+        facts.filter(FF.col("entity_name").isNull() | FF.col("pred").isNull())
+        .select("conv_id")
+        .distinct()
+    )

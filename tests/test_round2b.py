@@ -266,3 +266,26 @@ def test_ts_day_partition_pruning(spark, tmp_path):
         for f in read.select(F2.input_file_name().alias("file_path")).distinct().collect()
     ]
     assert all("ts_day=2025-01-01" in p for p in files)
+
+
+def test_invalid_conv_gate_drops_whole_conversation(spark):
+    """Reference abort semantics (SentimentClassification.java:280-284 ->
+    CompletePipelineWorker catch): one null-subject/pred fact poisons the
+    WHOLE conversation — nothing partial survives."""
+    from kgx import relations
+
+    facts = spark.createDataFrame(
+        [
+            ("c1", "acme", "pred1", 1),
+            ("c1", None, "pred1", 1),  # poisons all of c1
+            ("c2", "acme", "pred1", -1),
+            ("c3", "globex", None, 0),  # poisons all of c3
+            ("c3", "acme", "pred2", 1),
+        ],
+        "conv_id string, entity_name string, pred string, score_i int",
+    )
+    kept = relations.drop_invalid_convs(facts)
+    assert sorted(r["conv_id"] for r in kept.collect()) == ["c2"]
+    assert sorted(
+        r["conv_id"] for r in relations.invalid_convs(facts).collect()
+    ) == ["c1", "c3"]
