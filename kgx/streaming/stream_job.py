@@ -87,3 +87,56 @@ def start_kg_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def main() -> None:
+    """spark-submit entrypoint for the streaming deployment:
+
+        spark-submit --py-files kgx.zip kgx/streaming/stream_job.py \
+            --input /data/incoming --out /data/kg_stream \
+            --checkpoint /data/kg_stream_ckpt [--drain]
+
+    --drain = Trigger.AvailableNow: process everything present, then stop
+    (the FINISH semantics); without it the query runs until interrupted,
+    picking up new files as they land. Restart-safe either way: offsets
+    live in the checkpoint, the sink is batch-keyed overwrite."""
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    from kgx import session
+
+    p = argparse.ArgumentParser(description="kgx streaming KG-construction job")
+    p.add_argument(
+        "--input",
+        required=True,
+        help="transcript parquet DIRECTORY (file streaming sources watch "
+        "directories; new files landing here become micro-batches)",
+    )
+    p.add_argument("--out", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--max-files-per-trigger", type=int, default=4)
+    p.add_argument("--drain", action="store_true", help="AvailableNow: drain and stop")
+    args = p.parse_args()
+
+    spark = session.get_spark(
+        "kgx-stream", master=args.master, shuffle_partitions=args.shuffle_partitions
+    )
+    source = stream_transcripts_from_files(
+        spark, args.input, max_files_per_trigger=args.max_files_per_trigger
+    )
+    q = start_kg_stream(
+        spark, source, args.out, args.checkpoint, available_now=args.drain
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.out).count()
+    print(f"kgx-stream: {n} triples in {args.out}")
+
+
+if __name__ == "__main__":
+    main()
