@@ -1594,6 +1594,87 @@ FROM documents
 """
 
 
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation (SURVEY §2.8,
+    kgx.streaming.windowed): the events table replayed through a file
+    source in 3 micro-batches, 1-day event-time windows per event_type,
+    append mode — each window emits exactly once, when the watermark
+    passes its end. Two far-future sentinel files drain the final
+    windows (the streaming analogue of the reference's FINISH message,
+    CompletePipelineReceiver.java semantics); the sentinels' own 2030
+    windows never close, so they advance the watermark without emitting
+    (see kgx.streaming.windowed on why they must NOT be filtered
+    pre-aggregation). Sums accumulate in DECIMAL(18,2), so the result is
+    bit-identical to the batch oracle regardless of partitioning."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from kgx.streaming import windowed
+
+    base = tempfile.mkdtemp(prefix="kgx_wstream_q_")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    ev = _t(spark, sf_dir, "events")
+    schema = ev.schema
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{src}/p0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{src}/p1")
+    # TWO sentinels, both inside the SAME 1-day window: the watermark a
+    # batch uses is computed from earlier batches, so the first far-future
+    # row advances the watermark and the second's batch (plus the trailing
+    # no-data batch) flushes the now-closed final windows; the shared
+    # sentinel window [2030-01-01, 2030-01-02) itself never closes (final
+    # watermark 2030-01-01 11:59), so no __drain row reaches the sink
+    for sn, sts in (("__s1", "2030-01-01 00:00:00"), ("__s2", "2030-01-01 12:00:00")):
+        spark.createDataFrame(
+            [(int(-1), sts, int(0), "__drain", 0.0, None)],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/{sn}"
+        )
+    # file mtimes define micro-batch order: data first, sentinels last
+    # (otherwise the watermark jumps to 2030 in batch 0 and every real
+    # event is dropped as late)
+    for i, name in enumerate(("p0", "p1", "__s1", "__s2")):
+        for f in _glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    source = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        # parquet stores TIMESTAMP_NTZ; EventTimeWatermark requires
+        # session-tz TIMESTAMP (equal values — session tz is UTC)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed.windowed_event_counts(source, delay="1 minute")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .filter(~F.col("event_type").startswith(windowed.SENTINEL_PREFIX))
+        .select("window_start", "event_type", "n_events", "sum_value")
+    )
+
+
+STREAM_WINDOWED_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
     materialize.mention_evidence: mention kinds map to the reference's
@@ -2422,6 +2503,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_result_docs": (kg_result_docs, KG_RESULT_DOCS_SQL),
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "stream_conversation_docs": (stream_conversation_docs, STREAM_CONV_DOCS_SQL),
+    "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),

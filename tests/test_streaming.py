@@ -255,3 +255,82 @@ def test_streaming_dedup_exact_and_watermarked(spark, tmp_path):
     # doc2 (duplicate within 10 min) suppressed; doc4 (next day, state
     # evicted by the watermark) re-emits
     assert wm == {0, 1, 3, 4, 5, 6}
+
+
+def test_windowed_agg_drops_late_data_and_drains_on_sentinel(spark, tmp_path):
+    """Watermarked tumbling-window agg (kgx.streaming.windowed): a row
+    arriving after the watermark passed its window's end is DROPPED (late
+    data); far-future sentinel rows advance the watermark and drain the
+    final windows but never emit (their own windows never close). Sums are
+    exact DECIMAL(18,2) accumulations."""
+    import time as _time
+
+    import pandas as pd
+
+    from kgx.streaming import windowed
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def ev(i, ts, etype, value):
+        return {"event_id": i, "ts": pd.Timestamp(ts), "event_type": etype,
+                "value": value}
+
+    # window = 1 hour, delay = 10 min. The watermark a batch uses is
+    # computed from data one-to-two batches back (update lags commit), so
+    # a spacer batch sits between the watermark-advancing event and the
+    # late arrival.
+    batches = [
+        # window [10:00, 11:00)
+        [ev(0, "2025-01-01 10:00:00", "click", 1.0),
+         ev(1, "2025-01-01 10:10:00", "click", 2.0)],
+        # advances max event time to 12:30 → watermark 12:20 downstream
+        [ev(2, "2025-01-01 12:30:00", "click", 4.0)],
+        # spacer: by the batch after this one the 12:20 watermark is live
+        [ev(3, "2025-01-01 12:35:00", "click", 16.0)],
+        # on-time row for [12:00, 13:00) + a LATE row for the already-closed
+        # [10:00, 11:00) window (watermark 12:20 > window end 11:00) → dropped
+        [ev(4, "2025-01-01 12:40:00", "click", 8.0),
+         ev(5, "2025-01-01 10:20:00", "click", 100.0)],
+        # two drain sentinels INSIDE THE SAME 1h window: the first advances
+        # the watermark past every real window, the second's batch (plus the
+        # trailing no-data batch) flushes closed state; their own window
+        # [2030-01-01 00:00, 01:00) never closes (final watermark 00:10), so
+        # no __drain row is ever emitted
+        [ev(6, "2030-01-01 00:00:00", "__drain", 0.0)],
+        [ev(7, "2030-01-01 00:20:00", "__drain", 0.0)],
+    ]
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed.windowed_event_counts(stream, window="1 hour", delay="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("windowed_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM windowed_mem").collect()
+    }
+    assert rows == {
+        # late event 5 (value 100.0) is NOT counted
+        ("2025-01-01 10:00:00", "click"): (2, 3.0),
+        ("2025-01-01 12:00:00", "click"): (3, 28.0),
+        # no __drain windows: the sentinels' 2030 window never closed
+    }
