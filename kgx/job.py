@@ -199,6 +199,13 @@ def main() -> None:
         default=None,
         help="salt buckets for the two-phase hot-entity document rollup",
     )
+    p.add_argument(
+        "--kb",
+        default=None,
+        help="KB snapshot dir ({gazetteer,lexicon,indicators,feature_alias,"
+        "feature_surfaces}.parquet|tsv, see resources.save_knowledge); "
+        "default: built-in synthetic KB",
+    )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
 
@@ -210,6 +217,7 @@ def main() -> None:
         spark,
         transcripts,
         args.out,
+        kb=resources.load_knowledge(args.kb) if args.kb else None,
         num_partitions=args.num_partitions,
         max_text_len=args.max_text_len,
         resume=not args.no_resume,

@@ -273,3 +273,77 @@ def dom_label(score: float | None) -> str:
     if s >= 1.0:
         return DOM_BOUNDS[-1][0]
     return "n/a"
+
+
+# --- KB snapshots on disk (S9 production path) ------------------------------
+#
+# The reference ships its knowledge as a versioned OWL file loaded at worker
+# start (WeblogTag.java:83-116); the deployment analogue here is a directory
+# of one small parquet (or TSV) file per dimension, written/read driver-side
+# (the dims are a few thousand rows — they are always broadcast, never read
+# distributed). `KnowledgeBase.version()` over the loaded rows reproduces the
+# exact snapshot id stamped into lineage, so a run's provenance names the
+# file-set it was extracted with.
+
+_KB_COLUMNS: dict[str, list[str]] = {
+    "gazetteer": ["entity_uri", "entity_name", "entity_type", "surface"],
+    "lexicon": ["term", "polarity"],
+    "indicators": [
+        "indicator_uri", "name", "surface", "ind_type",
+        "correlation", "object_class", "feature_uri",
+    ],
+    "feature_alias": ["alias", "canonical"],
+    "feature_surfaces": ["surface", "feature_uri"],
+}
+_KB_INT_COLS = {"correlation"}
+
+
+def save_knowledge(kb: KnowledgeBase, path: str, fmt: str = "parquet") -> str:
+    """Write a KB snapshot as {path}/{dim}.{parquet|tsv}; returns kb.version()."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    for dim, cols in _KB_COLUMNS.items():
+        pdf = pd.DataFrame(getattr(kb, dim), columns=cols)
+        if fmt == "parquet":
+            pdf.to_parquet(os.path.join(path, f"{dim}.parquet"), index=False)
+        elif fmt == "tsv":
+            pdf.to_csv(os.path.join(path, f"{dim}.tsv"), sep="\t", index=False)
+        else:
+            raise ValueError(f"unknown KB format: {fmt!r}")
+    return kb.version()
+
+
+def load_knowledge(path: str) -> KnowledgeBase:
+    """Load a KB snapshot written by save_knowledge (or hand-authored TSVs
+    with the same headers). Per dimension, {dim}.parquet wins over {dim}.tsv;
+    a missing file is an error — a partial KB silently drops extraction rules."""
+    import os
+
+    import pandas as pd
+
+    dims: dict[str, list[tuple]] = {}
+    for dim, cols in _KB_COLUMNS.items():
+        pq, tsv = (os.path.join(path, f"{dim}.{e}") for e in ("parquet", "tsv"))
+        if os.path.exists(pq):
+            pdf = pd.read_parquet(pq)
+        elif os.path.exists(tsv):
+            pdf = pd.read_csv(tsv, sep="\t")
+        else:
+            raise FileNotFoundError(f"KB snapshot at {path} is missing {dim}")
+        missing = [c for c in cols if c not in pdf.columns]
+        if missing:
+            raise ValueError(f"KB {dim} at {path} lacks columns {missing}")
+        pdf = pdf[cols]
+        # native Python types: numpy scalars break KnowledgeBase.version()
+        # repr-stability and (historically) createDataFrame
+        dims[dim] = [
+            tuple(
+                int(v) if c in _KB_INT_COLS else str(v)
+                for c, v in zip(cols, row)
+            )
+            for row in pdf.itertuples(index=False, name=None)
+        ]
+    return KnowledgeBase(**dims)

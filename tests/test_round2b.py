@@ -289,3 +289,32 @@ def test_invalid_conv_gate_drops_whole_conversation(spark):
     assert sorted(
         r["conv_id"] for r in relations.invalid_convs(facts).collect()
     ) == ["c1", "c3"]
+
+
+def test_kb_snapshot_roundtrip_and_job_flag(spark, tmp_path):
+    """S9 production path: save_knowledge/load_knowledge round-trips the KB
+    through parquet AND hand-editable TSV with an identical snapshot id
+    (the kb_version stamped into lineage), loaded dims are Spark-usable,
+    and a partial snapshot is a hard error, not a silently weaker KB."""
+    import pytest
+
+    from kgx import resources
+
+    kb = resources.default_kb()
+    for fmt in ("parquet", "tsv"):
+        d = str(tmp_path / fmt)
+        assert resources.save_knowledge(kb, d, fmt=fmt) == kb.version()
+        loaded = resources.load_knowledge(d)
+        assert loaded.version() == kb.version()
+        assert sorted(loaded.gazetteer) == sorted(kb.gazetteer)
+        assert sorted(loaded.indicators) == sorted(kb.indicators)
+    # loaded dims build real DataFrames (native types survived the I/O)
+    assert resources.load_knowledge(
+        str(tmp_path / "parquet")
+    ).indicators_df(spark).count() == len(kb.indicators)
+
+    import os
+
+    os.remove(str(tmp_path / "parquet" / "lexicon.parquet"))
+    with pytest.raises(FileNotFoundError, match="lexicon"):
+        resources.load_knowledge(str(tmp_path / "parquet"))
