@@ -2240,6 +2240,30 @@ FROM events GROUP BY user_id
 """
 
 
+def setop_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set operators as set operators (not join rewrites): users
+    active in BOTH halves of the month (INTERSECT) vs. first-half users
+    who churned (EXCEPT). Both inputs are distinct projections, so
+    intersect/exceptAll are exact set semantics; Catalyst plans them as
+    aggregated joins (semi/anti) without hand-rolling either."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    h1 = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    h2 = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    return h1.intersect(h2).withColumn("status", F.lit("retained")).unionByName(
+        h1.exceptAll(h2).withColumn("status", F.lit("churned"))
+    )
+
+
+SETOP_RETENTION_SQL = """
+WITH h1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+     h2 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+SELECT user_id, 'retained' AS status FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+UNION ALL
+SELECT user_id, 'churned' AS status FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+"""
+
+
 TPCH_TOPK_SQL = """
 SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS BIGINT) AS rk
 FROM (
@@ -2529,4 +2553,5 @@ REGISTRY: dict[str, tuple] = {
     "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
     "tpch_rollup_revenue": (tpch_rollup_revenue, TPCH_ROLLUP_SQL),
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "setop_user_retention": (setop_user_retention, SETOP_RETENTION_SQL),
 }
