@@ -111,6 +111,7 @@ def run_pipeline(
         lineage.mark_stage_ok(paths["phrase_edges"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["doc_meta"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms, kb_version=kb.version())
+        lineage.append_partition_lineage(spark, lin_dir, run_id, "extract", paths["facts"], kb_version=kb.version())
 
     facts = spark.read.parquet(paths["facts"])
     turn_feats = spark.read.parquet(paths["turn_feats"])
@@ -144,6 +145,7 @@ def run_pipeline(
         lineage.mark_stage_ok(paths["indicator_nodes"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["results"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "triples", None, None, t.wall_ms, kb_version=kb.version())
+        lineage.append_partition_lineage(spark, lin_dir, run_id, "triples", paths["triples"], kb_version=kb.version())
 
     triples = spark.read.parquet(paths["triples"])
 
@@ -154,6 +156,7 @@ def run_pipeline(
             materialize.write_nodes(nodes, paths["nodes"])
         lineage.mark_stage_ok(paths["nodes"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms, kb_version=kb.version())
+        lineage.append_partition_lineage(spark, lin_dir, run_id, "nodes", paths["nodes"], kb_version=kb.version())
 
     # -- stage: read-side analytics (entity degrees + corpus rollup) --------
     analytics_ok = all(

@@ -46,6 +46,33 @@ def partition_counts(df: DataFrame) -> DataFrame:
     )
 
 
+def append_partition_lineage(
+    spark: SparkSession,
+    lineage_dir: str,
+    run_id: str,
+    stage: str,
+    out_path: str,
+    kb_version: str | None = None,
+) -> None:
+    """Per-partition metric rows for a stage's written output: one lineage
+    row per physical scan partition with its row count (partition_id set;
+    the stage summary row keeps partition_id NULL). Computed by re-reading
+    the output with zero data columns — parquet satisfies a bare count from
+    footer row counts, so this is a metadata-priced pass even on a 100 TB
+    output — and written distributed (no driver collect)."""
+    counts = partition_counts(spark.read.parquet(out_path))
+    counts.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("partition_id").cast("int"),
+        F.lit(None).cast("long").alias("rows_in"),
+        F.col("rows").cast("long").alias("rows_out"),
+        F.lit(None).cast("long").alias("wall_ms"),
+        F.lit(kb_version).alias("kb_version"),
+        F.current_timestamp().alias("ts"),
+    ).write.mode("append").parquet(lineage_dir)
+
+
 def append_lineage(
     spark: SparkSession,
     lineage_dir: str,

@@ -154,6 +154,22 @@ def test_kb_version_stamped_into_lineage(spark, tmp_path):
     kb2 = resources.driver_kb()
     assert kb2.version() != kb.version()
 
+    # per-partition metric rows (north rule: per-partition lineage): for
+    # each core output, partition_id-tagged rows whose counts sum to the
+    # written row count; stage summary rows keep partition_id NULL
+    import pyspark.sql.functions as F
+
+    for stage, out_name in (("extract", "facts"), ("triples", "triples"), ("nodes", "nodes")):
+        per_part = lin.filter(
+            (F.col("stage") == stage) & F.col("partition_id").isNotNull()
+        )
+        assert per_part.count() >= 1, stage
+        total = per_part.agg(F.sum("rows_out")).collect()[0][0]
+        assert total == spark.read.parquet(f"{out}/{out_name}").count(), stage
+        assert lin.filter(
+            (F.col("stage") == stage) & F.col("partition_id").isNull()
+        ).count() == 1, stage
+
 
 # ---------------------------------------------------------------------------
 # lang-id tie rule
