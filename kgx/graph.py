@@ -108,3 +108,83 @@ def two_hop_counts(edges: DataFrame, sources: DataFrame) -> DataFrame:
     return hop2.groupBy("origin").agg(
         F.countDistinct("nbr2").alias("n_two_hop")
     )
+
+
+def copurchase_edges(pairs: DataFrame, key: str, node: str, min_support: int = 2) -> DataFrame:
+    """Project a bipartite (key, node) membership table onto node—node
+    edges: two nodes are linked iff they share >= min_support keys
+    (e.g. suppliers co-serving >= 2 customers).
+
+    One self-join co-partitioned on `key` (the natural blocking key), then
+    a (u,v) count-filter. Hot keys fan out quadratically in their node
+    count — at 10^12-row scale cap per-key membership first (same
+    document-frequency cap as kgx/dedup.ngram_jaccard_pairs max_df); the
+    min_support filter then prunes the long tail of weak edges before any
+    downstream traversal.
+    """
+    m = pairs.select(F.col(key).alias("k"), F.col(node).alias("n")).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    co = a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.n") < F.col("b.n"))).select(
+        F.col("a.n").alias("u"), F.col("b.n").alias("v")
+    )
+    return (
+        co.groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+
+
+def triangle_counts(edges_uv: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over a unique undirected
+    edge list (u < v per row).
+
+    Degree-ordered orientation ("compact-forward"): each edge is directed
+    from its lower-(deg, id) endpoint to the higher one, so every triangle
+    is enumerated exactly once from its lowest-degree corner and the
+    wedge join fans out by the SMALL endpoint's degree — O(E^1.5) work
+    bound instead of Σ deg² — the property that keeps hub nodes (a
+    supplier serving every customer) from exploding the wedge stage at
+    10^9+ edges. Three hash joins on node keys; AQE splits skewed hubs.
+
+    Orientation does not change the triangle set, so a plain u<v<w
+    3-way-join SQL oracle counts the same triangles.
+    """
+    sym = edges_uv.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges_uv.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    dsrc = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    ddst = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    # degree tables are O(|V|) — broadcast; AQE demotes if the estimate
+    # is wrong at real scale
+    oriented = (
+        edges_uv.join(F.broadcast(dsrc), "u")
+        .join(F.broadcast(ddst), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+        .persist()
+    )
+    wedges = oriented.join(
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    out = corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+    out = out.localCheckpoint(eager=True)
+    oriented.unpersist()
+    return out

@@ -1675,6 +1675,156 @@ GROUP BY 1, 2
 """
 
 
+def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (kgx.streaming.joins): the
+    events table replayed chronologically in two micro-batches through TWO
+    file-source streams (clicks / purchases), each purchase attributed to
+    same-user clicks in the preceding hour. Inner-join rows emit as soon
+    as both sides arrive, so the AvailableNow drain needs no sentinels —
+    the chronological split guarantees no on-time row is ever behind the
+    watermark; the watermarks + time-range bound exist to evict join
+    state, the thing that matters on an unbounded feed."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from kgx.streaming import joins
+
+    base = tempfile.mkdtemp(prefix="kgx_jstream_q_")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p0")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p1")
+    for i, name in enumerate(("p0", "p1")):
+        for f in _glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    def side(etype: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == etype)
+        )
+
+    j = joins.attribute_purchases(side("click"), side("purchase"))
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "click_id", "purchase_id", "user_id", "gap_sec"
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join
+    (kgx.streaming.joins.attribute_purchases_outer): unlike the inner
+    variant, the NULL rows for never-converted clicks can only emit once
+    the global watermark proves no matching purchase will arrive — so the
+    AvailableNow drain appends two far-future sentinel files (one click +
+    one purchase each, negative user ids) that push the final watermark
+    past every real click's eviction horizon while staying inside their
+    OWN horizon (the streaming analogue of the reference's FINISH
+    message). Sentinels are filtered from the sink read; every real click
+    appears at least once, matched or NULL."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from kgx.streaming import joins
+
+    base = tempfile.mkdtemp(prefix="kgx_jostream_q_")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(f"{src}/p0")
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.parquet(f"{src}/p1")
+    # two sentinel batches: the watermark a batch uses comes from EARLIER
+    # batches, so s1 advances it to 2030 and s2's batch flushes the
+    # now-evictable clicks; all four sentinel rows sit within one hour of
+    # each other, so no sentinel click's own horizon is ever passed
+    sent = [
+        ("__s1", -1, "2030-01-01 00:00:00", "click", -1),
+        ("__s1", -2, "2030-01-01 00:30:00", "purchase", -2),
+        ("__s2", -3, "2030-01-01 00:40:00", "click", -3),
+        ("__s2", -4, "2030-01-01 00:45:00", "purchase", -4),
+    ]
+    for sn in ("__s1", "__s2"):
+        spark.createDataFrame(
+            [(int(eid), ts, int(uid), et, 0.0, None) for f_, eid, ts, et, uid in sent if f_ == sn],
+            "event_id long, ts string, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/{sn}"
+        )
+    for i, name in enumerate(("p0", "p1", "__s1", "__s2")):
+        for f in _glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    def side(etype: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == etype)
+        )
+
+    j = joins.attribute_purchases_outer(side("click"), side("purchase"))
+    q = (
+        j.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("click_id", "purchase_id", "user_id", "gap_sec")
+    )
+
+
+STREAM_JOIN_OUTER_SQL = """
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
     materialize.mention_evidence: mention kinds map to the reference's
@@ -2487,6 +2637,47 @@ SELECT origin, count(DISTINCT nbr2) AS n_two_hop FROM hop2 GROUP BY origin
 """
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the supplier co-purchase
+    projection (suppliers linked iff they co-serve >= 2 customers),
+    via degree-ordered orientation (graph.triangle_counts) — each
+    triangle enumerated once from its lowest-degree corner, the wedge
+    join bounded by the small endpoint's degree (O(E^1.5), hub-safe at
+    10^9 edges). The oracle counts the same triangles with a plain
+    u<v<w 3-way join — orientation changes cost, never the result."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+    )
+    edges = graph.copurchase_edges(pairs, "o_custkey", "l_suppkey", min_support=2)
+    return graph.triangle_counts(edges).select(
+        F.col("node").cast("bigint").alias("suppkey"), "n_triangles"
+    )
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS k, l_suppkey AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT a.n AS u, b.n AS v
+  FROM m a JOIN m b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT CAST(node AS BIGINT) AS suppkey, count(*) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2528,6 +2719,8 @@ REGISTRY: dict[str, tuple] = {
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "stream_conversation_docs": (stream_conversation_docs, STREAM_CONV_DOCS_SQL),
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
+    "stream_join_attribution": (stream_join_attribution, STREAM_JOIN_SQL),
+    "stream_join_outer": (stream_join_outer, STREAM_JOIN_OUTER_SQL),
     "cc_canonicalize": (cc_canonicalize, CC_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
@@ -2550,6 +2743,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
     "tpch_rollup_revenue": (tpch_rollup_revenue, TPCH_ROLLUP_SQL),
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),

@@ -318,3 +318,33 @@ def test_kb_snapshot_roundtrip_and_job_flag(spark, tmp_path):
     os.remove(str(tmp_path / "parquet" / "lexicon.parquet"))
     with pytest.raises(FileNotFoundError, match="lexicon"):
         resources.load_knowledge(str(tmp_path / "parquet"))
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {1,2,3,4} plus pendant 4-5: K4 has 4 triangles, each corner
+    in exactly 3; node 5 is in none. Degree-ordered orientation must
+    count each triangle exactly once per corner."""
+    from kgx import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "u int, v int",
+    )
+    got = {r["node"]: r["n_triangles"] for r in graph.triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_copurchase_edges_min_support(spark):
+    """Suppliers linked iff they share >= 2 customers; hot-key fanout is
+    per-customer and the weak (support-1) edge is pruned."""
+    from kgx import graph
+
+    pairs = spark.createDataFrame(
+        [(100, 1), (100, 2), (101, 1), (101, 2), (101, 3), (102, 2), (102, 3)],
+        "cust int, supp int",
+    )
+    got = sorted(
+        (r["u"], r["v"])
+        for r in graph.copurchase_edges(pairs, "cust", "supp", min_support=2).collect()
+    )
+    assert got == [(1, 2), (2, 3)]

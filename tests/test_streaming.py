@@ -334,3 +334,131 @@ def test_windowed_agg_drops_late_data_and_drains_on_sentinel(spark, tmp_path):
         ("2025-01-01 12:00:00", "click"): (3, 28.0),
         # no __drain windows: the sentinels' 2030 window never closed
     }
+
+
+def test_stream_stream_join_attributes_across_batches(spark, tmp_path):
+    """Watermarked stream-stream inner join (kgx.streaming.joins): a click
+    in micro-batch 0 must still match a purchase arriving in micro-batch 1
+    (join state buffered across triggers), while a purchase >1h after the
+    click never emits."""
+    import time as _time
+
+    import pandas as pd
+
+    from kgx.streaming import joins
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def ev(eid, ts, etype, uid):
+        return {"event_id": eid, "ts": ts, "event_type": etype, "user_id": uid}
+
+    batches = [
+        [
+            ev(1, "2025-01-01 10:00:00", "click", 7),
+            ev(2, "2025-01-01 10:10:00", "purchase", 7),  # same-batch match, gap 600
+            ev(3, "2025-01-01 09:00:00", "click", 8),
+        ],
+        [
+            ev(4, "2025-01-01 10:30:00", "purchase", 7),  # cross-batch match to click 1
+            ev(5, "2025-01-01 11:30:00", "purchase", 8),  # 2.5h after click 3 → no match
+            ev(6, "2025-01-01 10:05:00", "purchase", 9),  # no click for user 9
+        ],
+    ]
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    def side(etype):
+        return (
+            spark.readStream.schema("event_id bigint, ts timestamp, event_type string, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == etype)
+        )
+
+    j = joins.attribute_purchases(side("click"), side("purchase"))
+    q = (
+        j.writeStream.format("memory")
+        .queryName("jstream_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_j"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["click_id"], r["purchase_id"]): (r["user_id"], r["gap_sec"])
+        for r in spark.sql("SELECT * FROM jstream_mem").collect()
+    }
+    assert got == {
+        (1, 2): (7, 600),
+        (1, 4): (7, 1800),
+    }
+
+
+def test_stream_stream_outer_join_emits_null_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unconverted click emits a NULL
+    purchase row, but only after far-future sentinel rows push the global
+    watermark past its eviction horizon; the sentinels themselves never
+    emit (their own horizon stays ahead of the final watermark)."""
+    import time as _time
+
+    import pandas as pd
+
+    from kgx.streaming import joins
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def ev(eid, ts, etype, uid):
+        return {"event_id": eid, "ts": ts, "event_type": etype, "user_id": uid}
+
+    batches = [
+        [
+            ev(1, "2025-01-01 10:00:00", "click", 7),
+            ev(2, "2025-01-01 10:10:00", "purchase", 7),  # matched, gap 600
+            ev(3, "2025-01-01 10:00:00", "click", 8),  # never converts
+        ],
+        # sentinel batch 1 advances the watermark; batch 2's trigger then
+        # evicts click 3 and emits its NULL row
+        [ev(-1, "2030-01-01 00:00:00", "click", -1), ev(-2, "2030-01-01 00:30:00", "purchase", -2)],
+        [ev(-3, "2030-01-01 00:40:00", "click", -3), ev(-4, "2030-01-01 00:45:00", "purchase", -4)],
+    ]
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    def side(etype):
+        return (
+            spark.readStream.schema("event_id bigint, ts timestamp, event_type string, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == etype)
+        )
+
+    j = joins.attribute_purchases_outer(side("click"), side("purchase"))
+    q = (
+        j.writeStream.format("memory")
+        .queryName("jostream_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_jo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM jostream_mem WHERE user_id >= 0").collect()
+    got = {(r["click_id"], r["purchase_id"]): r["gap_sec"] for r in rows}
+    assert got == {(1, 2): 600, (3, None): None}
+    # sentinel clicks must not have leaked NULL rows
+    assert spark.sql("SELECT count(*) c FROM jostream_mem WHERE user_id < 0").collect()[0]["c"] == 0
