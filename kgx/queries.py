@@ -242,6 +242,34 @@ SELECT conv_id, turn_idx, level, subj_name, subj_uri, subj_type, pred,
 FROM labeled
 """
 
+def agg_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot entities (north rule;
+    aggregate.salted_doc_rollup): partial pos/neg counts per
+    (group, salt-of-row) then a final rollup over the 16 salt buckets —
+    the reduce-side state for a hot key ('EUR' in 1% of 10^12 turns) is
+    bounded by buckets, not corpus size. Salting must NOT change the
+    answer: the oracle is the plain one-phase GROUP BY."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    out = agg_mod.salted_doc_rollup(facts, salt_buckets=16)
+    return out.select(
+        "conv_id",
+        "name_lc",
+        "pred",
+        "pos",
+        "neg",
+        F.col("subj.entity_name").alias("subj_name"),
+    )
+
+
+AGG_SALTED_SQL = _KG_SQL_PROLOGUE + """
+SELECT conv_id, lower(name) AS name_lc, pred,
+       CAST(sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       CAST(sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+       min(name) AS subj_name
+FROM facts GROUP BY 1, 2, 3
+"""
+
+
 KG_FALLBACK_SQL = _KG_SQL_PROLOGUE + f"""
 , no_so AS (
   SELECT s.conv_id, s.pos, s.neg
@@ -2728,6 +2756,7 @@ REGISTRY: dict[str, tuple] = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),
     "a2_group_pairs": (a2_group_pairs, A2_SQL),
+    "agg_salted_rollup": (agg_salted_rollup, AGG_SALTED_SQL),
     "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
