@@ -2385,6 +2385,38 @@ GROUP BY ROLLUP (n_name, o_orderpriority)
 """
 
 
+def tpch_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): all four grouping sets in
+    one shuffle. GROUPING() bits disambiguate a real NULL group key from a
+    subtotal row — without them a cube over nullable keys is ambiguous
+    (both engines emit the same grouping ids, so the row set is
+    hash-comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_items", "sum_qty")
+    )
+
+
+TPCH_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -2775,6 +2807,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
     "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
     "tpch_rollup_revenue": (tpch_rollup_revenue, TPCH_ROLLUP_SQL),
+    "tpch_cube_volume": (tpch_cube_volume, TPCH_CUBE_SQL),
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
     "setop_user_retention": (setop_user_retention, SETOP_RETENTION_SQL),
 }
