@@ -150,6 +150,10 @@ def triangle_counts(edges_uv: DataFrame) -> DataFrame:
     Orientation does not change the triangle set, so a plain u<v<w
     3-way-join SQL oracle counts the same triangles.
     """
+    # the edge list feeds degree counting AND orientation — persist it
+    # once or every reference replays its upstream plan (for a projection
+    # input that is a full self-join, a multiplicative re-scan)
+    edges_uv = edges_uv.persist()
     sym = edges_uv.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges_uv.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -185,6 +189,8 @@ def triangle_counts(edges_uv: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     out = corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
-    out = out.localCheckpoint(eager=True)
-    oriented.unpersist()
+    # oriented is read three times (both wedge sides + the closing
+    # semi-check); the persist barrier computes it once. Caller owns the
+    # unpersist, same contract as relations.sentence_facts.
+    out._kgx_persisted = [edges_uv, oriented]
     return out
