@@ -892,6 +892,54 @@ WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
 """
 
 
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER collapse: n-gram Jaccard pairs (hot-shingle-capped)
+    become an undirected graph; connected components (kgx.canonical —
+    min-label + pointer jumping, the same engine that canonicalizes
+    entities) assign every duplicated doc its cluster keeper = min doc_id.
+    This is the training-data dedup endgame: pairs alone can't be acted
+    on (A~B, B~C must collapse to ONE keeper, not two independent drops).
+    Only docs that appear in some pair are emitted; singletons keep
+    themselves by definition."""
+    from kgx import canonical
+
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=5, threshold=0.2, max_df=_NGRAM_MAX_DF
+    )
+    nodes = (
+        pairs.select(F.col("id_a").cast("long").alias("entity_id"))
+        .unionByName(pairs.select(F.col("id_b").cast("long").alias("entity_id")))
+        .distinct()
+    )
+    # star convention of canonical.connected_components: src > dst so the
+    # seed min(dst) strictly decreases labels (id_a < id_b per pair)
+    edges = pairs.select(
+        F.col("id_b").cast("long").alias("src"), F.col("id_a").cast("long").alias("dst")
+    )
+    cc = canonical.connected_components(nodes, edges)
+    return cc.select(
+        F.col("entity_id").alias("doc_id"), F.col("canonical_id").alias("keep_id")
+    )
+
+
+DEDUP_CANON_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_SQL}),
+nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk AS (
+  SELECT id, id AS comp FROM nodes
+  UNION
+  SELECT s.src AS id, w.comp FROM sym s JOIN walk w ON w.id = s.dst
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(comp) AS BIGINT) AS keep_id
+FROM walk GROUP BY id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup, cross-engine-exact variant: shingle hashes and
     band keys derive from md5 (dedup.md5_hash60), which DuckDB reproduces
@@ -2765,6 +2813,7 @@ REGISTRY: dict[str, tuple] = {
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
+    "dedup_canonical_docs": (dedup_canonical_docs, DEDUP_CANON_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
