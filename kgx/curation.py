@@ -1,0 +1,219 @@
+"""Training-data curation operators for LLM-scale corpora.
+
+The "last mile" of a pretraining pipeline after dedup (kgx.dedup) and
+quality scoring (kgx.textops): decide what may enter the training mix and
+shape it into trainable units.
+
+Operators:
+  * contamination_flags — benchmark decontamination: flag corpus docs whose
+    n-gram shingles overlap a held-out benchmark set. The benchmark side is
+    tiny relative to a 100 TB corpus, so its distinct shingle hashes are
+    BROADCAST and the corpus side is a map-side semi-probe — the corpus
+    text is scanned once and never shuffled.
+  * pack_sequences — deterministic greedy first-fit-in-order packing of
+    docs into fixed-token-budget bins (sequence packing for training).
+    Inherently sequential PER GROUP, parallel ACROSS groups: implemented
+    with applyInPandas over the grouping key (Arrow-batched, bounded state
+    = one group), the sanctioned Spark shape for per-key running state.
+  * pii_redact — JVM-regex redaction of emails / IPv4s / long digit runs,
+    with per-doc redaction counts and a digest of the redacted text.
+    Map-only, whole-stage-codegen; regexes restricted to the syntax subset
+    Java regex and RE2 (DuckDB) share, so the oracle reproduces it exactly.
+  * stratified_sample — deterministic hash-based per-stratum sampling
+    (rate per language). Map-only; reproducible across engines via the
+    md5-derived bucket (kgx.dedup.md5_hash60), so resampling a grown
+    corpus keeps previously-kept docs stable (additive-corpus property).
+
+Reference parity note: the reference engine has no curation stage (it is a
+per-document extraction service); these operators are the large-scale
+training-data additions the build brief asks for, grouped apart from the
+SURVEY §2 parity ops on purpose.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from kgx.dedup import md5_hash60, shingles_from_tokens
+from kgx.textops import tokens
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    threshold: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus docs contaminated by a benchmark set.
+
+    A doc is contaminated when >= `threshold` of its distinct n-gram
+    shingles appear anywhere in the benchmark corpus (the standard
+    n-gram-overlap decontamination rule used for pretraining corpora).
+
+    Scale shape: the benchmark's distinct shingle-hash set is collected
+    into a BROADCAST hash join build side (benchmarks are ~10^5 items even
+    when the corpus is 10^10 docs), so the corpus side stays map-only:
+    tokenize -> explode distinct shingles -> broadcast-probe -> per-doc
+    count. No corpus-text shuffle; the only exchange carries
+    (doc_id, n_shingles, n_hit) longs.
+
+    Returns (id_col, n_shingles, n_overlap, overlap_ratio, contaminated).
+    """
+    def shingle_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = df.select(
+            *([F.col(id_col)] if keep_id else []),
+            tokens(F.lower(F.col(text_col))).alias("toks"),
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return toks.select(
+            *cols, F.explode(shingles_from_tokens(F.col("toks"), n)).alias("sh")
+        ).select(*cols, md5_hash60(F.col("sh")).alias("sh_h"))
+
+    bench_sh = (
+        shingle_hashes(benchmark, keep_id=False)
+        .distinct()
+        .withColumn("bench_hit", F.lit(1))
+    )
+    doc_sh = shingle_hashes(docs, keep_id=True)
+    hits = doc_sh.join(F.broadcast(bench_sh), "sh_h", "left").withColumn(
+        "hit", F.coalesce(F.col("bench_hit"), F.lit(0))
+    )
+    agg = hits.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("hit").cast("bigint").alias("n_overlap"),
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("overlap_ratio"),
+        (ratio >= F.lit(threshold)).alias("contaminated"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing into fixed token budgets.
+
+    Docs are processed in `id_col` order within each `group_col` partition;
+    a doc that would overflow the current bin starts a new one (a doc
+    larger than the whole budget gets a bin to itself). This is the
+    standard streaming packing rule for building fixed-length training
+    sequences without splitting documents.
+
+    Scale shape: the running (bin_id, fill) state is inherently sequential
+    per group, so the token counts (NOT the text) are computed JVM-side
+    first, then a tiny (group, id, n_tokens) frame goes through
+    applyInPandas keyed by the group — parallel across groups, O(rows of
+    one group) state per task. At 10^12 tokens the group key is whatever
+    bounds a packing domain (source shard / date); text never shuffles.
+
+    Returns (group_col, id_col, n_tokens, bin_id).
+    """
+    toks = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
+    )
+
+    schema = (
+        f"{group_col} string, {id_col} long, n_tokens long, bin_id long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            if fill > 0 and fill + t > budget:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[[group_col, id_col, "n_tokens", "bin_id"]]
+
+    return toks.groupBy(group_col).applyInPandas(pack, schema=schema)
+
+
+# Redaction patterns restricted to the Java-regex ∩ RE2 syntax subset so the
+# DuckDB oracle replays them byte-identically. Order matters (email before
+# digit-run so the digits inside an address are consumed first).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("digits", r"\b[0-9]{9,}\b", "<NUM>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact PII-shaped spans and count them per doc.
+
+    Emails, IPv4 addresses and long digit runs (card/ID-shaped) are
+    replaced by typed placeholder tokens, applied in a fixed order.
+    Map-only whole-stage-codegen regexps — no Python, no shuffle; at
+    100 TB this is a pure scan whose cost is the regex engine itself.
+
+    Returns (id_col, n_email, n_ipv4, n_digits, redacted_md5) — the digest
+    stands in for the (potentially huge) redacted text in result sets;
+    callers that want the text use the same expression via `redact_col`.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling (training-mix construction).
+
+    Each doc gets a stable bucket in [0, 10000) from
+    md5(stratum || ':' || id); it is kept iff bucket < rate(stratum)*10000.
+    Properties that matter at corpus scale: map-only (no shuffle, no RNG
+    state), reproducible run-to-run, and ADDITIVE — growing the corpus or
+    raising a stratum's rate never drops a previously-kept doc.
+
+    Returns the kept rows as (id_col, stratum_col, bucket).
+    """
+    bucket = F.pmod(
+        md5_hash60(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    thresh = F.lit(int(default_rate * 10000))
+    # fold the rate map into a CASE ladder (constant-folded by Catalyst)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(rate * 10000))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), bucket.alias("bucket"))
+        .where(F.col("bucket") < thresh)
+    )

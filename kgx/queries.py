@@ -2791,6 +2791,193 @@ FROM corners GROUP BY 1
 # ---------------------------------------------------------------------------
 
 # name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+# Training-data curation (kgx.curation): decontamination, packing, PII,
+# stratified sampling — the post-dedup "what enters the training mix" stage.
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8
+_CONTAM_THRESHOLD = 0.10
+
+
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc_id % 50 == 0 doc plays the
+    held-out benchmark; the rest of the corpus is checked for 8-gram
+    overlap. Benchmark shingle hashes are broadcast (tiny vs corpus), so
+    the corpus text is scanned once, map-only, and only per-doc count
+    longs shuffle."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    out = curation.contamination_flags(
+        corpus, bench, n=_CONTAM_N, threshold=_CONTAM_THRESHOLD
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_overlap",
+        "overlap_ratio",
+        "contaminated",
+    )
+
+
+CURATE_CONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_CONTAM_N} THEN
+           list_distinct([array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')
+                          FOR i IN range(1, len(toks) - {_CONTAM_N - 2})])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM tok
+),
+shh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS sh_h
+  FROM sh
+),
+bench AS (SELECT DISTINCT sh_h FROM shh WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM shh WHERE doc_id % 50 <> 0),
+agg AS (
+  SELECT c.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.sh_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
+  FROM corpus c LEFT JOIN bench b USING (sh_h)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio,
+       (CAST(n_overlap AS DOUBLE) / n_shingles) >= {_CONTAM_THRESHOLD}
+         AS contaminated
+FROM agg
+"""
+
+
+_PACK_BUDGET = 120
+
+
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing into 120-token bins,
+    parallel per `source` via applyInPandas (per-group running state is the
+    one place the registry legitimately needs keyed Python state)."""
+    from kgx import curation
+
+    return curation.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    ).select("source", "doc_id", "n_tokens", "bin_id")
+
+
+CURATE_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN w.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM t JOIN walk w ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id FROM walk
+"""
+
+
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over docs deterministically augmented with PII-shaped
+    spans (the synthetic corpus has none), so counts are non-trivial. All
+    JVM regexps in one codegen stage; the oracle replays the identical
+    Java∩RE2 patterns with DuckDB's 'g' flag."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref "),
+            (F.lit(100000000) + F.col("doc_id") * 37).cast("string"),
+        ),
+    )
+    return curation.pii_redact(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_digits", "redacted_md5"
+    )
+
+
+CURATE_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 ref '
+              || CAST(100000000 + doc_id * 37 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS BIGINT)
+         AS n_digits,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+         '\b[0-9]{9,}\b', '<NUM>', 'g')) AS redacted_md5
+FROM aug
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.25}
+_SAMPLE_DEFAULT = 0.1
+
+
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling (training-mix weights:
+    en 50%, de/zh 25%, everything else 10%). Map-only, additive, no RNG
+    state — the md5 bucket makes resamples stable as the corpus grows."""
+    from kgx import curation
+
+    return curation.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "bucket")
+
+
+CURATE_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                         WHEN 'de' THEN 2500
+                         WHEN 'zh' THEN 2500
+                         ELSE 1000 END
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
@@ -2811,6 +2998,10 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
+    "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
+    "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
+    "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
+    "curate_stratified_sample": (curate_stratified_sample, CURATE_SAMPLE_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_canonical_docs": (dedup_canonical_docs, DEDUP_CANON_SQL),
