@@ -40,6 +40,7 @@ HEADLINE = [
     "tpch_q3_revenue",
     "asof_last_purchase",
     "graph_pagerank",
+    "curate_contamination",
 ]
 
 

@@ -2978,6 +2978,82 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000
 """
 
 
+_HLL_P = 6
+
+
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user HLL sketch (kgx.sketch): m=64 md5-based
+    registers, exact-integer harmonic sum, one literal/sum division — so
+    the DuckDB oracle reproduces the ESTIMATE bit-for-bit, not just the
+    register table. exact_distinct/rel_err columns audit sketch quality
+    in the same result set."""
+    from kgx import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    est = sketch.hll_distinct(ev, "user_id", ["event_type"], p=_HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "m",
+        "v_zero",
+        "sum_scaled",
+        "hll_estimate",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )
+
+
+def _hll_oracle_sql(p: int) -> str:
+    from kgx import sketch
+
+    m = 1 << p
+    s_exp = 61 - p
+    wid1 = (60 - p) + 1
+    pref = repr(sketch._prefactor(p))
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h % {m} AS reg,
+         CASE WHEN (h >> {p}) = 0 THEN {wid1}
+              ELSE {wid1} - length(bin(h >> {p})) END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, reg, max(rho) AS max_rho FROM r GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+         CAST({m} AS BIGINT) AS m,
+         CAST({m} - count(*) AS BIGINT) AS v_zero,
+         CAST(sum(CAST(1 AS BIGINT) << ({s_exp} - max_rho))
+              + ({m} - count(*)) * (CAST(1 AS BIGINT) << {s_exp}) AS BIGINT)
+           AS sum_scaled
+  FROM regs GROUP BY 1
+),
+est2 AS (
+  SELECT *, {pref} / CAST(sum_scaled AS DOUBLE) AS hll_estimate FROM est
+),
+ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, m, v_zero, sum_scaled, hll_estimate, exact_distinct,
+       (hll_estimate - exact_distinct) / exact_distinct AS rel_err
+FROM est2 e JOIN ex USING (event_type)
+"""
+
+
+SKETCH_HLL_SQL = _hll_oracle_sql(_HLL_P)
+
+
 REGISTRY: dict[str, tuple] = {
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
@@ -2998,6 +3074,7 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
+    "sketch_hll_users": (sketch_hll_users, SKETCH_HLL_SQL),
     "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
     "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),

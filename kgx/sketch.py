@@ -1,0 +1,119 @@
+"""Mergeable cardinality sketches (HyperLogLog) — the 100 TB distinct-count
+path.
+
+`count distinct` at corpus scale either shuffles every distinct key
+(exact) or keeps O(m) register state per group (HLL). The register table
+produced here is the SKETCH ITSELF: tiny (m rows per group), mergeable by
+`max` — so shards/days/corpora sketch independently and merge later
+without touching raw data again, which is exactly how a 1000-executor
+pipeline maintains rolling distinct-user / distinct-doc counts.
+
+Cross-engine determinism: the hash is md5-derived (kgx.dedup.md5_hash60 —
+reproducible in DuckDB), rho comes from integer bit-arithmetic (`bin`
+string length, identical in both engines), and the harmonic sum is kept
+as an EXACT integer (each 2^-rho term scaled by 2^S) so cross-row addition
+is order-independent; the only floating-point op is one final literal /
+sum division. The oracle therefore reproduces estimates bit-for-bit.
+
+Raw HLL estimator only (Flajolet et al. 2007, alpha_m * m^2 / sum 2^-M_j);
+the small/large-range corrections need `ln`, whose last-ulp behavior is
+engine-specific — callers that want corrections apply them on the emitted
+(v_zero, hll_estimate) columns.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from kgx.dedup import md5_hash60
+
+
+def _prefactor(p: int) -> float:
+    """alpha_m * m^2 * 2^S as one literal, so both engines do a single
+    literal/sum division (no cross-engine op-order ambiguity)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << (61 - p))
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    p: int = 6,
+) -> DataFrame:
+    """Build per-group HLL register tables: (group..., reg, max_rho).
+
+    m = 2^p registers; reg = low p bits of the 60-bit md5 hash; rho =
+    1 + leading zeros of the remaining (60-p)-bit word. The groupBy is a
+    map-side-combining agg whose post-shuffle size is <= m rows per group
+    regardless of input size — that bound is the whole point.
+
+    Register tables from disjoint shards of the same corpus merge with
+    `merge_registers` (max per (group, reg)) into the identical sketch the
+    whole corpus would have produced (max is idempotent/commutative).
+    """
+    wid = 60 - p
+    h = md5_hash60(F.col(value_col).cast("string"))
+    w = F.shiftrightunsigned(h, p)
+    nbits = F.length(F.bin(w))
+    rho = F.when(w == 0, F.lit(wid + 1)).otherwise(F.lit(wid + 1) - nbits)
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            F.pmod(h, F.lit(1 << p)).alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def merge_registers(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge two register tables (same p) — max per (group, reg)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: Sequence[str], p: int = 6
+) -> DataFrame:
+    """Estimate per-group cardinality from a register table.
+
+    Emits (group..., m, v_zero, sum_scaled, hll_estimate): v_zero = empty
+    registers (feed linear counting if wanted), sum_scaled = the exact
+    integer harmonic sum (sum of 2^(S - M_j), empty registers at 2^S),
+    hll_estimate = prefactor / sum_scaled — the raw HLL estimator.
+    """
+    m = 1 << p
+    s_exp = 61 - p  # scale: max rho is (60-p)+1 = s_exp, so exponents >= 0
+    # python shiftleft() wants a literal bit count; SQL shiftleft takes exprs
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {s_exp} - max_rho)")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    sum_scaled = (
+        F.col("present_sum")
+        + (F.lit(m) - F.col("n_present")) * F.lit(1 << s_exp).cast("long")
+    )
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("bigint").alias("m"),
+        (F.lit(m) - F.col("n_present")).cast("bigint").alias("v_zero"),
+        sum_scaled.cast("bigint").alias("sum_scaled"),
+        (F.lit(_prefactor(p)) / sum_scaled.cast("double")).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value_col: str, group_cols: Sequence[str], p: int = 6
+) -> DataFrame:
+    """registers -> estimate in one call (single-corpus convenience)."""
+    return hll_estimate(hll_registers(df, value_col, group_cols, p), group_cols, p)
