@@ -125,8 +125,12 @@ SCALE_EXEC_CORES = int(os.environ.get("BENCH_SCALE_EXEC_CORES", "2"))
 # "threads": local[N] vs local[4N] (per-core sweep mode).
 SCALE_MODE = os.environ.get("BENCH_SCALE_MODE", "executors")
 SCALE_TURNS = int(os.environ.get("BENCH_SCALE_TURNS", "5000000"))
-SCALE_TRIALS_N = int(os.environ.get("BENCH_SCALE_TRIALS_N", "2"))
-SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "3"))
+# min-of-trials is the estimator, so more trials = tighter convergence to
+# the true (interference-free) job cost; the 4N config needs the most
+# because its short trials suffer proportionally more from load bursts
+# (observed warm-in sequences like [78, 50, 49]s at 4 executors).
+SCALE_TRIALS_N = int(os.environ.get("BENCH_SCALE_TRIALS_N", "3"))
+SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "5"))
 
 
 def _gen_corpus(inp: str) -> None:

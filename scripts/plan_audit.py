@@ -27,6 +27,10 @@ AUDIT = [
     "ann_ivf_topk",
     "kg_phrase_fact_edges",
     "tpch_q3_revenue",
+    "curate_contamination",
+    "curate_pack_sequences",
+    "sketch_hll_users",
+    "dedup_canonical_docs",
 ]
 
 
