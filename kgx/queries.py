@@ -3054,6 +3054,41 @@ FROM est2 e JOIN ex USING (event_type)
 SKETCH_HLL_SQL = _hll_oracle_sql(_HLL_P)
 
 
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributivity proof as an oracle row: Spark sketches two DISJOINT
+    shards of events (event_id parity) independently, merges the register
+    tables (max per register), and estimates — while the oracle computes
+    the single-pass sketch. Hash-equality of the two results is exactly
+    the sketch-of-shards == sketch-of-whole property a sharded 100 TB
+    pipeline relies on."""
+    from kgx import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    a = sketch.hll_registers(
+        ev.where(F.col("event_id") % 2 == 0), "user_id", ["event_type"], p=_HLL_P
+    )
+    b = sketch.hll_registers(
+        ev.where(F.col("event_id") % 2 == 1), "user_id", ["event_type"], p=_HLL_P
+    )
+    merged = sketch.merge_registers(a, b, ["event_type"])
+    est = sketch.hll_estimate(merged, ["event_type"], p=_HLL_P)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "m",
+        "v_zero",
+        "sum_scaled",
+        "hll_estimate",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )
+
+
 REGISTRY: dict[str, tuple] = {
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
@@ -3075,6 +3110,7 @@ REGISTRY: dict[str, tuple] = {
     "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
     "sketch_hll_users": (sketch_hll_users, SKETCH_HLL_SQL),
+    "sketch_hll_merge": (sketch_hll_merge, SKETCH_HLL_SQL),
     "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
     "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
