@@ -2978,6 +2978,70 @@ WHERE bucket < CASE lang WHEN 'en' THEN 5000
 """
 
 
+def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL, composed end-to-end: each doc gets the first
+    matching status in a fixed precedence —
+      benchmark     held-out eval doc (doc_id % 50 == 0), never trainable
+      contaminated  8-gram overlap with the benchmark >= threshold
+      near_dup      n-gram-Jaccard cluster member that is not its keeper
+      low_quality   quality_flag != 'ok' (textops heuristics)
+      not_sampled   dropped by the per-language training-mix rates
+      kept          enters the training mix
+    Every stage is an already-oracle-checked operator; this row checks
+    their COMPOSITION (joins + precedence) cross-engine. All four side
+    tables are tiny relative to the corpus at scale: flags/keeper/quality
+    rows are (id, small) pairs, so the joins stay narrow even at 10^10
+    docs, and the only text scans are the ones inside the component ops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    contam = curate_contamination(spark, sf_dir).select("doc_id", "contaminated")
+    canon = dedup_canonical_docs(spark, sf_dir).select("doc_id", "keep_id")
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_flag")
+    samp = (
+        curate_stratified_sample(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("sampled", F.lit(1))
+    )
+    status = (
+        F.when(F.col("doc_id") % 50 == 0, F.lit("benchmark"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(
+            F.col("keep_id").isNotNull() & (F.col("keep_id") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .when(F.col("quality_flag") != "ok", F.lit("low_quality"))
+        .when(F.col("sampled").isNull(), F.lit("not_sampled"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        docs.join(contam, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select("doc_id", "lang", status.alias("status"))
+    )
+
+
+CURATE_KEEP_SQL = f"""
+WITH contam AS ({CURATE_CONTAM_SQL}),
+canon AS ({DEDUP_CANON_SQL}),
+quality AS ({TEXT_QUALITY_SQL}),
+samp AS ({CURATE_SAMPLE_SQL})
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+            WHEN c.contaminated THEN 'contaminated'
+            WHEN k.keep_id IS NOT NULL AND k.keep_id <> d.doc_id
+                 THEN 'near_dup'
+            WHEN q.quality_flag <> 'ok' THEN 'low_quality'
+            WHEN s.doc_id IS NULL THEN 'not_sampled'
+            ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN contam c ON c.doc_id = d.doc_id
+LEFT JOIN canon k ON k.doc_id = d.doc_id
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN samp s ON s.doc_id = d.doc_id
+"""
+
+
 _HLL_P = 6
 
 
@@ -3115,6 +3179,7 @@ REGISTRY: dict[str, tuple] = {
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
     "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
     "curate_stratified_sample": (curate_stratified_sample, CURATE_SAMPLE_SQL),
+    "curate_keep_list": (curate_keep_list, CURATE_KEEP_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_canonical_docs": (dedup_canonical_docs, DEDUP_CANON_SQL),
