@@ -70,13 +70,23 @@ def start_kg_stream(
             "batch_id", F.lit(batch_id)
         )
         # Idempotent batch-keyed sink: partitioning by batch_id and writing
-        # with dynamic partition overwrite (session conf) means a batch
-        # retried after a partial write REPLACES its own partitions instead
-        # of appending duplicates — checkpointed offsets + this rerun-safe
-        # write give exactly-once output. With Iceberg this becomes
+        # with dynamic partition overwrite means a batch retried after a
+        # partial write REPLACES its own partitions instead of appending
+        # duplicates — checkpointed offsets + this rerun-safe write give
+        # exactly-once output. With Iceberg this becomes
         # MERGE INTO ... ON conv_id/classifier (A5 idempotency).
-        triples.write.mode("overwrite").partitionBy("ts_day", "batch_id").parquet(
-            out_dir
+        #
+        # The overwrite mode MUST be pinned here, per write: under Spark's
+        # default (STATIC) a partitioned overwrite wipes the whole sink each
+        # micro-batch and only the last batch survives. Relying on the conf
+        # being set in kgx.session made the sink silently lossy under any
+        # externally-created session; the writer-level option overrides the
+        # session conf regardless of who built the session.
+        (
+            triples.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ts_day", "batch_id")
+            .parquet(out_dir)
         )
 
     writer = (
