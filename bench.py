@@ -108,6 +108,11 @@ def run_headline(sf_dir: str, cpus: int) -> dict[str, float]:
             df = fn(spark, sf_dir)
             n = df.count()
             dt = round(time.monotonic() - t0, 3)
+            # release caches the query handed us ownership of (the
+            # sentence_facts/_kgx_persisted contract) so they don't leak
+            # into later queries' memory budget within a pass
+            for cached in getattr(df, "_kgx_persisted", []):
+                cached.unpersist()
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             print(f"  {name}[{pass_i}]: {dt:.2f}s ({n} rows)", file=sys.stderr)
@@ -125,12 +130,12 @@ SCALE_EXEC_CORES = int(os.environ.get("BENCH_SCALE_EXEC_CORES", "2"))
 # "threads": local[N] vs local[4N] (per-core sweep mode).
 SCALE_MODE = os.environ.get("BENCH_SCALE_MODE", "executors")
 SCALE_TURNS = int(os.environ.get("BENCH_SCALE_TURNS", "5000000"))
-# min-of-trials is the estimator, so more trials = tighter convergence to
-# the true (interference-free) job cost; the 4N config needs the most
-# because its short trials suffer proportionally more from load bursts
-# (observed warm-in sequences like [78, 50, 49]s at 4 executors).
-SCALE_TRIALS_N = int(os.environ.get("BENCH_SCALE_TRIALS_N", "3"))
-SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "5"))
+# EQUAL trial counts per config: the estimator is the per-config MEDIAN
+# wall, and unequal draw counts with a min estimator systematically
+# flatter the config given more draws (round 2's 1.165 "superlinear"
+# efficiency was exactly that — min-of-3 vs min-of-5 under bursty load).
+SCALE_TRIALS_N = int(os.environ.get("BENCH_SCALE_TRIALS_N", "4"))
+SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "4"))
 
 
 def _gen_corpus(inp: str) -> None:
@@ -215,16 +220,20 @@ def write_baseline_md(scaling: dict, sf: str) -> None:
 Identical KG-extraction job (assemble → Arrow-UDF mentions → relations →
 linking → aggregation → triples) on the identical synthetic transcript
 corpus ({rn["turns"]} turns), two parallelism levels, separate processes.
-Per config: one warmed session, several timed trials inside it, minimum
-wall reported (external-load bursts on this shared host only ever slow a
-trial; min = least-interference estimate of the job's own throughput):
+Per config: one warmed session, an EQUAL number of timed trials inside
+it; the headline wall is the per-config MEDIAN (robust to external-load
+bursts on this shared host without flattering either config; the min and
+the full trial distribution are shown so the spread is visible —
+steady-state efficiency on this host is noise-dominated in roughly the
+0.8–1.0 band run-to-run, and the bar is ≥0.8):
 
-| config | wall (s) | trial walls | turns/s | triples/s |
-|---|---|---|---|---|
-| {cfg_n}  | {rn["wall_sec"]} | {rn.get("trial_walls")} | {rn["turns_per_sec"]} | {rn["triples_per_sec"]} |
-| {cfg_4n} | {r4n["wall_sec"]} | {r4n.get("trial_walls")} | {r4n["turns_per_sec"]} | {r4n["triples_per_sec"]} |
+| config | median wall (s) | min wall (s) | trial walls | turns/s | triples/s |
+|---|---|---|---|---|---|
+| {cfg_n}  | {rn["wall_sec"]} | {rn.get("wall_min_sec", rn["wall_sec"])} | {rn.get("trial_walls")} | {rn["turns_per_sec"]} | {rn["triples_per_sec"]} |
+| {cfg_4n} | {r4n["wall_sec"]} | {r4n.get("wall_min_sec", r4n["wall_sec"])} | {r4n.get("trial_walls")} | {r4n["turns_per_sec"]} | {r4n["triples_per_sec"]} |
 
-**efficiency = tput(4N) / (4 × tput(N)) = {scaling["scaling_efficiency"]}**
+**efficiency = tput(4N) / (4 × tput(N)) = {scaling["scaling_efficiency"]}
+(median-based)**
 
 Default probe mode is EXECUTORS: local-cluster[N,2,3072] runs N real
 executor JVMs — each with its own 3 GB heap and its own Arrow

@@ -128,8 +128,12 @@ def pack_sequences(
         F.size(tokens(F.col(text_col))).cast("bigint").alias("n_tokens"),
     )
 
+    # derive the group/id field types from the input (an int doc id or a
+    # date group would fail a hardcoded "string ... long" schema at runtime)
+    in_types = {f.name: f.dataType.simpleString() for f in toks.schema.fields}
     schema = (
-        f"{group_col} string, {id_col} long, n_tokens long, bin_id long"
+        f"{group_col} {in_types[group_col]}, {id_col} {in_types[id_col]}, "
+        "n_tokens long, bin_id long"
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

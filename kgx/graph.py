@@ -86,8 +86,11 @@ def pagerank_int(edges: DataFrame, iters: int = 3, r0: int = R0) -> DataFrame:
             deg["deg"],
         )
     out = ranks.select(F.col("src").alias("node"), F.col("r").alias("rank"))
-    edges.unpersist()
-    deg.unpersist()
+    # edges/deg are read once per iteration when `out` finally executes;
+    # unpersisting here (before materialization) would silently discard the
+    # cache. Caller owns the unpersist after consuming the result — same
+    # contract as relations.sentence_facts / triangle_counts.
+    out._kgx_persisted = [edges, deg]
     return out
 
 

@@ -60,6 +60,9 @@ def run_pipeline(
         "results": os.path.join(out_dir, "results"),
         "entity_degrees": os.path.join(out_dir, "entity_degrees"),
         "corpus_meta": os.path.join(out_dir, "corpus_meta"),
+        "url_dim": os.path.join(out_dir, "url_dim"),
+        "query_params": os.path.join(out_dir, "query_params"),
+        "node_props": os.path.join(out_dir, "node_props"),
     }
 
     # -- stage: extract (assemble + mentions + relations), one Spark job ---
@@ -116,16 +119,20 @@ def run_pipeline(
     facts = spark.read.parquet(paths["facts"])
     turn_feats = spark.read.parquet(paths["turn_feats"])
 
+    # conversation-level validity gate (the reference's skip-the-whole-
+    # document abort, SentimentClassification.java:280-284). Applied HERE,
+    # unconditionally, so every downstream stage — triples AND analytics —
+    # sees the same gated facts whether the run is fresh or resumed; gating
+    # only inside the triples stage made entity_degrees differ between a
+    # fresh run and one that resumed past triples.
+    bad = relations.invalid_convs(facts)
+    n_invalid = bad.count()
+    if n_invalid:
+        facts = facts.join(F.broadcast(bad), "conv_id", "left_anti")
+
     # -- stage: triples (+ SENTIMENT_INDICATOR dim) -------------------------
     if not (resume and lineage.stage_output_ok(paths["triples"])):
         with lineage.StageTimer() as t:
-            # conversation-level validity gate (the reference's
-            # skip-the-whole-document abort, SentimentClassification.java:
-            # 280-284); the offender count lands in the stage marker
-            bad = relations.invalid_convs(facts)
-            n_invalid = bad.count()
-            if n_invalid:
-                facts = facts.join(F.broadcast(bad), "conv_id", "left_anti")
             triples = aggregate.all_triples(
                 facts, turn_feats, salt_buckets=salt_buckets
             )
@@ -158,9 +165,14 @@ def run_pipeline(
         lineage.append_lineage(spark, lin_dir, run_id, "nodes", None, None, t.wall_ms, kb_version=kb.version())
         lineage.append_partition_lineage(spark, lin_dir, run_id, "nodes", paths["nodes"], kb_version=kb.version())
 
-    # -- stage: read-side analytics (entity degrees + corpus rollup) --------
+    # -- stage: read-side analytics (entity degrees + corpus rollup +
+    #    provenance/property dims: URL, QUERY_PARAMETER, SO_PROPERTY) ------
     analytics_ok = all(
-        lineage.stage_output_ok(paths[p]) for p in ("entity_degrees", "corpus_meta")
+        lineage.stage_output_ok(paths[p])
+        for p in (
+            "entity_degrees", "corpus_meta", "url_dim", "query_params",
+            "node_props",
+        )
     )
     if not (resume and analytics_ok):
         with lineage.StageTimer() as t:
@@ -178,11 +190,24 @@ def run_pipeline(
                 .alias("n_neg"),
                 F.countDistinct("pred").alias("n_preds"),
             ).write.mode("overwrite").parquet(paths["entity_degrees"])
-            materialize.corpus_meta(
-                spark.read.parquet(paths["doc_meta"])
-            ).write.mode("overwrite").parquet(paths["corpus_meta"])
+            dm = spark.read.parquet(paths["doc_meta"])
+            materialize.corpus_meta(dm).write.mode("overwrite").parquet(
+                paths["corpus_meta"]
+            )
+            materialize.url_dim(dm).write.mode("overwrite").parquet(
+                paths["url_dim"]
+            )
+            materialize.query_parameters(dm, facts).write.mode(
+                "overwrite"
+            ).parquet(paths["query_params"])
+            materialize.node_properties(facts).write.mode("overwrite").parquet(
+                paths["node_props"]
+            )
         lineage.mark_stage_ok(paths["entity_degrees"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["corpus_meta"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["url_dim"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["query_params"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["node_props"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "analytics", None, None, t.wall_ms, kb_version=kb.version())
 
     return paths

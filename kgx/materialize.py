@@ -421,3 +421,97 @@ def indicator_nodes(facts: DataFrame, ind_dim: DataFrame) -> DataFrame:
         "object_class", "feature_uri",
     ).dropDuplicates(["indicator_uri"])
     return agg.join(F.broadcast(dim), "indicator_uri")
+
+
+def url_dim(doc_meta: DataFrame, stages: tuple[str, ...] = ("txt", "classified", "ontology")) -> DataFrame:
+    """URL table analogue (db_schema.sql:249-260; rows written per
+    processing step by DatabaseFacade.createDocumentVersion:236-260): one
+    row per (conversation, pipeline stage) recording where that step's
+    output lives — (protocol, host, path, version_info). The reference
+    tracks 'txt'/'classified'/'ontology' file versions per document; the
+    Spark rendering points at the stage's date-partitioned parquet
+    location, host = the originating website, version_info = the stage
+    type (exactly the DocumentVersion.type discriminator).
+
+    Map-only: doc_meta × a literal stage array (explode) — no shuffle, no
+    dim-table sequence generator (ids are content-derived)."""
+    stage_col = F.explode(F.array(*[F.lit(s) for s in stages])).alias("stage")
+    base = doc_meta.select("conv_id", "source", "retrieval_date", stage_col)
+    return base.select(
+        "conv_id",
+        F.col("stage").alias("version_info"),
+        F.lit("file").alias("protocol"),
+        F.coalesce(F.lower("source"), F.lit("local")).alias("host"),
+        F.concat(
+            F.col("stage"), F.lit("/ts_day="),
+            F.col("retrieval_date").cast("string"),
+            F.lit("/conv_id="), F.col("conv_id"),
+        ).alias("path"),
+    )
+
+
+def query_parameters(doc_meta: DataFrame, facts: DataFrame) -> DataFrame:
+    """QUERY_PARAMETER provenance analogue (db_schema.sql:62-80): the
+    crawl query that produced each document — (query_site, query_date,
+    query_sentiment_object, query_string). The reference stores the search
+    site, date and target sentiment object per retrieval; the Spark
+    rendering reconstructs one distinct row per (site, date, subject
+    entity) actually observed, with the synthesized query string
+    site+object (what the crawler would have issued) and a usage count.
+
+    Two slim aggregations: facts → per-conv first subject (min_by on
+    turn order, deterministic), then a keyed rollup on the tiny
+    (site, date, object) key space."""
+    first_so = facts.groupBy("conv_id").agg(
+        F.min_by("entity_name", F.struct("turn_idx", "entity_name")).alias(
+            "query_sentiment_object"
+        )
+    )
+    return (
+        doc_meta.join(first_so, "conv_id")
+        .groupBy(
+            F.lower("source").alias("query_site"),
+            F.col("retrieval_date").alias("query_date"),
+            "query_sentiment_object",
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "query_string",
+            F.concat_ws(" ", "query_site", "query_sentiment_object"),
+        )
+    )
+
+
+def node_properties(facts: DataFrame) -> DataFrame:
+    """SENTIMENT_OBJECT_PROPERTY (+_RELATION) analogue (db_schema.sql:
+    266-278, :383-396; written via the property bag on SentimentObject):
+    key/value property rows attached to entity nodes, the EAV rendering —
+    (node_key, prop_key, prop_value). Static attributes (name, uri, type)
+    unpivot map-side; usage properties (n_facts, n_convs) come from one
+    keyed aggregation. node_key is content-derived (md5 of name|uri), so
+    the property↔object relation table is implicit — no id sequence, no
+    second shuffle."""
+    nodes = facts.groupBy(
+        F.lower("entity_name").alias("name"),
+        F.col("entity_uri").alias("uri"),
+    ).agg(
+        F.min("entity_type").alias("entity_type"),
+        F.count(F.lit(1)).alias("n_facts"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    ).withColumn(
+        "node_key", F.md5(F.concat_ws("|", "name", "uri"))
+    )
+    kv = F.explode(
+        F.map_from_arrays(
+            F.array(
+                F.lit("name"), F.lit("uri"), F.lit("type"),
+                F.lit("n_facts"), F.lit("n_convs"),
+            ),
+            F.array(
+                F.col("name"), F.col("uri"), F.col("entity_type"),
+                F.col("n_facts").cast("string"),
+                F.col("n_convs").cast("string"),
+            ),
+        )
+    ).alias("prop_key", "prop_value")
+    return nodes.select("node_key", kv)

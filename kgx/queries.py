@@ -1099,25 +1099,34 @@ def _neardup_planes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
     ]
 
 
+_NEARDUP_CAP = 64  # max bucket size before STAR-pairs degradation
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane LSH, oracle-checked:
     signature bits, band buckets and the verifying cosine all fold
     left-to-right in double over literal planes shared with the SQL
-    oracle — bit-exact cross-engine. (Recall vs brute force stays
-    pytest-asserted on the hash-derived default planes.)"""
+    oracle — bit-exact cross-engine. 16 planes / 4-bit band keys (16
+    buckets per band, vs round 2's 4) + max_bucket_size STAR-pairs
+    degradation, so the band self-join is bounded even on clustered
+    corpora; the oracle reproduces the capped candidate set exactly.
+    (Recall vs brute force stays pytest-asserted on the hash-derived
+    default planes.)"""
     return dedup.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.35,
-        planes=_neardup_planes(8, 64),
+        planes=_neardup_planes(16, 64),
+        max_bucket_size=_NEARDUP_CAP,
     )
 
 
 def _neardup_sql() -> str:
-    planes = _neardup_planes(8, 64)
+    planes = _neardup_planes(16, 64)
     values = ",\n  ".join(
         "(" + str(j) + ", [" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[])"
         for j, row in enumerate(planes)
     )
     dot = _SQL_FOLD_DOT
+    cap = _NEARDUP_CAP
     return f"""
 WITH planes(j, pv) AS (VALUES
   {values}
@@ -1132,13 +1141,27 @@ sigs AS (
 ),
 buckets AS (
   SELECT vec_id, bd.band,
-         array_to_string(bl[bd.band * 2 + 1 : bd.band * 2 + 2], '') AS key
+         array_to_string(bl[bd.band * 4 + 1 : bd.band * 4 + 4], '') AS key
   FROM sigs, (VALUES (0), (1), (2), (3)) AS bd(band)
 ),
+bsizes AS (
+  SELECT band, key, count(*) AS bsz, min(vec_id) AS bmin
+  FROM buckets GROUP BY 1, 2
+),
+sized AS (
+  SELECT b.vec_id, b.band, b.key, s.bsz, s.bmin
+  FROM buckets b JOIN bsizes s USING (band, key)
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM buckets a JOIN buckets b
-    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sized a JOIN sized b
+      ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    WHERE a.bsz <= {cap}
+    UNION ALL
+    SELECT bmin AS id_a, vec_id AS id_b FROM sized
+    WHERE bsz > {cap} AND vec_id <> bmin
+  )
 ),
 v AS (
   SELECT c.id_a, c.id_b,
@@ -2166,6 +2189,80 @@ FROM documents GROUP BY lower(source)
 """
 
 
+def kg_url_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance rows (db_schema.sql:249-260, one row per document
+    version written by DatabaseFacade.createDocumentVersion:236-260) via
+    materialize.url_dim: per (conversation, pipeline stage) location of
+    that stage's output — protocol/host/path/version_info."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    return materialize.url_dim(meta)
+
+
+KG_URL_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       st.stage AS version_info,
+       'file' AS protocol,
+       coalesce(lower(source), 'local') AS host,
+       st.stage || '/ts_day=2025-01-01/conv_id=' || CAST(doc_id AS VARCHAR)
+         AS path
+FROM documents, (VALUES ('txt'), ('classified'), ('ontology')) AS st(stage)
+"""
+
+
+def kg_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_PARAMETER provenance (db_schema.sql:62-80) via
+    materialize.query_parameters: the reconstructed crawl query per
+    (site, date, subject entity) with usage counts."""
+    from kgx import materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    out = materialize.query_parameters(meta, facts)
+    return out.withColumn("query_date", F.col("query_date").cast("string"))
+
+
+KG_QUERY_PARAMS_SQL = _KG_SQL_PROLOGUE + """
+, first_so AS (
+  SELECT conv_id, min(name) AS query_sentiment_object FROM facts GROUP BY conv_id
+)
+SELECT lower(d.source) AS query_site,
+       '2025-01-01' AS query_date,
+       f.query_sentiment_object,
+       count(*) AS n_docs,
+       lower(d.source) || ' ' || f.query_sentiment_object AS query_string
+FROM documents d JOIN first_so f ON CAST(d.doc_id AS VARCHAR) = f.conv_id
+GROUP BY 1, 2, 3
+"""
+
+
+def kg_node_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTIMENT_OBJECT_PROPERTY(_RELATION) property bags
+    (db_schema.sql:266-278, :383-396) via materialize.node_properties:
+    EAV (node_key, prop_key, prop_value) rows per entity node — static
+    attributes unpivoted map-side, usage properties from one keyed agg."""
+    from kgx import materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    return materialize.node_properties(facts)
+
+
+KG_NODE_PROPS_SQL = _KG_SQL_PROLOGUE + """
+, nodes AS (
+  SELECT lower(name) AS name, uri, min(typ) AS entity_type,
+         count(*) AS n_facts, count(DISTINCT conv_id) AS n_convs
+  FROM facts GROUP BY 1, 2
+),
+keyed AS (SELECT *, md5(name || '|' || uri) AS node_key FROM nodes)
+SELECT node_key, 'name' AS prop_key, name AS prop_value FROM keyed
+UNION ALL SELECT node_key, 'uri', uri FROM keyed
+UNION ALL SELECT node_key, 'type', entity_type FROM keyed
+UNION ALL SELECT node_key, 'n_facts', CAST(n_facts AS VARCHAR) FROM keyed
+UNION ALL SELECT node_key, 'n_convs', CAST(n_convs AS VARCHAR) FROM keyed
+"""
+
+
 def kg_result_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 nested-result marshal (ClassifiedDocument JAXB tree,
     CompletePipelineWorker.java:244-262) via materialize.result_docs: one
@@ -2759,9 +2856,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "l_suppkey")
     )
     edges = graph.copurchase_edges(pairs, "o_custkey", "l_suppkey", min_support=2)
-    return graph.triangle_counts(edges).select(
-        F.col("node").cast("bigint").alias("suppkey"), "n_triangles"
-    )
+    counts = graph.triangle_counts(edges)
+    res = counts.select(F.col("node").cast("bigint").alias("suppkey"), "n_triangles")
+    # propagate cache ownership through the projection so the consumer
+    # (bench/driver loop) can release the persisted edge/orientation frames
+    res._kgx_persisted = getattr(counts, "_kgx_persisted", [])
+    return res
 
 
 GRAPH_TRIANGLES_SQL = """
@@ -3188,9 +3288,12 @@ REGISTRY: dict[str, tuple] = {
     "tpch_cube_volume": (tpch_cube_volume, TPCH_CUBE_SQL),
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
     "setop_user_retention": (setop_user_retention, SETOP_RETENTION_SQL),
-    # -- (2) changed this round / regression re-verify --
+    # -- (2) changed this round / regression re-verify / new in round 3 --
     "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "kg_url_dim": (kg_url_dim, KG_URL_SQL),
+    "kg_query_params": (kg_query_params, KG_QUERY_PARAMS_SQL),
+    "kg_node_properties": (kg_node_properties, KG_NODE_PROPS_SQL),
     # -- (3) green in a prior round, least-recently-verified first --
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
