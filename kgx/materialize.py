@@ -61,6 +61,71 @@ def merge_upsert_parquet(
         updates.write.mode("overwrite").parquet(target_path)
 
 
+def iceberg_catalog(spark) -> str | None:
+    """Name of a configured, LOADABLE Iceberg catalog on this session, or
+    None. Both conditions matter: a spark.sql.catalog.<name> conf entry
+    pointing at an Iceberg implementation AND the class actually being on
+    the classpath (jars present)."""
+    try:
+        entries = list(spark.sparkContext.getConf().getAll())
+        # catalogs may also be configured at runtime (spark.conf.set /
+        # SET ...); SQL `SET` lists explicitly-set session confs
+        entries += [(r["key"], r["value"]) for r in spark.sql("SET").collect()]
+    except Exception:  # pragma: no cover - defensive
+        return None
+    for k, v in entries:
+        parts = k.split(".")
+        if (
+            len(parts) == 4
+            and k.startswith("spark.sql.catalog.")
+            and "iceberg" in str(v).lower()
+        ):
+            try:
+                spark._jvm.java.lang.Class.forName(str(v))
+                return parts[3]
+            except Exception:
+                return None
+    return None
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    table: str | None = None,
+) -> str:
+    """The one-flag MERGE dispatch (S7/A5): with an Iceberg catalog
+    configured AND its jars loadable, the upsert executes engine-level
+    against `table` — delete-by-key (MERGE INTO ... WHEN MATCHED THEN
+    DELETE) followed by INSERT of all update rows, the exact
+    delete-then-insert the reference performs per document
+    (ClassifiedDocument.java:76-93, DatabaseFacade.java:678-714; two
+    statements because an update set may carry MULTIPLE rows per key, which
+    row-level WHEN MATCHED UPDATE cannot express). Otherwise falls back to
+    the parquet emulation with identical semantics. Returns the path taken
+    ("iceberg" | "parquet") so callers/lineage can record it.
+
+    Enabling the engine path is configuration only — no code change:
+      spark.sql.catalog.kgx=org.apache.iceberg.spark.SparkCatalog
+      spark.sql.catalog.kgx.type=hadoop
+      spark.sql.catalog.kgx.warehouse=<dir>
+    (tests/test_round3.py has the skip-marked engine-level test that runs
+    wherever the jars exist; this sandbox has none, documented.)"""
+    cat = iceberg_catalog(spark)
+    if cat and table:
+        updates.createOrReplaceTempView("_kgx_merge_src")
+        on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {table} t USING _kgx_merge_src s ON {on} "
+            "WHEN MATCHED THEN DELETE"
+        )
+        spark.sql(f"INSERT INTO {table} SELECT * FROM _kgx_merge_src")
+        return "iceberg"
+    merge_upsert_parquet(spark, target_path, updates, keys)
+    return "parquet"
+
+
 def write_nodes(nodes: DataFrame, path: str, mode: str = "overwrite") -> None:
     nodes.write.mode(mode).parquet(path)
 

@@ -2237,6 +2237,43 @@ GROUP BY 1, 2, 3
 """
 
 
+def a6_model_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's pluggable-scorer variant (NewApproachHybridFuzzy.java:162-271):
+    Hybrid/FUZZY rows from a broadcast linear model scored in Arrow
+    batches (kgx.fuzzy_model) instead of the expression ladder. The oracle
+    is the LADDER — the row being green is the cross-engine proof that the
+    model reproduces the ladder's labels exactly."""
+    from kgx import fuzzy_model
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    return fuzzy_model.model_fuzzy_triples(facts)
+
+
+A6_MODEL_FUZZY_SQL = _KG_SQL_PROLOGUE + """
+, grp AS (
+  SELECT conv_id, lower(name) AS subj_name, pred,
+         sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS pos_n,
+         sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS neg_n
+  FROM facts GROUP BY 1, 2, 3
+),
+doc AS (
+  SELECT conv_id, subj_name, pred,
+         CAST(pos_n - neg_n AS DOUBLE) / (pos_n + neg_n) AS dscore
+  FROM grp WHERE pos_n + neg_n > 0
+)
+SELECT conv_id, subj_name, pred,
+       CASE WHEN dscore > 0 THEN 'positive' ELSE 'negative' END AS obj_polarity,
+       dscore AS score,
+       'Hybrid/FUZZY' AS classifier,
+       CASE WHEN abs(dscore) >= 0.8 THEN 'maximum amount'
+            WHEN abs(dscore) >= 0.6 THEN 'large amount'
+            WHEN abs(dscore) >= 0.4 THEN 'moderate amount'
+            WHEN abs(dscore) >= 0.2 THEN 'small amount'
+            ELSE 'no amount' END AS dom_label
+FROM doc
+"""
+
+
 def kg_node_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SENTIMENT_OBJECT_PROPERTY(_RELATION) property bags
     (db_schema.sql:266-278, :383-396) via materialize.node_properties:
@@ -2739,6 +2776,57 @@ SELECT event_type,
        quantile_cont(value, 0.9) AS p90,
        quantile_cont(value, 0.99) AS p99
 FROM events GROUP BY event_type
+"""
+
+
+def stats_hist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH profile (kgx/stats.profile_numeric_hist): fixed-width
+    histogram quantiles with bounded, mergeable per-group state — unlike
+    the exact variant's full value buffer, and unlike approx_percentile's
+    sketch it is bit-reproducible cross-engine, so the driver hash-checks
+    the scale path itself."""
+    from kgx import stats
+
+    return stats.profile_numeric_hist(_t(spark, sf_dir, "events"))
+
+
+STATS_HIST_SQL = """
+WITH r AS (
+  SELECT event_type, count(value) AS n, min(value) AS vmin, max(value) AS vmax
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT e.event_type,
+         CASE WHEN r.vmax > r.vmin THEN
+           least(255, CAST(floor((e.value - r.vmin) / (r.vmax - r.vmin) * 256.0) AS INT))
+         ELSE 0 END AS bin
+  FROM events e JOIN r USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM h
+),
+q AS (
+  SELECT c.event_type,
+         min(CASE WHEN cum >= ceil(0.5 * r.n)  THEN bin END) AS b50,
+         min(CASE WHEN cum >= ceil(0.9 * r.n)  THEN bin END) AS b90,
+         min(CASE WHEN cum >= ceil(0.99 * r.n) THEN bin END) AS b99
+  FROM c JOIN r USING (event_type) GROUP BY 1
+)
+SELECT r.event_type, r.n, r.vmin, r.vmax,
+       CASE WHEN r.vmax > r.vmin
+            THEN r.vmin + (q.b50 + 1) * ((r.vmax - r.vmin) / 256.0)
+            ELSE r.vmin END AS p50,
+       CASE WHEN r.vmax > r.vmin
+            THEN r.vmin + (q.b90 + 1) * ((r.vmax - r.vmin) / 256.0)
+            ELSE r.vmin END AS p90,
+       CASE WHEN r.vmax > r.vmin
+            THEN r.vmin + (q.b99 + 1) * ((r.vmax - r.vmin) / 256.0)
+            ELSE r.vmin END AS p99
+FROM r JOIN q USING (event_type)
 """
 
 
@@ -3294,6 +3382,8 @@ REGISTRY: dict[str, tuple] = {
     "kg_url_dim": (kg_url_dim, KG_URL_SQL),
     "kg_query_params": (kg_query_params, KG_QUERY_PARAMS_SQL),
     "kg_node_properties": (kg_node_properties, KG_NODE_PROPS_SQL),
+    "a6_model_fuzzy": (a6_model_fuzzy, A6_MODEL_FUZZY_SQL),
+    "stats_hist_profile": (stats_hist_profile, STATS_HIST_SQL),
     # -- (3) green in a prior round, least-recently-verified first --
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),

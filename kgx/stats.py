@@ -64,3 +64,88 @@ def profile_numeric_approx(
         ).alias("q"),
     )
     return _finish(agg, group_col)
+
+
+def profile_numeric_hist(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bins: int = 256,
+) -> DataFrame:
+    """The deterministic sketch profile — the 100 TB default.
+
+    Fixed-width histogram quantiles: one O(groups) min/max/count pass, a
+    broadcast join-back, then per-(group, bin) counts — aggregation state
+    is bounded by `bins` per group (mergeable map-side: bin counts are
+    additive), unlike the exact variant's full per-group value buffer. A
+    quantile is answered as the UPPER EDGE of the first bin whose
+    cumulative count reaches ceil(q*n); estimate error <= range/bins.
+
+    Every arithmetic step (bin index, cumulative rank, edge
+    reconstruction) is plain IEEE double + integer ops in a fixed order,
+    so the result is bit-reproducible by any SQL engine — this variant is
+    hash-checkable cross-engine, where approx_percentile's sketch is not.
+    """
+    from pyspark.sql import Window
+
+    g, v = F.col(group_col), F.col(value_col)
+    ranges = df.filter(v.isNotNull()).groupBy(group_col).agg(
+        F.count(value_col).alias("n"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+    binned = (
+        df.filter(v.isNotNull())
+        .join(F.broadcast(ranges), group_col)
+        .withColumn(
+            "bin",
+            F.when(
+                F.col("vmax") > F.col("vmin"),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (v - F.col("vmin"))
+                        / (F.col("vmax") - F.col("vmin"))
+                        * F.lit(float(bins))
+                    ).cast("int"),
+                ),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    hist = binned.groupBy(group_col, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
+        F.broadcast(ranges), group_col
+    )
+    qbins = cum.groupBy(group_col, "n", "vmin", "vmax").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("bin")
+                )
+            ).alias(f"b{int(q * 100)}")
+            for q in QUANTILES
+        ]
+    )
+
+    def edge(bcol: str):
+        return F.when(
+            F.col("vmax") > F.col("vmin"),
+            F.col("vmin")
+            + (F.col(bcol) + 1)
+            * ((F.col("vmax") - F.col("vmin")) / F.lit(float(bins))),
+        ).otherwise(F.col("vmin"))
+
+    return qbins.select(
+        group_col,
+        "n",
+        "vmin",
+        "vmax",
+        edge("b50").alias("p50"),
+        edge("b90").alias("p90"),
+        edge("b99").alias("p99"),
+    )
