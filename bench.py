@@ -41,6 +41,9 @@ HEADLINE = [
     "asof_last_purchase",
     "graph_pagerank",
     "curate_contamination",
+    "dedup_embedding",
+    "a6_model_fuzzy",
+    "stats_hist_profile",
 ]
 
 

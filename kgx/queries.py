@@ -1682,6 +1682,60 @@ def stream_conversation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (kgx.streaming.dedup_stream): the documents
+    table replayed TWICE through a file source — the second micro-batch is
+    byte-identical to the first, so every one of its rows must be
+    suppressed by the keyed dedup STATE carried across batches (the
+    near-line at-most-once-per-content guarantee). Output is the distinct
+    content-key set, which is deterministic regardless of which twin won
+    each key; the oracle recomputes the same normalized-text md5 keys from
+    the table at rest."""
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from kgx import schema as _schema
+    from kgx.streaming import dedup_stream
+
+    base = tempfile.mkdtemp(prefix="kgx_dstream_q_")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    tr = _doc_transcripts(spark, sf_dir)
+    tr.coalesce(1).write.parquet(f"{src}/p0")
+    tr.coalesce(1).write.parquet(f"{src}/p1")
+    for i, name in enumerate(("p0", "p1")):
+        for f in _glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    source = (
+        spark.readStream.schema(_schema.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    deduped = dedup_stream.dedup_stream_exact(source).select(
+        F.col("_ck").alias("content_key")
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select("content_key").distinct()
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  AS content_key
+FROM documents
+"""
+
+
 # 2025-01-01 00:00:00 UTC = 1735689600000 ms
 STREAM_CONV_DOCS_SQL = """
 SELECT CAST(doc_id AS VARCHAR) AS conv_id,
@@ -3384,6 +3438,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_node_properties": (kg_node_properties, KG_NODE_PROPS_SQL),
     "a6_model_fuzzy": (a6_model_fuzzy, A6_MODEL_FUZZY_SQL),
     "stats_hist_profile": (stats_hist_profile, STATS_HIST_SQL),
+    "stream_dedup_docs": (stream_dedup_docs, STREAM_DEDUP_SQL),
     # -- (3) green in a prior round, least-recently-verified first --
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
