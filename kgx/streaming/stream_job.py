@@ -55,9 +55,16 @@ def start_kg_stream(
     checkpoint_dir: str,
     kb: resources.KnowledgeBase | None = None,
     available_now: bool = False,
+    merge_table: str | None = None,
 ) -> StreamingQuery:
     """Run extract→triples per micro-batch, appending to a date-partitioned
-    sink. `available_now=True` = drain-and-stop (FINISH semantics)."""
+    sink. `available_now=True` = drain-and-stop (FINISH semantics).
+
+    `merge_table`: with an Iceberg catalog configured, route each batch
+    through materialize.merge_upsert against that table instead of the
+    parquet sink — the engine-level MERGE rendering of the reference's
+    per-document delete-then-insert (A5); a retried batch re-merges the
+    same keys idempotently."""
     kb = kb or resources.default_kb()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -69,6 +76,17 @@ def start_kg_stream(
         triples = aggregate.all_triples(facts, tf).withColumn(
             "batch_id", F.lit(batch_id)
         )
+        if merge_table is not None:
+            from kgx import materialize
+
+            materialize.merge_upsert(
+                batch_df.sparkSession,
+                out_dir,
+                triples,
+                keys=["conv_id", "classifier"],
+                table=merge_table,
+            )
+            return
         # Idempotent batch-keyed sink: partitioning by batch_id and writing
         # with dynamic partition overwrite means a batch retried after a
         # partial write REPLACES its own partitions instead of appending

@@ -221,3 +221,53 @@ def test_hist_profile_brackets_exact(spark):
             e, h = getattr(exact[k], q), getattr(hist[k], q)
             assert h >= e - 1e-9, (k, q, e, h)
             assert h <= e + 2 * width + 1e-9, (k, q, e, h)
+
+
+def test_stream_merge_table_fallback(spark, tmp_path):
+    """start_kg_stream(merge_table=...): without Iceberg jars the per-batch
+    merge dispatch takes the parquet-emulation path; the drained output
+    must still equal the batch pipeline (delete-then-insert by
+    (conv_id, classifier) across micro-batches loses nothing when convs
+    don't straddle batches)."""
+    import os
+
+    from kgx import aggregate, assemble, mentions, relations, resources, synth
+    from kgx.streaming import stream_job
+
+    pdf = synth.make_transcripts(n_convs=10, turns_per_conv=4, seed=44, oversize_every=0)
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    convs = sorted(pdf["conv_id"].unique())
+    half = len(convs) // 2
+    pdf[pdf["conv_id"].isin(convs[:half])].to_parquet(f"{src_dir}/a.parquet", index=False)
+    pdf[pdf["conv_id"].isin(convs[half:])].to_parquet(f"{src_dir}/b.parquet", index=False)
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    source = stream_job.stream_transcripts_from_files(spark, src_dir, max_files_per_trigger=1)
+    q = stream_job.start_kg_stream(
+        spark, source, out_dir, ckpt, available_now=True,
+        merge_table="kgx_nonexistent.db.t",  # no catalog -> parquet fallback
+    )
+    assert q.awaitTermination(600)
+
+    got = (
+        spark.read.parquet(out_dir)
+        .drop("batch_id", "ts_day")
+        .withColumn("score", F.col("score").cast("string"))
+        .toPandas()
+    )
+    kb = resources.default_kb()
+    turns = assemble.assemble_turns(spark.createDataFrame(pdf))
+    wm = mentions.detect_mentions(turns, kb)
+    facts, tf = relations.sentence_facts(wm, kb)
+    want = (
+        aggregate.all_triples(facts, tf)
+        .drop("ts_day")
+        .withColumn("score", F.col("score").cast("string"))
+        .toPandas()
+    )
+    cols = sorted(got.columns)
+    g = sorted(map(tuple, got[cols].astype(str).values.tolist()))
+    w = sorted(map(tuple, want[cols].astype(str).values.tolist()))
+    assert g == w
