@@ -31,6 +31,8 @@ AUDIT = [
     "curate_pack_sequences",
     "sketch_hll_users",
     "dedup_canonical_docs",
+    "a6_model_fuzzy",
+    "stats_hist_profile",
 ]
 
 
