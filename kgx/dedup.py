@@ -166,8 +166,13 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
+    def _own(out, frames):
+        # caller-owned cache release (relations.sentence_facts contract)
+        out._kgx_persisted = frames
+        return out
+
     if max_df is None:
-        return _agg_path(inv)
+        return _own(_agg_path(inv), [tok, inv])
 
     hot = (
         inv.groupBy("s")
@@ -179,7 +184,7 @@ def ngram_jaccard_pairs(
         # no shingle exceeds the cap → the capped index IS the full index;
         # take the cheaper count-aggregation path (no per-pair array
         # intersection). Semantically identical to the capped path.
-        return _agg_path(inv)
+        return _own(_agg_path(inv), [tok, inv, hot])
     sh = sh.persist()
     capped = inv.join(F.broadcast(hot), "s", "left_anti")
     cand = (
@@ -200,8 +205,11 @@ def ngram_jaccard_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold).select(
-        "id_a", "id_b", "jaccard"
+    return _own(
+        verified.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        ),
+        [tok, inv, hot, sh],
     )
 
 
@@ -226,6 +234,12 @@ def candidate_pairs_from_buckets(
     candidates (min id ↔ each member, linear) instead of all pairs, so
     every member still links to a verified keeper while candidate count
     stays O(bucket). Buckets at or under the cap are unaffected.
+
+    The capped path persists the bucket frame (read three ways: sizes /
+    small / hot); ownership passes to the caller on the returned frame's
+    `_kgx_persisted` list — the same release contract as
+    relations.sentence_facts — so long-lived sessions (bench passes,
+    multi-query drivers) can unpersist after consuming the pairs.
     """
 
     def _all_pairs(src: DataFrame) -> DataFrame:
@@ -257,9 +271,9 @@ def candidate_pairs_from_buckets(
     star_pairs = hot.filter(F.col("id") != F.col("bmin")).select(
         F.col("bmin").alias("id_a"), F.col("id").alias("id_b")
     )
-    return (
-        _all_pairs(ok).unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
-    )
+    out = _all_pairs(ok).unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
+    out._kgx_persisted = [buckets]
+    return out
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -394,7 +408,10 @@ def minhash_lsh_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
     )
-    return verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    out = verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    # caller-owned cache release (relations.sentence_facts contract)
+    out._kgx_persisted = [base, sh, *getattr(cand, "_kgx_persisted", [])]
+    return out
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -520,7 +537,7 @@ def simhash_candidates(
     cand = candidate_pairs_from_buckets(buckets, max_bucket_size)
     fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
-    return (
+    out = (
         cand.join(fa, "id_a")
         .join(fb, "id_b")
         .select(
@@ -529,6 +546,9 @@ def simhash_candidates(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
     )
+    # caller-owned cache release (relations.sentence_facts contract)
+    out._kgx_persisted = [fp, *getattr(cand, "_kgx_persisted", [])]
+    return out
 
 
 # -- embedding near-dup -----------------------------------------------------
@@ -620,7 +640,7 @@ def embedding_neardup_pairs(
     cand = candidate_pairs_from_buckets(buckets, max_bucket_size)
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
-    return (
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn(
@@ -654,3 +674,6 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # caller-owned cache release (relations.sentence_facts contract)
+    out._kgx_persisted = list(getattr(cand, "_kgx_persisted", []))
+    return out

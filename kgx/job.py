@@ -119,19 +119,36 @@ def run_pipeline(
     facts = spark.read.parquet(paths["facts"])
     turn_feats = spark.read.parquet(paths["turn_feats"])
 
+    triples_needed = not (resume and lineage.stage_output_ok(paths["triples"]))
+    analytics_needed = not (
+        resume
+        and all(
+            lineage.stage_output_ok(paths[p])
+            for p in (
+                "entity_degrees", "corpus_meta", "url_dim", "query_params",
+                "node_props",
+            )
+        )
+    )
+
     # conversation-level validity gate (the reference's skip-the-whole-
-    # document abort, SentimentClassification.java:280-284). Applied HERE,
-    # unconditionally, so every downstream stage — triples AND analytics —
-    # sees the same gated facts whether the run is fresh or resumed; gating
-    # only inside the triples stage made entity_degrees differ between a
-    # fresh run and one that resumed past triples.
-    bad = relations.invalid_convs(facts)
-    n_invalid = bad.count()
-    if n_invalid:
-        facts = facts.join(F.broadcast(bad), "conv_id", "left_anti")
+    # document abort, SentimentClassification.java:280-284). Applied HERE —
+    # once, ahead of the stage branches — so every consumer of facts
+    # (triples AND analytics) sees the same gated input whether the run is
+    # fresh or resumed; gating only inside the triples stage made
+    # entity_degrees differ between a fresh run and one that resumed past
+    # triples. Skipped entirely when no facts-consuming stage re-runs: a
+    # fully-resumed invocation stays marker-checks-only (no full facts
+    # scan just to compute an unused gate).
+    n_invalid = 0
+    if triples_needed or analytics_needed:
+        bad = relations.invalid_convs(facts)
+        n_invalid = bad.count()
+        if n_invalid:
+            facts = facts.join(F.broadcast(bad), "conv_id", "left_anti")
 
     # -- stage: triples (+ SENTIMENT_INDICATOR dim) -------------------------
-    if not (resume and lineage.stage_output_ok(paths["triples"])):
+    if triples_needed:
         with lineage.StageTimer() as t:
             triples = aggregate.all_triples(
                 facts, turn_feats, salt_buckets=salt_buckets
@@ -167,14 +184,7 @@ def run_pipeline(
 
     # -- stage: read-side analytics (entity degrees + corpus rollup +
     #    provenance/property dims: URL, QUERY_PARAMETER, SO_PROPERTY) ------
-    analytics_ok = all(
-        lineage.stage_output_ok(paths[p])
-        for p in (
-            "entity_degrees", "corpus_meta", "url_dim", "query_params",
-            "node_props",
-        )
-    )
-    if not (resume and analytics_ok):
+    if analytics_needed:
         with lineage.StageTimer() as t:
             facts.groupBy(
                 F.col("entity_name").alias("subj_name"),

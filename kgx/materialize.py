@@ -84,7 +84,9 @@ def iceberg_catalog(spark) -> str | None:
                 spark._jvm.java.lang.Class.forName(str(v))
                 return parts[3]
             except Exception:
-                return None
+                # this catalog's jar is missing — keep scanning: another
+                # configured catalog (conf order is unspecified) may load
+                continue
     return None
 
 

@@ -917,9 +917,11 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("long").alias("src"), F.col("id_a").cast("long").alias("dst")
     )
     cc = canonical.connected_components(nodes, edges)
-    return cc.select(
+    out = cc.select(
         F.col("entity_id").alias("doc_id"), F.col("canonical_id").alias("keep_id")
     )
+    out._kgx_persisted = getattr(pairs, "_kgx_persisted", [])
+    return out
 
 
 DEDUP_CANON_SQL = f"""
@@ -1033,7 +1035,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dedup.simhash_fingerprints(
         _t(spark, sf_dir, "documents"), n_bits=60, hash_fn=dedup.md5_hash60
     )
-    return dedup.simhash_candidates(fp, n_bits=60).filter(F.col("hamming") <= 16)
+    cand = dedup.simhash_candidates(fp, n_bits=60)
+    out = cand.filter(F.col("hamming") <= 16)
+    out._kgx_persisted = getattr(cand, "_kgx_persisted", [])
+    return out
 
 
 def _simhash_sql() -> str:
@@ -3254,13 +3259,15 @@ def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("sampled").isNull(), F.lit("not_sampled"))
         .otherwise(F.lit("kept"))
     )
-    return (
+    out = (
         docs.join(contam, "doc_id", "left")
         .join(canon, "doc_id", "left")
         .join(quality, "doc_id", "left")
         .join(samp, "doc_id", "left")
         .select("doc_id", "lang", status.alias("status"))
     )
+    out._kgx_persisted = getattr(canon, "_kgx_persisted", [])
+    return out
 
 
 CURATE_KEEP_SQL = f"""

@@ -64,7 +64,14 @@ def start_kg_stream(
     through materialize.merge_upsert against that table instead of the
     parquet sink — the engine-level MERGE rendering of the reference's
     per-document delete-then-insert (A5); a retried batch re-merges the
-    same keys idempotently."""
+    same keys idempotently. CONTRACT: each source micro-batch must carry
+    whole conversations (the reference's queue delivers whole documents,
+    CompletePipelineReceiver one message = one document) — a conversation
+    split across batches would have its earlier-batch triples deleted and
+    replaced by the later batch's partial recompute, exactly the
+    reference's re-process-the-document semantics, which is lossy if the
+    'document' itself was only half-delivered. The default parquet sink
+    (batch_id-keyed partitions) does not have this constraint."""
     kb = kb or resources.default_kb()
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -187,19 +187,35 @@ def test_merge_upsert_iceberg_engine(spark, tmp_path):
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
     except Exception:
         pytest.skip("Iceberg runtime jars absent in this sandbox")
-    spark.conf.set("spark.sql.catalog.kgx", "org.apache.iceberg.spark.SparkCatalog")
-    spark.conf.set("spark.sql.catalog.kgx.type", "hadoop")
-    spark.conf.set("spark.sql.catalog.kgx.warehouse", str(tmp_path / "wh"))
-    spark.createDataFrame(
-        [("c1", "A", 1), ("c2", "B", 2)], "conv_id string, v string, n int"
-    ).writeTo("kgx.db.t").create()
-    upd = spark.createDataFrame(
-        [("c2", "B2", 20), ("c4", "D", 4)], "conv_id string, v string, n int"
-    )
-    path = materialize.merge_upsert(spark, "", upd, ["conv_id"], table="kgx.db.t")
-    assert path == "iceberg"
-    got = {tuple(r) for r in spark.sql("SELECT * FROM kgx.db.t").collect()}
-    assert got == {("c1", "A", 1), ("c2", "B2", 20), ("c4", "D", 4)}
+    # restore the session confs afterwards: the spark fixture is session-
+    # scoped, and a leftover loadable catalog conf would flip every later
+    # merge_upsert dispatch (e.g. test_stream_merge_table_fallback, which
+    # asserts the PARQUET path) onto the engine branch in jar-present envs
+    keys = [
+        "spark.sql.catalog.kgx",
+        "spark.sql.catalog.kgx.type",
+        "spark.sql.catalog.kgx.warehouse",
+    ]
+    try:
+        spark.conf.set("spark.sql.catalog.kgx", "org.apache.iceberg.spark.SparkCatalog")
+        spark.conf.set("spark.sql.catalog.kgx.type", "hadoop")
+        spark.conf.set("spark.sql.catalog.kgx.warehouse", str(tmp_path / "wh"))
+        spark.createDataFrame(
+            [("c1", "A", 1), ("c2", "B", 2)], "conv_id string, v string, n int"
+        ).writeTo("kgx.db.t").create()
+        upd = spark.createDataFrame(
+            [("c2", "B2", 20), ("c4", "D", 4)], "conv_id string, v string, n int"
+        )
+        path = materialize.merge_upsert(spark, "", upd, ["conv_id"], table="kgx.db.t")
+        assert path == "iceberg"
+        got = {tuple(r) for r in spark.sql("SELECT * FROM kgx.db.t").collect()}
+        assert got == {("c1", "A", 1), ("c2", "B2", 20), ("c4", "D", 4)}
+    finally:
+        for k in keys:
+            try:
+                spark.conf.unset(k)
+            except Exception:
+                pass
 
 
 def test_hist_profile_brackets_exact(spark):
@@ -271,3 +287,35 @@ def test_stream_merge_table_fallback(spark, tmp_path):
     g = sorted(map(tuple, got[cols].astype(str).values.tolist()))
     w = sorted(map(tuple, want[cols].astype(str).values.tolist()))
     assert g == w
+
+
+def test_query_parameters_first_subject_by_turn_order(spark):
+    """query_parameters picks each conversation's FIRST subject in turn
+    order (min_by on (turn_idx, entity_name)), not the alphabetical min.
+    The registry oracle corpus is single-turn (turn_idx = 0 everywhere),
+    where the two rules coincide — this pins the multi-turn branch the
+    SQL oracle cannot distinguish."""
+    import datetime
+
+    from kgx import materialize
+
+    dm = spark.createDataFrame(
+        [("c1", "SiteA", datetime.date(2025, 6, 1))],
+        "conv_id string, source string, retrieval_date date",
+    )
+    # alphabetical min is 'aardvark' (turn 5); turn-order first is 'zebra'
+    facts = spark.createDataFrame(
+        [("c1", 5, "aardvark"), ("c1", 1, "zebra"), ("c1", 3, "middling")],
+        "conv_id string, turn_idx int, entity_name string",
+    )
+    rows = materialize.query_parameters(dm, facts).collect()
+    assert len(rows) == 1
+    assert rows[0]["query_sentiment_object"] == "zebra"
+    assert rows[0]["query_string"] == "sitea zebra"
+    # tie on turn_idx resolves by entity_name (deterministic)
+    facts2 = spark.createDataFrame(
+        [("c1", 1, "bravo"), ("c1", 1, "alpha")],
+        "conv_id string, turn_idx int, entity_name string",
+    )
+    rows2 = materialize.query_parameters(dm, facts2).collect()
+    assert rows2[0]["query_sentiment_object"] == "alpha"
