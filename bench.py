@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_embedding",
     "a6_model_fuzzy",
     "stats_hist_profile",
+    "ann_lsh_topk",
 ]
 
 

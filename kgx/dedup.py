@@ -553,6 +553,67 @@ def simhash_candidates(
 
 # -- embedding near-dup -----------------------------------------------------
 
+def hyperplane_band_buckets(
+    base: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """Slim (id, band, key) hyperplane-LSH bucket rows for a (id, vec)
+    frame — the shared signature map behind embedding near-dup AND the
+    LSH-bucketed ANN search (the two consumers MUST hash with identical
+    planes to share buckets; pass the same `planes` to both).
+
+    Signature bit j = sign of <vec, plane_j> (fold-left double, the same
+    IEEE-754 order a SQL oracle reproduces); the n_planes bits split into
+    `bands` keys of n_planes/bands bits each. Map-only: the exploded output
+    carries 3 slim columns per (row, band), never the vector."""
+    if planes is not None:
+        n_planes = len(planes)
+        dim = len(planes[0])
+    elif dim is None:
+        dim = base.select(F.size("vec").alias("d")).first()["d"]
+    rows = n_planes // bands
+
+    def plane(j: int) -> Column:
+        if planes is not None:
+            return F.array(*[F.lit(float(v)) for v in planes[j]])
+        # deterministic pseudo-random plane: component i = hash(j, i) → ±1
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) * 2 - 1).cast("double"),
+        )
+
+    v = F.col("vec")
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, plane(j), lambda x, p: x.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for j in range(n_planes)
+    ]
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "", *[sig_bits[bi * rows + r].cast("string") for r in range(rows)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return base.select("id", F.explode(band_keys).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -591,16 +652,6 @@ def embedding_neardup_pairs(
         dim = len(planes[0])
     elif dim is None:
         dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    rows = n_planes // bands
-
-    def plane(j: int) -> Column:
-        if planes is not None:
-            return F.array(*[F.lit(float(v)) for v in planes[j]])
-        # deterministic pseudo-random plane: component i = hash(j, i) mapped to ±1
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: (F.pmod(F.xxhash64(F.lit(j), i), F.lit(2)) * 2 - 1).cast("double"),
-        )
 
     # the n_planes fold-dot signatures are the CPU-heavy map — spread
     # across cores regardless of input file layout; slim (id, vec) in,
@@ -610,32 +661,8 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     ).repartition(npart, "id")
 
-    v = F.col("vec")
-    sig_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(v, plane(j), lambda x, p: x.cast("double") * p),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for j in range(n_planes)
-    ]
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "", *[sig_bits[bi * rows + r].cast("string") for r in range(rows)]
-                ).alias("key"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    buckets = base.select("id", F.explode(band_keys).alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    buckets = hyperplane_band_buckets(
+        base, n_planes=n_planes, bands=bands, dim=dim, planes=planes
     )
     cand = candidate_pairs_from_buckets(buckets, max_bucket_size)
     va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))

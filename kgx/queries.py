@@ -1347,6 +1347,90 @@ FROM ranked WHERE rank <= 5
 ANN_IVF_SQL = _ivf_sql()
 
 
+_ANN_LSH_CAP = 256  # deterministic corpus-bucket truncation, in force on
+# the graded row and mirrored exactly in the oracle SQL
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (similarity.lsh_topk) — the
+    hash-partitioned ANN scale path beside IVF: corpus and queries share
+    hyperplane band buckets (the SAME literal planes as dedup_embedding,
+    so one signature pass serves near-dup AND search), candidates come
+    from bucket co-membership, exact cosine ranks them. Every signature
+    bit, bucket key, truncation row-number and cosine folds left-to-right
+    in double over literal planes shared with the SQL oracle — bit-exact
+    cross-engine. (Recall vs brute force stays pytest-asserted.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_topk(
+        emb, q, k=5,
+        planes=_neardup_planes(16, 64),
+        max_bucket_size=_ANN_LSH_CAP,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def _ann_lsh_sql() -> str:
+    planes = _neardup_planes(16, 64)
+    values = ",\n  ".join(
+        "(" + str(j) + ", [" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[])"
+        for j, row in enumerate(planes)
+    )
+    dot = _SQL_FOLD_DOT
+    return f"""
+WITH planes(j, pv) AS (VALUES
+  {values}
+),
+bits AS (
+  SELECT e.vec_id, p.j,
+         CASE WHEN {dot.format(a="e.embedding", b="p.pv")} > 0 THEN 1 ELSE 0 END AS b
+  FROM embeddings e, planes p
+),
+sigs AS (
+  SELECT vec_id, list(b ORDER BY j) AS bl FROM bits GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, bd.band,
+         array_to_string(bl[bd.band * 4 + 1 : bd.band * 4 + 4], '') AS key
+  FROM sigs, (VALUES (0), (1), (2), (3)) AS bd(band)
+),
+cb AS (
+  SELECT vec_id, band, key FROM (
+    SELECT vec_id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+    FROM buckets
+  ) WHERE rn <= {_ANN_LSH_CAP}
+),
+qb AS (SELECT vec_id, band, key FROM buckets WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM cb c JOIN qb q ON c.band = q.band AND c.key = q.key
+  WHERE c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {dot.format(a="eq.embedding", b="ec.embedding")}
+         / (sqrt({dot.format(a="eq.embedding", b="eq.embedding")})
+          * sqrt({dot.format(a="ec.embedding", b="ec.embedding")})) AS sim
+  FROM cand cd
+  JOIN embeddings eq ON eq.vec_id = cd.query_id
+  JOIN embeddings ec ON ec.vec_id = cd.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (documents → opaque binary media columns)
 # ---------------------------------------------------------------------------
@@ -3446,6 +3530,7 @@ REGISTRY: dict[str, tuple] = {
     "a6_model_fuzzy": (a6_model_fuzzy, A6_MODEL_FUZZY_SQL),
     "stats_hist_profile": (stats_hist_profile, STATS_HIST_SQL),
     "stream_dedup_docs": (stream_dedup_docs, STREAM_DEDUP_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
     # -- (3) green in a prior round, least-recently-verified first --
     "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),

@@ -252,3 +252,90 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k — the hash-partitioned scale path beside
+    ivf_topk (the brief's "IVF or LSH-bucketed variant").
+
+    Corpus and query vectors hash to hyperplane band buckets
+    (dedup.hyperplane_band_buckets — the same signature map the embedding
+    near-dup dedup uses, so one pass over the corpus can serve both); a
+    corpus row is a candidate for a query iff they share at least one band
+    bucket. Exact cosine then ranks only the candidates — the corpus is
+    never cross-joined against the query set.
+
+    Scale shape: bucket rows are slim (id, band, key); the query bucket
+    frame is tiny and broadcasts, so candidate generation is a map-side
+    probe of the corpus bucket stream — no corpus shuffle. Vectors join
+    back per candidate (hash join on id). `max_bucket_size` deterministically
+    truncates a degenerate corpus bucket to its `max_bucket_size` smallest
+    ids (bounding per-bucket candidate fan-out; at scale prefer MORE planes
+    — finer buckets — over a tighter cap, which costs recall).
+
+    Approximate by construction: a query's true neighbor in no shared
+    bucket is missed (recall is pytest-bounded on clustered corpora); rows
+    with fewer than k candidates return fewer than k neighbors.
+    """
+    from kgx import dedup
+
+    cb = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    qb = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cbuck = dedup.hyperplane_band_buckets(
+        cb, n_planes=n_planes, bands=bands, dim=dim, planes=planes
+    )
+    qbuck = dedup.hyperplane_band_buckets(
+        qb, n_planes=n_planes, bands=bands, dim=dim, planes=planes
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "key").orderBy("id")
+        cbuck = (
+            cbuck.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    cand = (
+        cbuck.join(
+            F.broadcast(qbuck.withColumnRenamed("id", "query_id")),
+            ["band", "key"],
+        )
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = (
+        cand.join(
+            F.broadcast(
+                qb.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"))
+            ),
+            "query_id",
+        )
+        .join(
+            cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec")),
+            "neighbor_id",
+        )
+        .withColumn(
+            "sim",
+            _dot(F.col("qvec"), F.col("cvec"))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -33,6 +33,7 @@ AUDIT = [
     "dedup_canonical_docs",
     "a6_model_fuzzy",
     "stats_hist_profile",
+    "ann_lsh_topk",
 ]
 
 

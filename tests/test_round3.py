@@ -319,3 +319,49 @@ def test_query_parameters_first_subject_by_turn_order(spark):
     )
     rows2 = materialize.query_parameters(dm, facts2).collect()
     assert rows2[0]["query_sentiment_object"] == "alpha"
+
+
+def test_lsh_topk_recall_and_cap(spark):
+    """similarity.lsh_topk: on a clustered corpus the bucketed search must
+    recover most of brute force's top-k (same-cluster vectors share sign
+    patterns), results must be a subset of the exact candidate ranking,
+    and the deterministic bucket cap must bound per-bucket fan-out without
+    breaking the contract."""
+    import numpy as np
+
+    from kgx import similarity
+
+    rng = np.random.RandomState(7)
+    dim, per, nclust = 32, 40, 5
+    rows = []
+    vid = 0
+    for c in range(nclust):
+        center = rng.randn(dim) * 4
+        for _ in range(per):
+            rows.append((vid, [float(x) for x in center + rng.randn(dim) * 0.3]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") % per == 0)  # one query per cluster
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(emb, q, k=5, n_planes=16, bands=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"recall {recall} below bound"
+
+    # cap path: results remain valid (a subset of each query's bucket
+    # candidates, exactly k or fewer rows, ranks contiguous from 1)
+    capped = similarity.lsh_topk(
+        emb, q, k=5, n_planes=16, bands=4, max_bucket_size=8
+    ).collect()
+    by_q = {}
+    for r in capped:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
+        assert len(ranks) <= 5
