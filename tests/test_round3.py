@@ -365,3 +365,61 @@ def test_lsh_topk_recall_and_cap(spark):
     for qid, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
         assert len(ranks) <= 5
+
+
+def test_candidate_pair_kernel_invariants(spark):
+    """Property test for the shared banded-LSH pair kernel
+    (dedup.candidate_pairs_from_buckets) on randomized bucket frames:
+      * capped output is a SUBSET of the uncapped all-pairs closure
+        (the cap only removes pairs, never invents them)
+      * every member of an oversize bucket still links to that bucket's
+        min id (the STAR guarantee — no document is orphaned by the cap)
+      * pairs are canonical: id_a < id_b, no duplicates
+      * buckets at or under the cap contribute their full all-pairs set
+    """
+    import itertools
+    import random
+
+    from kgx import dedup
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        rows = []
+        # a few buckets per band, sizes straddling the cap
+        for band in range(3):
+            n_keys = rng.randint(2, 4)
+            ids = list(range(60))
+            rng.shuffle(ids)
+            ofs = 0
+            for kk in range(n_keys):
+                size = rng.choice([1, 2, 3, 7, 11])
+                members = ids[ofs : ofs + size]
+                ofs += size
+                rows.extend((i, band, f"k{kk}") for i in members)
+        buckets = spark.createDataFrame(rows, "id long, band int, key string")
+        cap = 5
+
+        uncapped = {
+            (r.id_a, r.id_b)
+            for r in dedup.candidate_pairs_from_buckets(buckets, None).collect()
+        }
+        capped_df = dedup.candidate_pairs_from_buckets(buckets, cap)
+        capped = {(r.id_a, r.id_b) for r in capped_df.collect()}
+        for frame in getattr(capped_df, "_kgx_persisted", []):
+            frame.unpersist()
+
+        assert capped <= uncapped, "cap invented a pair"
+        assert all(a < b for a, b in capped), "non-canonical pair"
+
+        by_bucket: dict[tuple, list] = {}
+        for i, band, key in rows:
+            by_bucket.setdefault((band, key), []).append(i)
+        for members in by_bucket.values():
+            ms = sorted(members)
+            if len(ms) > cap:
+                # STAR guarantee: min id links to every other member
+                for m in ms[1:]:
+                    assert (ms[0], m) in capped, (ms[0], m)
+            else:
+                for a, b in itertools.combinations(ms, 2):
+                    assert (min(a, b), max(a, b)) in capped, (a, b)
