@@ -157,6 +157,14 @@ def main() -> None:
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--drain", action="store_true", help="AvailableNow: drain and stop")
+    p.add_argument(
+        "--merge-table",
+        default=None,
+        help="route each micro-batch through materialize.merge_upsert against "
+        "this table (engine MERGE with an Iceberg catalog configured, parquet "
+        "delete-then-insert emulation otherwise); batches must carry whole "
+        "conversations — see start_kg_stream",
+    )
     args = p.parse_args()
 
     spark = session.get_spark(
@@ -166,7 +174,8 @@ def main() -> None:
         spark, args.input, max_files_per_trigger=args.max_files_per_trigger
     )
     q = start_kg_stream(
-        spark, source, args.out, args.checkpoint, available_now=args.drain
+        spark, source, args.out, args.checkpoint, available_now=args.drain,
+        merge_table=args.merge_table,
     )
     q.awaitTermination()
     n = spark.read.parquet(args.out).count()
