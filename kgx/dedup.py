@@ -166,13 +166,8 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
 
-    def _own(out, frames):
-        # caller-owned cache release (relations.sentence_facts contract)
-        out._kgx_persisted = frames
-        return out
-
     if max_df is None:
-        return _own(_agg_path(inv), [tok, inv])
+        return give_ownership(_agg_path(inv), [tok, inv])
 
     hot = (
         inv.groupBy("s")
@@ -184,7 +179,7 @@ def ngram_jaccard_pairs(
         # no shingle exceeds the cap → the capped index IS the full index;
         # take the cheaper count-aggregation path (no per-pair array
         # intersection). Semantically identical to the capped path.
-        return _own(_agg_path(inv), [tok, inv, hot])
+        return give_ownership(_agg_path(inv), [tok, inv, hot])
     sh = sh.persist()
     capped = inv.join(F.broadcast(hot), "s", "left_anti")
     cand = (
@@ -205,7 +200,7 @@ def ngram_jaccard_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
     )
-    return _own(
+    return give_ownership(
         verified.filter(F.col("jaccard") >= threshold).select(
             "id_a", "id_b", "jaccard"
         ),
@@ -214,6 +209,20 @@ def ngram_jaccard_pairs(
 
 
 # -- shared banded-LSH candidate generation ----------------------------------
+
+def give_ownership(out: DataFrame, frames: list) -> DataFrame:
+    """Hand persisted `frames` to the caller on out._kgx_persisted — the
+    caller-owned cache-release contract (same as relations.sentence_facts).
+    Collects transitively: any frame that itself carries a _kgx_persisted
+    list contributes that list too, so intermediate producers can't strand
+    a cache behind one hop of composition."""
+    owned = []
+    for f in frames:
+        owned.append(f)
+        owned.extend(getattr(f, "_kgx_persisted", []))
+    out._kgx_persisted = owned
+    return out
+
 
 def candidate_pairs_from_buckets(
     buckets: DataFrame, max_bucket_size: int | None = None
@@ -271,9 +280,10 @@ def candidate_pairs_from_buckets(
     star_pairs = hot.filter(F.col("id") != F.col("bmin")).select(
         F.col("bmin").alias("id_a"), F.col("id").alias("id_b")
     )
-    out = _all_pairs(ok).unionByName(star_pairs).dropDuplicates(["id_a", "id_b"])
-    out._kgx_persisted = [buckets]
-    return out
+    return give_ownership(
+        _all_pairs(ok).unionByName(star_pairs).dropDuplicates(["id_a", "id_b"]),
+        [buckets],
+    )
 
 
 # -- MinHash + LSH ----------------------------------------------------------
@@ -408,10 +418,10 @@ def minhash_lsh_pairs(
             / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
         )
     )
-    out = verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
-    # caller-owned cache release (relations.sentence_facts contract)
-    out._kgx_persisted = [base, sh, *getattr(cand, "_kgx_persisted", [])]
-    return out
+    return give_ownership(
+        verified.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard"),
+        [base, sh, cand],
+    )
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -495,9 +505,12 @@ def simhash_fingerprints(
         - F.col("n_sh")
         for i in range(n_bits)
     ]
-    return grouped.select(
-        F.col("id").alias(id_col),
-        _simhash_from_counters(counters, n_bits).alias("simhash"),
+    return give_ownership(
+        grouped.select(
+            F.col("id").alias(id_col),
+            _simhash_from_counters(counters, n_bits).alias("simhash"),
+        ),
+        [tok],
     )
 
 
@@ -546,9 +559,7 @@ def simhash_candidates(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
     )
-    # caller-owned cache release (relations.sentence_facts contract)
-    out._kgx_persisted = [fp, *getattr(cand, "_kgx_persisted", [])]
-    return out
+    return give_ownership(out, [fp, cand])
 
 
 # -- embedding near-dup -----------------------------------------------------
@@ -701,6 +712,4 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
-    # caller-owned cache release (relations.sentence_facts contract)
-    out._kgx_persisted = list(getattr(cand, "_kgx_persisted", []))
-    return out
+    return give_ownership(out, [cand])

@@ -122,7 +122,14 @@ def merge_upsert(
             f"MERGE INTO {table} t USING _kgx_merge_src s ON {on} "
             "WHEN MATCHED THEN DELETE"
         )
-        spark.sql(f"INSERT INTO {table} SELECT * FROM _kgx_merge_src")
+        # INSERT by NAME, never by position: the update frame may carry
+        # extra or reordered columns vs the target (e.g. the streaming
+        # path's appended batch_id) — positional `SELECT *` would fail on
+        # arity or silently misassign same-typed columns
+        cols = ", ".join(updates.columns)
+        spark.sql(
+            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM _kgx_merge_src"
+        )
         return "iceberg"
     merge_upsert_parquet(spark, target_path, updates, keys)
     return "parquet"

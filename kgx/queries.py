@@ -1124,16 +1124,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _neardup_sql() -> str:
+def _hyperplane_cte() -> str:
+    """Shared oracle-SQL prefix: hyperplane signatures -> (vec_id, band,
+    key) bucket rows over the SAME literal planes the Spark side uses
+    (dedup.hyperplane_band_buckets) — one definition so the two bit-exact
+    rows built on it (dedup_embedding, ann_lsh_topk) cannot silently
+    diverge on the bucket-key derivation."""
     planes = _neardup_planes(16, 64)
     values = ",\n  ".join(
         "(" + str(j) + ", [" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[])"
         for j, row in enumerate(planes)
     )
     dot = _SQL_FOLD_DOT
-    cap = _NEARDUP_CAP
-    return f"""
-WITH planes(j, pv) AS (VALUES
+    return f"""planes(j, pv) AS (VALUES
   {values}
 ),
 bits AS (
@@ -1148,7 +1151,14 @@ buckets AS (
   SELECT vec_id, bd.band,
          array_to_string(bl[bd.band * 4 + 1 : bd.band * 4 + 4], '') AS key
   FROM sigs, (VALUES (0), (1), (2), (3)) AS bd(band)
-),
+)"""
+
+
+def _neardup_sql() -> str:
+    dot = _SQL_FOLD_DOT
+    cap = _NEARDUP_CAP
+    return f"""
+WITH {_hyperplane_cte()},
 bsizes AS (
   SELECT band, key, count(*) AS bsz, min(vec_id) AS bmin
   FROM buckets GROUP BY 1, 2
@@ -1373,29 +1383,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_lsh_sql() -> str:
-    planes = _neardup_planes(16, 64)
-    values = ",\n  ".join(
-        "(" + str(j) + ", [" + ", ".join(f"{v:.1f}" for v in row) + "]::DOUBLE[])"
-        for j, row in enumerate(planes)
-    )
     dot = _SQL_FOLD_DOT
     return f"""
-WITH planes(j, pv) AS (VALUES
-  {values}
-),
-bits AS (
-  SELECT e.vec_id, p.j,
-         CASE WHEN {dot.format(a="e.embedding", b="p.pv")} > 0 THEN 1 ELSE 0 END AS b
-  FROM embeddings e, planes p
-),
-sigs AS (
-  SELECT vec_id, list(b ORDER BY j) AS bl FROM bits GROUP BY vec_id
-),
-buckets AS (
-  SELECT vec_id, bd.band,
-         array_to_string(bl[bd.band * 4 + 1 : bd.band * 4 + 4], '') AS key
-  FROM sigs, (VALUES (0), (1), (2), (3)) AS bd(band)
-),
+WITH {_hyperplane_cte()},
 cb AS (
   SELECT vec_id, band, key FROM (
     SELECT vec_id, band, key,
@@ -3325,7 +3315,10 @@ def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, and the only text scans are the ones inside the component ops."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     contam = curate_contamination(spark, sf_dir).select("doc_id", "contaminated")
-    canon = dedup_canonical_docs(spark, sf_dir).select("doc_id", "keep_id")
+    # keep the RAW return: .select() builds a new DataFrame object and would
+    # strip the _kgx_persisted ownership list (a silent cache leak)
+    canon_raw = dedup_canonical_docs(spark, sf_dir)
+    canon = canon_raw.select("doc_id", "keep_id")
     quality = text_quality(spark, sf_dir).select("doc_id", "quality_flag")
     samp = (
         curate_stratified_sample(spark, sf_dir)
@@ -3350,7 +3343,7 @@ def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(samp, "doc_id", "left")
         .select("doc_id", "lang", status.alias("status"))
     )
-    out._kgx_persisted = getattr(canon, "_kgx_persisted", [])
+    out._kgx_persisted = getattr(canon_raw, "_kgx_persisted", [])
     return out
 
 

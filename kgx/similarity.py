@@ -292,6 +292,10 @@ def lsh_topk(
 
     cb = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     qb = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # resolve dim ONCE (one driver probe on the corpus frame) so the two
+    # bucket calls below don't each run their own blocking .first() job
+    if planes is None and dim is None:
+        dim = cb.select(F.size("vec").alias("d")).first()["d"]
     cbuck = dedup.hyperplane_band_buckets(
         cb, n_planes=n_planes, bands=bands, dim=dim, planes=planes
     )

@@ -178,8 +178,15 @@ def main() -> None:
         merge_table=args.merge_table,
     )
     q.awaitTermination()
-    n = spark.read.parquet(args.out).count()
-    print(f"kgx-stream: {n} triples in {args.out}")
+    if args.merge_table and not os.path.isdir(args.out):
+        # engine MERGE routed every batch to the Iceberg table; there is no
+        # parquet sink to count (reading args.out would raise and make a
+        # successful drain look like a failure)
+        n = spark.table(args.merge_table).count()
+        print(f"kgx-stream: {n} triples merged into {args.merge_table}")
+    else:
+        n = spark.read.parquet(args.out).count()
+        print(f"kgx-stream: {n} triples in {args.out}")
 
 
 if __name__ == "__main__":
