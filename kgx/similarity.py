@@ -265,6 +265,7 @@ def lsh_topk(
     bands: int = 4,
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN top-k — the hash-partitioned scale path beside
     ivf_topk (the brief's "IVF or LSH-bucketed variant").
@@ -287,6 +288,15 @@ def lsh_topk(
     Approximate by construction: a query's true neighbor in no shared
     bucket is missed (recall is pytest-bounded on clustered corpora); rows
     with fewer than k candidates return fewer than k neighbors.
+
+    `probe_flips=1` enables MULTI-PROBE (Lv et al., VLDB'07): each query
+    additionally probes every band key at Hamming distance 1 (one sign bit
+    flipped — the buckets a borderline vector most likely fell into),
+    trading ~(1 + bits/band)x more probe rows — still query-side only,
+    still broadcast — for recall, WITHOUT re-hashing or touching the
+    corpus-side bucket build. Deeper probing is deliberately not offered:
+    past distance 1 the probe count grows combinatorially and raising
+    n_planes is strictly better.
     """
     from kgx import dedup
 
@@ -302,6 +312,25 @@ def lsh_topk(
     qbuck = dedup.hyperplane_band_buckets(
         qb, n_planes=n_planes, bands=bands, dim=dim, planes=planes
     )
+    if probe_flips:
+        if probe_flips != 1:
+            raise ValueError("probe_flips supports 0 or 1 (raise n_planes instead)")
+        rows_per_band = (len(planes) if planes is not None else n_planes) // bands
+        # the exact key plus every Hamming-1 neighbor key (one char flipped)
+        variants = [F.col("key")] + [
+            F.concat(
+                F.substring("key", 1, p),
+                F.when(F.substring("key", p + 1, 1) == "0", F.lit("1")).otherwise(
+                    F.lit("0")
+                ),
+                F.substring("key", p + 2, rows_per_band - p - 1),
+            )
+            for p in range(rows_per_band)
+        ]
+        qbuck = (
+            qbuck.select("id", "band", F.explode(F.array(*variants)).alias("key"))
+            .dropDuplicates(["id", "band", "key"])
+        )
     if max_bucket_size is not None:
         wb = Window.partitionBy("band", "key").orderBy("id")
         cbuck = (

@@ -366,6 +366,18 @@ def test_lsh_topk_recall_and_cap(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (qid, ranks)
         assert len(ranks) <= 5
 
+    # multi-probe (Hamming-1 query-side probing) can only widen each
+    # query's candidate set, so recall must not drop — and borderline
+    # vectors usually push it up
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_topk(
+            emb, q, k=5, n_planes=16, bands=4, probe_flips=1
+        ).collect()
+    }
+    recall_mp = len(exact & probed) / len(exact)
+    assert recall_mp >= recall, (recall_mp, recall)
+
 
 def test_candidate_pair_kernel_invariants(spark):
     """Property test for the shared banded-LSH pair kernel
