@@ -7,6 +7,10 @@
     deterministic centroids (coarse quantizer), probe only the query's
     nprobe nearest cells. At 100 TB the cell assignment is a narrow map and
     the probe prunes >95% of the corpus before scoring.
+  * lsh_topk — hash-partitioned scale path: corpus and queries share
+    hyperplane band buckets (dedup.hyperplane_band_buckets), candidates =
+    bucket co-membership, exact cosine ranks them; optional Hamming-1
+    multi-probe (probe_flips=1) for recall.
 
 Dot products use F.zip_with + F.aggregate (whole-stage codegen). For exact
 cross-engine oracle checks use metric="dot_decimal" (decimal accumulation is
