@@ -98,10 +98,15 @@ def document_triples(
         ).agg(
             F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).alias("pos"),
             F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).alias("neg"),
-            # first-seen (lowest turn) original casing + identity — W2
+            # first-seen (lowest turn) original casing + identity — W2.
+            # The ordering struct must be UNIQUE per distinct subj within
+            # the group or min_by picks an arbitrary winner under ties
+            # (two same-name entities in one turn): name breaks the turn
+            # tie, uri breaks a same-name tie (matching the oracle's
+            # min(uri)), entity_id is the total-order backstop.
             F.min_by(
                 F.struct("entity_id", "entity_uri", "entity_name", "entity_type"),
-                F.struct("turn_idx", "entity_name"),
+                F.struct("turn_idx", "entity_name", "entity_uri", "entity_id"),
             ).alias("subj"),
             F.min("ts_day").alias("ts_day"),
         )
@@ -245,11 +250,14 @@ def salted_doc_rollup(facts: DataFrame, salt_buckets: int = 16) -> DataFrame:
     ).agg(
         F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).alias("pos"),
         F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).alias("neg"),
+        # same deterministic ordering as the unsalted rollup (see above)
         F.min_by(
             F.struct("entity_id", "entity_uri", "entity_name", "entity_type"),
-            F.struct("turn_idx", "entity_name"),
+            F.struct("turn_idx", "entity_name", "entity_uri", "entity_id"),
         ).alias("subj"),
-        F.min(F.struct("turn_idx", "entity_name")).alias("first_key"),
+        F.min(
+            F.struct("turn_idx", "entity_name", "entity_uri", "entity_id")
+        ).alias("first_key"),
         F.min("ts_day").alias("ts_day"),
     )
     return (

@@ -162,13 +162,17 @@ def build_nodes(triples: DataFrame) -> DataFrame:
     return (
         triples.groupBy(F.col("subj_id").alias("entity_id"))
         .agg(
+            # ordering must be unique per distinct attribute tuple or
+            # ties (e.g. two casings of one name in one turn) make the
+            # NODES output flap between runs; name/uri extend the
+            # (conv, turn) key to a deterministic total order
             F.min_by(
                 F.struct(
                     F.col("subj_name").alias("name"),
                     F.col("subj_uri").alias("uri"),
                     F.col("subj_type").alias("entity_type"),
                 ),
-                F.struct("conv_id", "turn_idx"),
+                F.struct("conv_id", "turn_idx", "subj_name", "subj_uri"),
             ).alias("a")
         )
         .select("entity_id", "a.name", "a.uri", "a.entity_type")
@@ -186,11 +190,15 @@ def block_memberships(nodes: DataFrame, blocking: str = "name_or_uri") -> DataFr
         "entity_id", F.concat(F.lit("n:"), F.lower("name")).alias("k")
     )
     if blocking == "name_and_uri":
+        # hash each part before concatenating: a raw 'name|uri' string is
+        # delimiter-injectable (name='a|b', uri='c' would collide with
+        # name='a', uri='b|c' and spuriously merge distinct pairs); md5 is
+        # fixed-length, so 'p:<32 hex>|<32 hex>' is a bijective encoding
         return nodes.filter(F.col("name").isNotNull()).select(
             "entity_id",
             F.concat(
-                F.lit("p:"), F.lower("name"), F.lit("|"),
-                F.coalesce("uri", F.lit("")),
+                F.lit("p:"), F.md5(F.lower("name")), F.lit("|"),
+                F.md5(F.coalesce("uri", F.lit(""))),
             ).alias("k"),
         )
     if blocking != "name_or_uri":

@@ -146,6 +146,11 @@ def run_pipeline(
         n_invalid = bad.count()
         if n_invalid:
             facts = facts.join(F.broadcast(bad), "conv_id", "left_anti")
+            # gate turn_feats too: fallback (PosNegWordRatio) triples are
+            # computed from turn_feats, and the reference's abort skips the
+            # WHOLE document — an invalid conversation must not leak a
+            # fallback row when its facts were dropped
+            turn_feats = turn_feats.join(F.broadcast(bad), "conv_id", "left_anti")
 
     # -- stage: triples (+ SENTIMENT_INDICATOR dim) -------------------------
     if triples_needed:

@@ -11,7 +11,8 @@ per-row):
 
     detect_mentions(text: Series[str]) -> Series[array<struct<
         begin:int, end:int, kind:string, surface:string,
-        feats:map<string,string>>>]
+        polarity:string>>]   (schema.MENTION; polarity set on
+        OrientationTerm rows only, null otherwise)
 
 Matching semantics (shared with the pure-Python oracle in tests/oracle.py):
   * gazetteer / indicator / feature surfaces: leftmost-longest,
@@ -217,7 +218,8 @@ class SurfaceMatcher:
 
     def summarize(self, text: str) -> tuple:
         """One-pass per-turn summary: (pos_cnt, neg_cnt, first_feature,
-        so_surfaces, ind_surfaces). This is the hot-path contract — only
+        first_subfeature, so_surfaces, ind_surfaces) — the 6 fields of
+        TURN_SUMMARY. This is the hot-path contract — only
         counts and deduped surface lists cross the Arrow boundary, not
         per-occurrence mention structs (~5x less transfer at 10^12 turns).
         Semantics identical to match(): finditer order = offset order, so
@@ -233,7 +235,14 @@ class SurfaceMatcher:
         spans: list[tuple[int, int]] = []
         for b, e in self._entity_spans(text):
             s = text[b:e]
-            k = self.kind_of[s.lower()]
+            # .get, not []: re.IGNORECASE / casefolded-AC can match Unicode
+            # case variants whose str.lower() is NOT the pattern key
+            # ('\u017ftark' matches 'stark'; final-sigma '\u0391\u03a3'
+            # lowers to '\u03b1\u03c2') — a [] lookup would KeyError and
+            # kill the whole task instead of skipping the stray match
+            k = self.kind_of.get(s.lower())
+            if k is None:
+                continue
             spans.append((b, e))
             if k == "SO":
                 if s not in so:
@@ -248,7 +257,10 @@ class SurfaceMatcher:
         for b, e in self._term_spans(text):
             if spans and any(b < se and sb < e for sb, se in spans):
                 continue
-            if self.polarity_of[text[b:e].lower()] == "positive":
+            pol = self.polarity_of.get(text[b:e].lower())
+            if pol is None:  # Unicode case-variant match (see above)
+                continue
+            if pol == "positive":
                 pos += 1
             else:
                 neg += 1
@@ -262,27 +274,38 @@ class SurfaceMatcher:
         spans: list[tuple[int, int]] = []
         for b, e in self._entity_spans(text):
             surface = text[b:e]
+            kind = self.kind_of.get(surface.lower())
+            if kind is None:  # Unicode case-variant match (see summarize)
+                continue
             spans.append((b, e))
-            out.append((b, e, self.kind_of[surface.lower()], surface, None))
+            out.append((b, e, kind, surface, None))
         for b, e in self._term_spans(text):
             if spans and any(b < se and sb < e for sb, se in spans):
                 continue  # inside an entity/indicator/feature span
             surface = text[b:e]
-            out.append(
-                (b, e, "OrientationTerm", surface, self.polarity_of[surface.lower()])
-            )
+            pol = self.polarity_of.get(surface.lower())
+            if pol is None:
+                continue
+            out.append((b, e, "OrientationTerm", surface, pol))
         out.sort(key=lambda t: (t[0], -t[1]))
         return out
 
 
+def _kb_fields(kb: KnowledgeBase) -> dict:
+    """The ONE extraction of matcher inputs from a KnowledgeBase — shared
+    by the driver-side matcher and the broadcast payload so the two can
+    never diverge on a KB shape change."""
+    return {
+        "so_surfaces": [s for (_u, _n, _t, s) in kb.gazetteer],
+        "indicator_surfaces": [row[2] for row in kb.indicators],
+        "feature_surfaces": [s for (s, _c) in kb.feature_surfaces],
+        "pos_terms": [t for (t, p) in kb.lexicon if p == "positive"],
+        "neg_terms": [t for (t, p) in kb.lexicon if p == "negative"],
+    }
+
+
 def matcher_from_kb(kb: KnowledgeBase) -> SurfaceMatcher:
-    return SurfaceMatcher(
-        so_surfaces=[s for (_u, _n, _t, s) in kb.gazetteer],
-        indicator_surfaces=[row[2] for row in kb.indicators],
-        feature_surfaces=[s for (s, _c) in kb.feature_surfaces],
-        pos_terms=[t for (t, p) in kb.lexicon if p == "positive"],
-        neg_terms=[t for (t, p) in kb.lexicon if p == "negative"],
-    )
+    return SurfaceMatcher(**_kb_fields(kb))
 
 
 from pyspark.sql.types import (  # noqa: E402
@@ -307,23 +330,26 @@ TURN_SUMMARY = StructType(
 
 def _broadcast_kb(turns: DataFrame, kb: KnowledgeBase):
     sc = turns.sparkSession.sparkContext
-    return sc.broadcast(
-        {
-            "so": [s for (_u, _n, _t, s) in kb.gazetteer],
-            "ind": [row[2] for row in kb.indicators],
-            "feat": [s for (s, _c) in kb.feature_surfaces],
-            "pos": [t for (t, p) in kb.lexicon if p == "positive"],
-            "neg": [t for (t, p) in kb.lexicon if p == "negative"],
-        }
-    )
+    return sc.broadcast(_kb_fields(kb))
 
 
-def _matcher_from_bc(state: dict, kb_bc) -> SurfaceMatcher:
-    matcher = state.get("m")
+# Worker-process matcher cache, keyed by the broadcast's backing file path
+# (unique per broadcast variable, stable across tasks). A closure-captured
+# dict does NOT survive tasks — PySpark re-pickles the closure into every
+# task command, so each task would rebuild the regex/Aho-Corasick matcher
+# from scratch (seconds at production gazetteer sizes, multiplied by every
+# task). A module-level dict lives as long as the reused Python worker.
+_MATCHER_CACHE: dict = {}
+
+
+def _matcher_from_bc(kb_bc) -> SurfaceMatcher:
+    key = getattr(kb_bc, "_path", None) or id(kb_bc)
+    matcher = _MATCHER_CACHE.get(key)
     if matcher is None:
-        d = kb_bc.value
-        matcher = SurfaceMatcher(d["so"], d["ind"], d["feat"], d["pos"], d["neg"])
-        state["m"] = matcher
+        if len(_MATCHER_CACHE) > 4:  # KBs change rarely; bound the cache
+            _MATCHER_CACHE.clear()
+        matcher = SurfaceMatcher(**kb_bc.value)
+        _MATCHER_CACHE[key] = matcher
     return matcher
 
 
@@ -331,11 +357,10 @@ def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     """Append a `mentions` array column (full standoff spans — the evidence
     path; the analytics hot path uses extract_turn_features). No shuffle."""
     kb_bc = _broadcast_kb(turns, kb)
-    state: dict = {}
 
     @F.pandas_udf(schema.MENTIONS_COL)
     def _detect(text: pd.Series) -> pd.Series:
-        matcher = _matcher_from_bc(state, kb_bc)
+        matcher = _matcher_from_bc(kb_bc)
         match = matcher.match
         return pd.Series(
             [match(t) if isinstance(t, str) else [] for t in text.to_numpy()],
@@ -351,11 +376,10 @@ def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     One Arrow round-trip, no per-occurrence structs, no downstream array
     lambdas."""
     kb_bc = _broadcast_kb(turns, kb)
-    state: dict = {}
 
     @F.pandas_udf(TURN_SUMMARY)
     def _summ(text: pd.Series) -> pd.DataFrame:
-        matcher = _matcher_from_bc(state, kb_bc)
+        matcher = _matcher_from_bc(kb_bc)
         summarize = matcher.summarize
         rows = [
             summarize(t) if isinstance(t, str) else (0, 0, None, None, [], [])

@@ -278,19 +278,15 @@ def drop_invalid_convs(facts: DataFrame) -> DataFrame:
     join on the (tiny, usually empty) distinct offending conv set, which
     Catalyst broadcasts; count the skips via the companion
     invalid_conv_count for lineage metrics."""
-    import pyspark.sql.functions as FF
-
     bad = invalid_convs(facts)
-    return facts.join(FF.broadcast(bad), "conv_id", "left_anti")
+    return facts.join(F.broadcast(bad), "conv_id", "left_anti")
 
 
 def invalid_convs(facts: DataFrame) -> DataFrame:
     """Distinct conv_ids carrying a null-subject or null-pred fact (the
     offender set drop_invalid_convs removes; count it for metrics)."""
-    import pyspark.sql.functions as FF
-
     return (
-        facts.filter(FF.col("entity_name").isNull() | FF.col("pred").isNull())
+        facts.filter(F.col("entity_name").isNull() | F.col("pred").isNull())
         .select("conv_id")
         .distinct()
     )

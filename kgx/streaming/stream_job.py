@@ -83,16 +83,28 @@ def start_kg_stream(
         triples = aggregate.all_triples(facts, tf).withColumn(
             "batch_id", F.lit(batch_id)
         )
+
+        def _release() -> None:
+            # sentence_facts hands its persisted intermediates to the
+            # caller (_kgx_persisted contract); without this a continuous
+            # stream pins two cached frames PER MICRO-BATCH until restart
+            for cached in getattr(facts, "_kgx_persisted", []):
+                cached.unpersist()
+            facts.unpersist()
+
         if merge_table is not None:
             from kgx import materialize
 
-            materialize.merge_upsert(
-                batch_df.sparkSession,
-                out_dir,
-                triples,
-                keys=["conv_id", "classifier"],
-                table=merge_table,
-            )
+            try:
+                materialize.merge_upsert(
+                    batch_df.sparkSession,
+                    out_dir,
+                    triples,
+                    keys=["conv_id", "classifier"],
+                    table=merge_table,
+                )
+            finally:
+                _release()
             return
         # Idempotent batch-keyed sink: partitioning by batch_id and writing
         # with dynamic partition overwrite means a batch retried after a
@@ -107,12 +119,15 @@ def start_kg_stream(
         # being set in kgx.session made the sink silently lossy under any
         # externally-created session; the writer-level option overrides the
         # session conf regardless of who built the session.
-        (
-            triples.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ts_day", "batch_id")
-            .parquet(out_dir)
-        )
+        try:
+            (
+                triples.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ts_day", "batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            _release()
 
     writer = (
         source.writeStream.foreachBatch(process_batch)

@@ -435,3 +435,36 @@ def test_candidate_pair_kernel_invariants(spark):
             else:
                 for a, b in itertools.combinations(ms, 2):
                     assert (min(a, b), max(a, b)) in capped, (a, b)
+
+
+def test_matcher_survives_unicode_case_variants():
+    """re.IGNORECASE (and the casefolded AC scan) can match Unicode case
+    variants whose str.lower() is NOT the pattern key — 'ſtark' (long s)
+    matches the pattern 'stark' but 'ſtark'.lower() == 'ſtark'; the Greek
+    final-sigma rule makes 'ΑΣ'.lower() == 'ας' while the per-char scan
+    lowered it to 'ασ'. A dict[] lookup on the matched slice raised
+    KeyError and killed the whole task; the matcher must SKIP such stray
+    matches instead (which is also what the differential oracle does: it
+    searches text.lower() for the lowered pattern and never matches these
+    variants at all)."""
+    from kgx.mentions import SurfaceMatcher
+
+    m = SurfaceMatcher(
+        so_surfaces=["stark industries"],
+        indicator_surfaces=["ασ"],
+        feature_surfaces=["stark"],
+        pos_terms=["gain"],
+        neg_terms=["loss"],
+    )
+    # long-s variant matches the regex for 'stark' but must be skipped
+    pos, neg, feat, subfeat, so, ind = m.summarize("ſtark had a gain")
+    assert feat is None and so == [] and ind == []
+    assert (pos, neg) == (1, 0)
+    # final-sigma variant of the indicator must be skipped, not crash
+    out = m.match("ΑΣ rose; loss for ſtark")
+    kinds = {k for (_b, _e, k, _s, _p) in out}
+    assert "Indicator" not in kinds
+    assert ("OrientationTerm" in kinds)  # 'loss' still matched
+    # exact-case behavior unchanged
+    pos2, neg2, feat2, _sf, so2, _i = m.summarize("Stark Industries gain for stark")
+    assert so2 == ["Stark Industries"] and feat2 == "stark" and pos2 == 1
