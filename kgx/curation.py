@@ -176,6 +176,12 @@ def pii_redact(
     Returns (id_col, n_email, n_ipv4, n_digits, redacted_md5) — the digest
     stands in for the (potentially huge) redacted text in result sets;
     callers that want the text use the same expression via `redact_col`.
+
+    Count semantics (deliberate, oracle-matched): each n_* counts matches
+    of that pattern in the ORIGINAL text, independently — a span consumed
+    by an earlier replacement (digits inside an email) is still counted,
+    so the counts measure pattern incidence, not the number of distinct
+    replacement operations performed.
     """
     c = F.col(text_col)
     counts = [
@@ -209,12 +215,15 @@ def stratified_sample(
         md5_hash60(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
         F.lit(10000),
     )
-    thresh = F.lit(int(default_rate * 10000))
+    # round(), not int(): IEEE representation error makes e.g.
+    # 0.57 * 10000 == 5699.999..., and truncation would silently lower the
+    # realized rate below the documented `bucket < rate*10000` rule
+    thresh = F.lit(round(default_rate * 10000))
     # fold the rate map into a CASE ladder (constant-folded by Catalyst)
     expr = None
     for stratum, rate in sorted(rates.items()):
         cond = F.col(stratum_col) == stratum
-        val = F.lit(int(rate * 10000))
+        val = F.lit(round(rate * 10000))
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     thresh = expr.otherwise(thresh) if expr is not None else thresh
     return (

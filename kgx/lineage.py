@@ -68,7 +68,9 @@ def append_partition_lineage(
         F.lit(None).cast("long").alias("rows_in"),
         F.col("rows").cast("long").alias("rows_out"),
         F.lit(None).cast("long").alias("wall_ms"),
-        F.lit(kb_version).alias("kb_version"),
+        # cast: the default kb_version=None would otherwise be a VOID-type
+        # literal column, which the parquet writer rejects
+        F.lit(kb_version).cast("string").alias("kb_version"),
         F.current_timestamp().alias("ts"),
     ).write.mode("append").parquet(lineage_dir)
 

@@ -118,18 +118,22 @@ def merge_upsert(
     if cat and table:
         updates.createOrReplaceTempView("_kgx_merge_src")
         on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        key_cols = ", ".join(keys)
+        # the MERGE source must be the DISTINCT key tuples, not the raw
+        # update rows: an update set carries many rows per key (one per
+        # subj/pred per conversation), and a MERGE whose source matches a
+        # target row more than once aborts with MERGE_CARDINALITY_VIOLATION
         spark.sql(
-            f"MERGE INTO {table} t USING _kgx_merge_src s ON {on} "
-            "WHEN MATCHED THEN DELETE"
+            f"MERGE INTO {table} t "
+            f"USING (SELECT DISTINCT {key_cols} FROM _kgx_merge_src) s "
+            f"ON {on} WHEN MATCHED THEN DELETE"
         )
-        # INSERT by NAME, never by position: the update frame may carry
-        # extra or reordered columns vs the target (e.g. the streaming
-        # path's appended batch_id) — positional `SELECT *` would fail on
-        # arity or silently misassign same-typed columns
-        cols = ", ".join(updates.columns)
-        spark.sql(
-            f"INSERT INTO {table} ({cols}) SELECT {cols} FROM _kgx_merge_src"
-        )
+        # append by NAME (DataFrameWriterV2), never by position: the update
+        # frame may be column-reordered vs the target — positional inserts
+        # would silently misassign same-typed columns. An update column the
+        # target lacks still fails loudly (create the streaming target WITH
+        # batch_id), which beats silent corruption.
+        updates.writeTo(table).append()
         return "iceberg"
     merge_upsert_parquet(spark, target_path, updates, keys)
     return "parquet"

@@ -112,15 +112,19 @@ def profile_numeric_hist(
             ).otherwise(F.lit(0)),
         )
     )
-    hist = binned.groupBy(group_col, "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    # n/vmin/vmax ride the grouping key (functionally determined by the
+    # group) instead of re-joining `ranges` here — a second join would
+    # re-execute the whole min/max/count scan of the input, tripling the
+    # data passes this "one range pass + one bin pass" design promises
+    hist = binned.groupBy(group_col, "n", "vmin", "vmax", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).join(
-        F.broadcast(ranges), group_col
-    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
     qbins = cum.groupBy(group_col, "n", "vmin", "vmax").agg(
         *[
             F.min(

@@ -23,17 +23,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def attribute_purchases(
+def _attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,
-    window: str = "1 hour",
-    delay: str = "1 minute",
+    window: str,
+    delay: str,
+    how: str,
 ) -> DataFrame:
-    """Join each purchase to every click by the same user in the preceding
-    `window` (inclusive bounds on both ends). Both inputs must carry
-    (event_id, user_id, ts); both get event-time watermarks so the join
-    state is evicted once the opposite side's watermark passes the window.
-    """
+    """Shared body for the inner and left-outer attribution joins — one
+    definition of the watermarks, time-range condition and projection so
+    the two variants cannot drift."""
     c = (
         clicks.select(
             F.col("event_id").alias("click_id"),
@@ -54,6 +53,7 @@ def attribute_purchases(
             f"c_user = p_user AND purchase_ts >= click_ts "
             f"AND purchase_ts <= click_ts + interval {window}"
         ),
+        how,
     )
     return j.select(
         "click_id",
@@ -63,6 +63,20 @@ def attribute_purchases(
         .cast("bigint")
         .alias("gap_sec"),
     )
+
+
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window: str = "1 hour",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Join each purchase to every click by the same user in the preceding
+    `window` (inclusive bounds on both ends). Both inputs must carry
+    (event_id, user_id, ts); both get event-time watermarks so the join
+    state is evicted once the opposite side's watermark passes the window.
+    """
+    return _attribution_join(clicks, purchases, window, delay, "inner")
 
 
 def attribute_purchases_outer(
@@ -81,33 +95,4 @@ def attribute_purchases_outer(
     (same drain protocol as kgx.streaming.windowed; the sentinels' own
     eviction horizon stays ahead of the final watermark, so they never
     emit themselves)."""
-    c = (
-        clicks.select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
-        ).withWatermark("click_ts", delay)
-    )
-    p = (
-        purchases.select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-        ).withWatermark("purchase_ts", delay)
-    )
-    j = c.join(
-        p,
-        F.expr(
-            f"c_user = p_user AND purchase_ts >= click_ts "
-            f"AND purchase_ts <= click_ts + interval {window}"
-        ),
-        "leftOuter",
-    )
-    return j.select(
-        "click_id",
-        "purchase_id",
-        F.col("c_user").alias("user_id"),
-        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
-        .cast("bigint")
-        .alias("gap_sec"),
-    )
+    return _attribution_join(clicks, purchases, window, delay, "leftOuter")

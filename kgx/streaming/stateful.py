@@ -83,13 +83,26 @@ def _assemble(conv_id: str, idxs: list, texts: list, tmin, tmax) -> pd.DataFrame
     )
 
 
+def _interval_ms(spec: str) -> int:
+    """'30 minutes' / '10 seconds' / '1 hour' → milliseconds."""
+    n, unit = spec.split()
+    per = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+           "day": 86_400_000}[unit.rstrip("s")]
+    return int(n) * per
+
+
 def sessionize_conversations(
-    turns: DataFrame, gap: str = "30 minutes", gap_ms: int = 30 * 60 * 1000
+    turns: DataFrame, gap: str = "30 minutes", gap_ms: int | None = None
 ) -> DataFrame:
     """turns stream (conv_id, turn_idx, text, ts) → closed-conversation doc
     stream. `gap` doubles as the watermark delay (late turns inside the gap
     still join their conversation; later ones are dropped by the watermark,
-    the standard trade)."""
+    the standard trade). The state timeout is DERIVED from `gap` — passing
+    an explicit gap_ms is an expert override; two independently-set values
+    silently drift (a 10-minute watermark with the old 30-minute default
+    timeout emitted conversations 20 minutes late)."""
+    if gap_ms is None:
+        gap_ms = _interval_ms(gap)
 
     def fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState

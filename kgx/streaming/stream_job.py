@@ -193,15 +193,20 @@ def main() -> None:
         merge_table=args.merge_table,
     )
     q.awaitTermination()
-    if args.merge_table and not os.path.isdir(args.out):
-        # engine MERGE routed every batch to the Iceberg table; there is no
-        # parquet sink to count (reading args.out would raise and make a
-        # successful drain look like a failure)
+    # report from whichever sink the batches actually used — the same
+    # dispatch rule merge_upsert applies (catalog loadable → Iceberg table,
+    # else parquet emulation at --out). Guessing from isdir(out) is wrong
+    # whenever the out dir pre-exists or zero batches ran.
+    from kgx import materialize
+
+    if args.merge_table and materialize.iceberg_catalog(spark):
         n = spark.table(args.merge_table).count()
         print(f"kgx-stream: {n} triples merged into {args.merge_table}")
-    else:
+    elif os.path.isdir(args.out):
         n = spark.read.parquet(args.out).count()
         print(f"kgx-stream: {n} triples in {args.out}")
+    else:
+        print(f"kgx-stream: 0 triples (no batches ran; {args.out} not created)")
 
 
 if __name__ == "__main__":

