@@ -157,9 +157,10 @@ def run_scaling() -> dict | None:
     memory and Python worker pools, inter-process shuffle between them;
     the literal "N and 4N executors" of the north rule). Each config runs
     ONE warmed session with several timed trials inside (kgx.bench_scale
-    --trials); the per-config minimum wall is the least-interference
-    estimate on this bursty shared host. BENCH_SCALE_MODE=threads falls
-    back to the local[N]-vs-local[4N] per-core probe."""
+    --trials); the per-config MEDIAN wall is the headline estimator
+    (equal trial counts per config — see bench_scale's round-3 note on
+    why min-of-unequal-draws flattered one side). BENCH_SCALE_MODE=threads
+    falls back to the local[N]-vs-local[4N] per-core probe."""
     inp = f"/tmp/kgx_bench_{SCALE_TURNS}"
     if not os.path.exists(inp):
         print(f"  generating {SCALE_TURNS}-turn corpus ...", file=sys.stderr)

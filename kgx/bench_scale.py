@@ -35,8 +35,8 @@ def main() -> None:
         "--trials",
         type=int,
         default=1,
-        help="timed repetitions inside the one warmed session; the minimum "
-        "wall time is reported (least-interference sample on a shared host)",
+        help="timed repetitions inside the one warmed session; the MEDIAN "
+        "wall is the headline (min + full distribution reported alongside)",
     )
     args = p.parse_args()
 

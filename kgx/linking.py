@@ -66,7 +66,17 @@ def feature_alias_dim(spark: SparkSession, kb: KnowledgeBase) -> DataFrame:
     surf = spark.createDataFrame(kb.feature_surfaces, "alias string, canonical string").select(
         F.lower("alias").alias("alias_lc"), "canonical"
     )
-    return alias.unionByName(surf).dropDuplicates(["alias_lc"])
+    # deterministic first-wins (min canonical), not dropDuplicates: a
+    # user-supplied KB may map one alias to two canonicals, and
+    # dropDuplicates keeps an arbitrary row per run — the same
+    # scheduling-independence rule as gazetteer_dim/indicators_dim
+    w = Window.partitionBy("alias_lc").orderBy("canonical")
+    return (
+        alias.unionByName(surf)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("alias_lc", "canonical")
+    )
 
 
 def indicators_dim(spark: SparkSession, kb: KnowledgeBase) -> DataFrame:

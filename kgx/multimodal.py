@@ -80,13 +80,14 @@ def decode_image_features(
     identical Spark plumbing).
     """
     if not fake:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "image decode requires Pillow; pass fake=True for the "
-                "deterministic test kernel"
-            ) from e
+        # unconditional: a REAL pixel kernel is not implemented yet, so
+        # fake=False must never silently return the hash-derived stand-in
+        # — even where Pillow happens to be importable (that would present
+        # fabricated dimensions/features as real decode output)
+        raise NotImplementedError(
+            "real image decode kernel not implemented (Pillow-based kernel "
+            "pending); pass fake=True for the deterministic test kernel"
+        )
 
     pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
 
@@ -132,13 +133,11 @@ def decode_audio_features(
     requires an audio library (not in this container): raises
     NotImplementedError unless fake=True (deterministic test kernel)."""
     if not fake:
-        try:
-            import soundfile  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "audio decode requires soundfile/torchaudio; pass fake=True "
-                "for the deterministic test kernel"
-            ) from e
+        # unconditional — same contract as decode_image_features
+        raise NotImplementedError(
+            "real audio decode kernel not implemented; pass fake=True for "
+            "the deterministic test kernel"
+        )
 
     pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload")
 

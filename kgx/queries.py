@@ -532,8 +532,12 @@ def j7_dom_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DatabaseFacade.java:1152-1177)."""
     ev = _t(spark, sf_dir, "events")
     norm = F.col("value") / (F.col("value") + F.lit(100.0))
+    # clamp the LABEL argument at 0: the ladder's bins all require
+    # norm >= 0 and fall through to 'n/a' on a negative norm, while the
+    # oracle's CASE ends in ELSE 'no amount' — a corpus with negative
+    # values (-100 < value < 0) would diverge cross-engine without this
     return ev.select("event_id", norm.alias("norm")).withColumn(
-        "dom_label", agg_mod.dom_label_expr(F.col("norm"))
+        "dom_label", agg_mod.dom_label_expr(F.greatest(F.col("norm"), F.lit(0.0)))
     )
 
 
@@ -1653,6 +1657,25 @@ WHERE tok IN ('spark','customer','vector','stream','window',
 """
 
 
+
+def _stream_workdir(tag: str) -> str:
+    """Bounded scratch dir for a streaming registry query: a DETERMINISTIC
+    per-(query, process) path, wiped on entry. mkdtemp leaked a full copy
+    of the source table + sink + checkpoint per invocation (a driver loop
+    re-running the registry accumulated copies until /tmp filled); reusing
+    one path per query bounds the footprint to a single copy. The returned
+    sink stays on disk after the call BY DESIGN — the returned DataFrame
+    reads it lazily, so it must survive until the caller materializes."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), "kgx_stream_q", f"{tag}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    return base
+
+
 def stream_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL structured-streaming wrapper (kgx.streaming.stream_job):
     documents-as-transcripts written to a file source, drained with
@@ -1665,7 +1688,7 @@ def stream_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kgx.streaming import stream_job
 
-    base = tempfile.mkdtemp(prefix="kgx_stream_q_")
+    base = _stream_workdir("kg")
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
     _doc_transcripts(spark, sf_dir).repartition(4).write.parquet(src)
     source = stream_job.stream_transcripts_from_files(
@@ -1705,7 +1728,7 @@ def stream_conversation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kgx.streaming import stateful
 
-    base = tempfile.mkdtemp(prefix="kgx_state_q_")
+    base = _stream_workdir("state")
     src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
     _os.makedirs(src)
 
@@ -1777,7 +1800,7 @@ def stream_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kgx import schema as _schema
     from kgx.streaming import dedup_stream
 
-    base = tempfile.mkdtemp(prefix="kgx_dstream_q_")
+    base = _stream_workdir("dedup")
     src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
     _os.makedirs(src)
 
@@ -1844,7 +1867,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kgx.streaming import windowed
 
-    base = tempfile.mkdtemp(prefix="kgx_wstream_q_")
+    base = _stream_workdir("windowed")
     src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
     _os.makedirs(src)
 
@@ -1922,7 +1945,7 @@ def stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kgx.streaming import joins
 
-    base = tempfile.mkdtemp(prefix="kgx_jstream_q_")
+    base = _stream_workdir("join")
     src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
     _os.makedirs(src)
 
@@ -1989,7 +2012,7 @@ def stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kgx.streaming import joins
 
-    base = tempfile.mkdtemp(prefix="kgx_jostream_q_")
+    base = _stream_workdir("join_outer")
     src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
     _os.makedirs(src)
 

@@ -25,7 +25,9 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        # > 0 guard: "0" passes isdigit() but shuffle.partitions=0 fails
+        # deep inside the first shuffle instead of at session construction
+        shuffle_partitions = int(cpus) if cpus.isdigit() and int(cpus) > 0 else 32
 
     b = (
         SparkSession.builder.appName(app_name)

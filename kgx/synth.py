@@ -55,7 +55,6 @@ def make_transcripts(
     ent_weights = _zipf_weights(len(surfaces))
     pos = list(resources.POSITIVE_TERMS)
     neg = list(resources.NEGATIVE_TERMS)
-    ind_surfaces = [s for (*_x, s) in [(i[0], i[1], i[2]) for i in kb.indicators]]
     ind_surfaces = [i[2] for i in kb.indicators]
     feat_surfaces = [s for (s, _c) in kb.feature_surfaces]
 
