@@ -224,6 +224,18 @@ def give_ownership(out: DataFrame, frames: list) -> DataFrame:
     return out
 
 
+def propagate_ownership(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Carry src's _kgx_persisted list onto out and return out. Any plain
+    DataFrame transformation silently strips the Python attribute, so EVERY
+    projection over a frame that owns caches must route through this helper
+    (not hand-copy the attribute) — otherwise the caches leak for the
+    session lifetime. No-op when src owns nothing."""
+    owned = getattr(src, "_kgx_persisted", [])
+    if owned:
+        out._kgx_persisted = owned
+    return out
+
+
 def candidate_pairs_from_buckets(
     buckets: DataFrame, max_bucket_size: int | None = None
 ) -> DataFrame:

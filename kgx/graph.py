@@ -70,6 +70,13 @@ def pagerank_int(edges: DataFrame, iters: int = 3, r0: int = R0) -> DataFrame:
     + one groupBy(dst) — two exchanges, both on node keys; skewed hubs
     are split by AQE. Edges are persisted once; rank tables are tiny
     relative to edges and never hold floats.
+
+    RELEASE OBLIGATION: the result carries persisted intermediates on
+    ``result._kgx_persisted`` (see dedup.give_ownership). After consuming
+    the result, the caller must ``unpersist()`` each frame in that list,
+    or the edge/degree caches pin executor memory for the session.
+    Projections over the result must go through
+    ``dedup.propagate_ownership`` or the list is silently stripped.
     """
     edges = edges.repartition(edges.sparkSession.sparkContext.defaultParallelism, "src").persist()
     deg = degrees(edges).persist()
@@ -152,6 +159,11 @@ def triangle_counts(edges_uv: DataFrame) -> DataFrame:
 
     Orientation does not change the triangle set, so a plain u<v<w
     3-way-join SQL oracle counts the same triangles.
+
+    RELEASE OBLIGATION: the result carries persisted intermediates on
+    ``result._kgx_persisted``; the caller must unpersist them after
+    consuming the result, and any projection over the result must route
+    through ``dedup.propagate_ownership`` (see dedup.give_ownership).
     """
     # the edge list feeds degree counting AND orientation — persist it
     # once or every reference replays its upstream plan (for a projection

@@ -13,6 +13,8 @@ an Iceberg catalog the same DataFrames go through MERGE INTO on
 
 from __future__ import annotations
 
+import uuid
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -116,18 +118,26 @@ def merge_upsert(
     wherever the jars exist; this sandbox has none, documented.)"""
     cat = iceberg_catalog(spark)
     if cat and table:
-        updates.createOrReplaceTempView("_kgx_merge_src")
-        on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
-        key_cols = ", ".join(keys)
-        # the MERGE source must be the DISTINCT key tuples, not the raw
-        # update rows: an update set carries many rows per key (one per
-        # subj/pred per conversation), and a MERGE whose source matches a
-        # target row more than once aborts with MERGE_CARDINALITY_VIOLATION
-        spark.sql(
-            f"MERGE INTO {table} t "
-            f"USING (SELECT DISTINCT {key_cols} FROM _kgx_merge_src) s "
-            f"ON {on} WHEN MATCHED THEN DELETE"
-        )
+        # per-call view name: foreachBatch batches of concurrent streaming
+        # queries run on separate driver threads sharing one session — a
+        # fixed view name could be overwritten between registration and the
+        # MERGE, merging the wrong batch's keys
+        view = f"_kgx_merge_src_{uuid.uuid4().hex}"
+        updates.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+            key_cols = ", ".join(keys)
+            # the MERGE source must be the DISTINCT key tuples, not the raw
+            # update rows: an update set carries many rows per key (one per
+            # subj/pred per conversation), and a MERGE whose source matches a
+            # target row more than once aborts with MERGE_CARDINALITY_VIOLATION
+            spark.sql(
+                f"MERGE INTO {table} t "
+                f"USING (SELECT DISTINCT {key_cols} FROM {view}) s "
+                f"ON {on} WHEN MATCHED THEN DELETE"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         # append by NAME (DataFrameWriterV2), never by position: the update
         # frame may be column-reordered vs the target — positional inserts
         # would silently misassign same-typed columns. An update column the
@@ -566,9 +576,13 @@ def node_properties(facts: DataFrame) -> DataFrame:
     key/value property rows attached to entity nodes, the EAV rendering —
     (node_key, prop_key, prop_value). Static attributes (name, uri, type)
     unpivot map-side; usage properties (n_facts, n_convs) come from one
-    keyed aggregation. node_key is content-derived (md5 of name|uri), so
-    the property↔object relation table is implicit — no id sequence, no
-    second shuffle."""
+    keyed aggregation. node_key is content-derived, so the
+    property↔object relation table is implicit — no id sequence, no
+    second shuffle. Each key part is hashed BEFORE concatenation
+    (md5(md5(name)||'|'||md5(coalesce(uri,'')))): a raw '|' join is
+    delimiter-injectable (name='a|b',uri='c' would collide with
+    name='a',uri='b|c'), and a null uri must yield a real key, not a
+    null one. KG_NODE_PROPS_SQL mirrors the same expression."""
     nodes = facts.groupBy(
         F.lower("entity_name").alias("name"),
         F.col("entity_uri").alias("uri"),
@@ -577,7 +591,14 @@ def node_properties(facts: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_facts"),
         F.countDistinct("conv_id").alias("n_convs"),
     ).withColumn(
-        "node_key", F.md5(F.concat_ws("|", "name", "uri"))
+        "node_key",
+        F.md5(
+            F.concat(
+                F.md5(F.col("name")),
+                F.lit("|"),
+                F.md5(F.coalesce(F.col("uri"), F.lit(""))),
+            )
+        ),
     )
     kv = F.explode(
         F.map_from_arrays(

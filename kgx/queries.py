@@ -924,8 +924,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cc.select(
         F.col("entity_id").alias("doc_id"), F.col("canonical_id").alias("keep_id")
     )
-    out._kgx_persisted = getattr(pairs, "_kgx_persisted", [])
-    return out
+    return dedup.propagate_ownership(pairs, out)
 
 
 DEDUP_CANON_SQL = f"""
@@ -1041,8 +1040,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = dedup.simhash_candidates(fp, n_bits=60)
     out = cand.filter(F.col("hamming") <= 16)
-    out._kgx_persisted = getattr(cand, "_kgx_persisted", [])
-    return out
+    return dedup.propagate_ownership(cand, out)
 
 
 def _simhash_sql() -> str:
@@ -2381,6 +2379,12 @@ def kg_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KG_QUERY_PARAMS_SQL = _KG_SQL_PROLOGUE + """
 , first_so AS (
+  -- min(name) coincides with materialize.query_parameters' first-subject-
+  -- in-TURN-ORDER rule only because this oracle corpus is single-turn
+  -- (turn_idx=0 everywhere). The turn-order rule itself is pinned by a
+  -- multi-turn unit test (tests/test_round3.py); a future multi-turn
+  -- oracle fixture must replace min(name) with a turn-ordered arg-min
+  -- (min_by over (turn_idx, name)).
   SELECT conv_id, min(name) AS query_sentiment_object FROM facts GROUP BY conv_id
 )
 SELECT lower(d.source) AS query_site,
@@ -2447,7 +2451,9 @@ KG_NODE_PROPS_SQL = _KG_SQL_PROLOGUE + """
          count(*) AS n_facts, count(DISTINCT conv_id) AS n_convs
   FROM facts GROUP BY 1, 2
 ),
-keyed AS (SELECT *, md5(name || '|' || uri) AS node_key FROM nodes)
+-- parts hashed before the join: raw name||'|'||uri is delimiter-injectable
+-- and a null uri must not null the whole key (mirrors materialize.node_properties)
+keyed AS (SELECT *, md5(md5(name) || '|' || md5(coalesce(uri, ''))) AS node_key FROM nodes)
 SELECT node_key, 'name' AS prop_key, name AS prop_value FROM keyed
 UNION ALL SELECT node_key, 'uri', uri FROM keyed
 UNION ALL SELECT node_key, 'type', entity_type FROM keyed
@@ -3104,8 +3110,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = counts.select(F.col("node").cast("bigint").alias("suppkey"), "n_triangles")
     # propagate cache ownership through the projection so the consumer
     # (bench/driver loop) can release the persisted edge/orientation frames
-    res._kgx_persisted = getattr(counts, "_kgx_persisted", [])
-    return res
+    return dedup.propagate_ownership(counts, res)
 
 
 GRAPH_TRIANGLES_SQL = """
@@ -3366,8 +3371,7 @@ def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(samp, "doc_id", "left")
         .select("doc_id", "lang", status.alias("status"))
     )
-    out._kgx_persisted = getattr(canon_raw, "_kgx_persisted", [])
-    return out
+    return dedup.propagate_ownership(canon_raw, out)
 
 
 CURATE_KEEP_SQL = f"""
