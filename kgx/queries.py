@@ -1536,6 +1536,99 @@ FROM documents
 """
 
 
+def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Deterministic spec-valid media payloads synthesized per doc on the
+    EXECUTORS (never the driver): format and geometry are doc_id
+    arithmetic, bytes come from multimodal.make_png/make_gif/make_jpeg/
+    make_wav. This is the input side of the REAL (fake=False) decode
+    oracle rows — the only way to hash-verify a binary parser cross-engine
+    is to make the expected header fields literal-derivable."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("media_id")
+    )
+
+    def build(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if kind == "image":
+                    w = 16 + mid % 97
+                    h = 16 + (mid * 7) % 89
+                    k = mid % 3
+                    payload = (
+                        multimodal.make_png(w, h)
+                        if k == 0
+                        else multimodal.make_gif(w, h)
+                        if k == 1
+                        else multimodal.make_jpeg(w, h)
+                    )
+                    mime = ("image/png", "image/gif", "image/jpeg")[k]
+                else:
+                    sr = (8000, 16000, 22050, 44100)[mid % 4]
+                    payload = multimodal.make_wav(
+                        sr, sr // 10 + mid % 100, channels=1 + mid % 2, bits=16
+                    )
+                    mime = "audio/wav"
+                rows.append((mid, kind, mime, payload, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "payload",
+                    "meta_width", "meta_height", "meta_duration_ms",
+                ],
+            )
+
+    return d.mapInPandas(build, multimodal.MEDIA_SCHEMA)
+
+
+def mm_image_real_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (fake=False) image decode surface: spec-valid PNG/GIF/JPEG
+    bytes are synthesized per doc, then multimodal.image_metadata parses
+    width/height/format back OUT of the raw bytes with the stdlib header
+    kernel (PNG IHDR / GIF LSD / JPEG SOF0). The oracle recomputes the
+    dims from the generating arithmetic, so a hash match proves the
+    bytes→header-parse→dims round trip is exact. Reference analogue:
+    per-document content metadata (DocumentMetaData.java:20-24)."""
+    return multimodal.image_metadata(_synth_media(spark, sf_dir, "image"))
+
+
+MM_IMAGE_REAL_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(16 + doc_id % 97 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 89 AS INTEGER) AS height,
+       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format
+FROM documents
+"""
+
+
+def mm_audio_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (fake=False) audio decode surface: spec-valid PCM WAV bytes
+    per doc, parsed back by multimodal.audio_metadata (RIFF fmt/data chunk
+    walk) — duration_ms, sample_rate, channels, bits all extracted from
+    the actual bytes and hash-checked against the generating arithmetic
+    (duration_ms = data_bytes*1000 // byte_rate, exact integer math)."""
+    return multimodal.audio_metadata(_synth_media(spark, sf_dir, "audio"))
+
+
+MM_AUDIO_REAL_SQL = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         WHEN 2 THEN 22050 ELSE 44100 END AS sr
+  FROM documents
+)
+SELECT media_id,
+       CAST(((sr // 10 + media_id % 100) * 1000) // sr AS INTEGER) AS duration_ms,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(1 + media_id % 2 AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # remaining window/grouping parity ops (W3 offsets, A2 case-insensitive)
 # ---------------------------------------------------------------------------
@@ -3577,6 +3670,8 @@ REGISTRY: dict[str, tuple] = {
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
+    "mm_image_real_dims": (mm_image_real_dims, MM_IMAGE_REAL_SQL),
+    "mm_audio_real_meta": (mm_audio_real_meta, MM_AUDIO_REAL_SQL),
     "w1_turn_order": (w1_turn_order, W1_SQL),
     "w2_first_wins": (w2_first_wins, W2_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),

@@ -200,16 +200,17 @@ def test_multimodal_image_stub(spark):
     assert sorted(map(str, rows)) == sorted(map(str, rows2))
 
 
-def test_multimodal_real_decode_is_gated(spark):
-    media = multimodal.make_fake_media(spark, n=3)
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("Pillow present; gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_features(media, fake=False)
+def test_multimodal_real_decode_never_fabricates(spark):
+    """fake=False is the REAL stdlib header kernel (round 4): on bytes that
+    are not a parseable image it must emit NULL metadata — never the
+    hash-derived stand-in values — and features stay NULL (no model)."""
+    media = multimodal.make_fake_media(spark, n=9)  # md5-noise payloads
+    rows = multimodal.decode_image_features(media, fake=False).collect()
+    assert rows  # image rows present
+    assert all(
+        r["width"] is None and r["height"] is None and r["features"] is None
+        for r in rows
+    )
 
 
 def test_video_frame_sampling(spark):
@@ -292,5 +293,8 @@ def test_multimodal_audio_stub(spark):
     assert all(r["sample_rate"] in (8000, 16000, 24000, 32000) for r in rows)
     # deterministic re-run
     assert sorted(map(str, rows)) == sorted(map(str, out.collect()))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio_features(media, fake=False).collect()
+    # real path (round 4): non-WAV bytes yield NULL metadata, not fakes
+    real = multimodal.decode_audio_features(media, fake=False).collect()
+    assert real and all(
+        r["duration_ms"] is None and r["features"] is None for r in real
+    )

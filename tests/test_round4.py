@@ -1,0 +1,157 @@
+"""Round-4 additions: real stdlib media header kernels, bench estimator,
+merge-view uniqueness, ownership propagation helper."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx import multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# real header parsers (pure functions — no Spark needed)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("w,h", [(1, 1), (16, 104), (640, 480), (65535, 2)])
+def test_image_header_roundtrip(w, h):
+    assert mm.parse_image_header(mm.make_png(w, h)) == (w, h, "png")
+    assert mm.parse_image_header(mm.make_gif(w, h)) == (w, h, "gif")
+    assert mm.parse_image_header(mm.make_jpeg(w, h)) == (w, h, "jpeg")
+
+
+def test_png_fixture_is_spec_valid():
+    # the PNG fixture must be a COMPLETE file (sig + IHDR + IDAT + IEND,
+    # correct CRCs, decompressible scanlines), not just a parseable prefix
+    import struct
+    import zlib
+
+    raw = mm.make_png(5, 3)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    i, chunks = 8, []
+    while i < len(raw):
+        (length,) = struct.unpack(">I", raw[i : i + 4])
+        tag = raw[i + 4 : i + 8]
+        data = raw[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", raw[i + 8 + length : i + 12 + length])
+        assert crc == zlib.crc32(tag + data) & 0xFFFFFFFF
+        chunks.append(tag)
+        if tag == b"IDAT":
+            scan = zlib.decompress(data)
+            assert len(scan) == 3 * (1 + 5)  # h rows of (filter + w px)
+        i += 12 + length
+    assert chunks == [b"IHDR", b"IDAT", b"IEND"]
+
+
+@pytest.mark.parametrize(
+    "sr,n,ch,bits", [(8000, 800, 1, 16), (44100, 4410, 2, 16), (22050, 99, 1, 8)]
+)
+def test_wav_header_roundtrip(sr, n, ch, bits):
+    dur, s, c, b = mm.parse_wav_header(mm.make_wav(sr, n, ch, bits))
+    assert (s, c, b) == (sr, ch, bits)
+    assert dur == n * 1000 // sr
+
+
+def test_parsers_reject_garbage_without_raising():
+    assert mm.parse_image_header(None) == (None, None, None)
+    assert mm.parse_image_header(b"") == (None, None, None)
+    assert mm.parse_image_header(b"notanimage" * 3) == (None, None, None)
+    assert mm.parse_image_header(mm.make_png(10, 10)[:20]) == (None, None, None)
+    assert mm.parse_image_header(mm.make_jpeg(10, 10)[:6]) == (None, None, None)
+    # JPEG truncated right after the SOF dims: still parseable
+    assert mm.parse_image_header(mm.make_jpeg(10, 10)[:-4]) == (10, 10, "jpeg")
+    # JPEG truncated mid-SOF (dims cut off): None, no exception
+    assert mm.parse_image_header(mm.make_jpeg(10, 10)[:26]) == (None, None, None)
+    assert mm.parse_wav_header(b"RIFFxxxxWAVE") == (None, None, None, None)
+    assert mm.parse_wav_header(b"junk") == (None, None, None, None)
+    assert mm.parse_wav_header(mm.make_wav(8000, 10)[:16])[0] is None
+
+
+def test_wav_parser_walks_past_extra_chunks():
+    # LIST/INFO chunk between fmt and data (word-aligned odd-size chunk)
+    import struct
+
+    base = mm.make_wav(16000, 1600)
+    # splice an odd-length junk chunk right after the fmt chunk (ends at 36)
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad byte
+    spliced = base[:36] + junk + base[36:]
+    spliced = b"RIFF" + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    dur, sr, ch, bits = mm.parse_wav_header(spliced)
+    assert (sr, ch, bits) == (16000, 1, 16) and dur == 100
+
+
+# ---------------------------------------------------------------------------
+# fake=False DataFrame surfaces (real kernel end-to-end through mapInPandas)
+# ---------------------------------------------------------------------------
+
+def test_decode_image_features_real_kernel(spark):
+    rows = [
+        (0, "image", "image/png", mm.make_png(20, 30), None, None, None),
+        (1, "image", "image/gif", mm.make_gif(7, 9), None, None, None),
+        (2, "image", "image/jpeg", mm.make_jpeg(101, 55), None, None, None),
+        (3, "image", None, b"corrupt", None, None, None),
+        (4, "audio", "audio/wav", mm.make_wav(8000, 80), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r
+        for r in mm.decode_image_features(media).collect()  # fake defaults False
+    }
+    assert set(got) == {0, 1, 2, 3}  # audio row filtered out
+    assert (got[0]["width"], got[0]["height"]) == (20, 30)
+    assert (got[1]["width"], got[1]["height"]) == (7, 9)
+    assert (got[2]["width"], got[2]["height"]) == (101, 55)
+    assert got[3]["width"] is None and got[3]["height"] is None
+    # model features are honestly NULL on the real path (no vision model)
+    assert all(r["features"] is None for r in got.values())
+
+
+def test_audio_metadata_real_kernel(spark):
+    rows = [
+        (0, "audio", "audio/wav", mm.make_wav(44100, 44100, 2, 16), None, None, None),
+        (1, "audio", None, b"\x00" * 64, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.audio_metadata(media).collect()}
+    assert got[0]["duration_ms"] == 1000
+    assert got[0]["sample_rate"] == 44100 and got[0]["channels"] == 2
+    assert got[1]["sample_rate"] is None and got[1]["duration_ms"] is None
+
+
+def test_video_decode_still_raises(spark):
+    media = mm.make_fake_media(spark, 6)
+    with pytest.raises(NotImplementedError):
+        mm.sample_video_frames(media, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# ownership propagation helper
+# ---------------------------------------------------------------------------
+
+def test_propagate_ownership_carries_and_noops(spark):
+    from kgx import dedup
+
+    a = spark.range(10)
+    b = spark.range(10)
+    src = dedup.give_ownership(spark.range(5), [a, b])
+    out = src.select("id")
+    assert not hasattr(out, "_kgx_persisted")
+    out = dedup.propagate_ownership(src, out)
+    assert out._kgx_persisted == [a, b]
+    # no-op when the source owns nothing: must not create an empty claim
+    clean = dedup.propagate_ownership(spark.range(3), spark.range(3).select("id"))
+    assert not hasattr(clean, "_kgx_persisted")
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert view uniqueness (fallback path; engine path needs jars)
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_leaves_no_temp_views(spark, tmp_path):
+    from kgx import materialize
+
+    df = spark.range(5).withColumn("k", F.col("id") % 2)
+    path = str(tmp_path / "t")
+    materialize.merge_upsert(spark, path, df, ["k"])
+    leftovers = [t.name for t in spark.catalog.listTables() if "_kgx_merge_src" in t.name]
+    assert leftovers == []
