@@ -245,9 +245,12 @@ def main() -> None:
     p.add_argument(
         "--kb",
         default=None,
-        help="KB snapshot dir ({gazetteer,lexicon,indicators,feature_alias,"
-        "feature_surfaces}.parquet|tsv, see resources.save_knowledge); "
-        "default: built-in synthetic KB",
+        help="knowledge source: a snapshot dir ({gazetteer,lexicon,"
+        "indicators,feature_alias,feature_surfaces}.parquet|tsv, see "
+        "resources.save_knowledge) OR an OWL/RDF-XML ontology file "
+        "(*.owl|*.rdf|*.xml, parsed by kgx.owl.load_owl — the reference's "
+        "WeblogTag.java:83-116 ingestion path); default: built-in "
+        "synthetic KB",
     )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args()
@@ -260,7 +263,7 @@ def main() -> None:
         spark,
         transcripts,
         args.out,
-        kb=resources.load_knowledge(args.kb) if args.kb else None,
+        kb=resources.load_kb_any(args.kb) if args.kb else None,
         num_partitions=args.num_partitions,
         max_text_len=args.max_text_len,
         resume=not args.no_resume,

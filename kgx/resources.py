@@ -316,6 +316,20 @@ def save_knowledge(kb: KnowledgeBase, path: str, fmt: str = "parquet") -> str:
     return kb.version()
 
 
+def load_kb_any(path: str) -> KnowledgeBase:
+    """Dispatch on the knowledge-source shape: an OWL/RDF-XML ontology
+    FILE goes through kgx.owl.load_owl (the reference's ingestion path,
+    WeblogTag.java:83-116); anything else is treated as a snapshot DIR for
+    load_knowledge."""
+    import os
+
+    if os.path.isfile(path) and path.lower().endswith((".owl", ".rdf", ".xml")):
+        from kgx import owl
+
+        return owl.load_owl(path)
+    return load_knowledge(path)
+
+
 def load_knowledge(path: str) -> KnowledgeBase:
     """Load a KB snapshot written by save_knowledge (or hand-authored TSVs
     with the same headers). Per dimension, {dim}.parquet wins over {dim}.tsv;

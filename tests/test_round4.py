@@ -155,3 +155,76 @@ def test_merge_upsert_leaves_no_temp_views(spark, tmp_path):
     materialize.merge_upsert(spark, path, df, ["k"])
     leftovers = [t.name for t in spark.catalog.listTables() if "_kgx_merge_src" in t.name]
     assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# OWL / RDF-XML ontology ingestion (S9 production path)
+# ---------------------------------------------------------------------------
+
+def _fixture_owl() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "fixtures", "mini_onto.owl")
+
+
+def test_load_owl_first_style_fixture():
+    """Every FIRST-style RDF/XML shape flattens correctly: typed-node
+    indicators, nested-subClassOf punning, deep orientation root names,
+    the shipped 'InlfuencesObject' misspelling, no-correlation skip."""
+    from kgx import owl
+
+    kb = owl.load_owl(_fixture_owl())
+    # subtype preserved (downstream "Stock"-style canonicalization needs it)
+    fizzo = [r for r in kb.gazetteer if r[0].endswith("#Fizzo")]
+    assert [r[3] for r in fizzo] == ["Fizzo Cola", "Fizzo", "fizzo classic"]
+    assert all(r[1] == "Fizzo Cola" and r[2] == "SparklingBeverage" for r in fizzo)
+    assert ("http://example.org/mini#Brewly", "Brewly", "Beverage", "Brewly") in kb.gazetteer
+    # punned class-with-label under the root is a gazetteer entry too
+    assert any(r[0].endswith("#Consumable") for r in kb.gazetteer)
+    assert sorted(kb.lexicon) == [
+        ("crisp", "positive"), ("refreshing", "positive"), ("stale", "negative")
+    ]
+    # typed-node indicator joined to its correlation definition
+    assert set(kb.indicators) == {
+        ("http://example.org/mini#Shelf_Velocity", "shelf velocity",
+         "shelf velocity", "Technical", -1, "Beverage", "expectedFuturePriceChange"),
+        ("http://example.org/mini#Shelf_Velocity", "shelf velocity",
+         "restock rate", "Technical", -1, "Beverage", "expectedFuturePriceChange"),
+    }
+    # indicator without a correlation definition is skipped
+    assert not any(u.endswith("#Foam_Index") for u, *_ in kb.indicators)
+    assert ("Price", "expectedFuturePriceChange") in kb.feature_alias
+    assert ("sticker price", "expectedFuturePriceChange") in kb.feature_surfaces
+
+
+def test_owl_roundtrip_full_default_kb():
+    """save_owl → load_owl is identity on every dimension of the FULL
+    default KB, including KnowledgeBase.version() (the lineage snapshot
+    id), so an OWL file is a first-class KB source equivalent to the
+    TSV/parquet snapshot."""
+    import tempfile
+
+    from kgx import owl, resources as res
+
+    kb = res.default_kb()
+    with tempfile.NamedTemporaryFile(suffix=".owl", delete=False) as f:
+        path = f.name
+    owl.save_owl(kb, path)
+    kb2 = owl.load_owl(path)
+    for dim in ("gazetteer", "lexicon", "indicators", "feature_alias", "feature_surfaces"):
+        assert sorted(getattr(kb, dim)) == sorted(getattr(kb2, dim)), dim
+    assert kb.version() == kb2.version()
+
+
+def test_owl_equivalent_to_snapshot_and_dispatch(tmp_path):
+    """load_kb_any dispatches: .owl file → owl parser, dir → snapshot
+    loader; both yield the same KB version as the in-memory source."""
+    from kgx import owl, resources as res
+
+    kb = res.default_kb()
+    owl_path = str(tmp_path / "kb.owl")
+    snap_dir = str(tmp_path / "snap")
+    owl.save_owl(kb, owl_path)
+    res.save_knowledge(kb, snap_dir)
+    assert res.load_kb_any(owl_path).version() == kb.version()
+    assert res.load_kb_any(snap_dir).version() == kb.version()
