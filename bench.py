@@ -275,6 +275,20 @@ def main() -> None:
     timings, passes = run_headline(sf_dir, cpus)
     total = round(sum(timings.values()), 3)
 
+    skew = None
+    if os.environ.get("BENCH_SKIP_SKEW") != "1":
+        try:
+            from kgx import bench_skew, session
+
+            sp = session.get_spark(
+                "kgx-skew", master=f"local[{cpus}]", shuffle_partitions=cpus
+            )
+            skew = bench_skew.run_skew_probe(sp)
+            bench_skew.write_skew_md(skew, os.path.join(REPO, "BENCH", "SKEW.md"))
+            sp.stop()
+        except Exception as e:  # pragma: no cover
+            print(f"  skew probe failed: {e}", file=sys.stderr)
+
     scaling = None
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         try:
@@ -299,6 +313,8 @@ def main() -> None:
         ),
         "sf": sf,
     }
+    if skew:
+        payload["skew"] = skew
     if scaling:
         payload["scaling"] = scaling
         write_baseline_md(scaling, sf)

@@ -183,6 +183,14 @@ def test_merge_upsert_iceberg_engine(spark, tmp_path):
     executes it wherever the jars exist."""
     from kgx import materialize
 
+    # Jar-provisioning attempt, 2026-08-18: no route to a Maven repository
+    # from this sandbox (DNS resolution fails for external hosts), no
+    # iceberg-*.jar anywhere on disk (/root, ~/.ivy2, ~/.m2 all empty of
+    # them), and no Python package distributes the iceberg-spark-runtime
+    # jar. The engine path therefore remains executable only outside this
+    # sandbox; everything short of the JVM-side MERGE (dispatch, SQL,
+    # cardinality handling, per-call source view) is covered by the
+    # fallback tests above.
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
     except Exception:

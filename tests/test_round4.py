@@ -228,3 +228,25 @@ def test_owl_equivalent_to_snapshot_and_dispatch(tmp_path):
     res.save_knowledge(kb, snap_dir)
     assert res.load_kb_any(owl_path).version() == kb.version()
     assert res.load_kb_any(snap_dir).version() == kb.version()
+
+
+# ---------------------------------------------------------------------------
+# skew-stress probe (salted rollup evidence, SURVEY §7.4 watch item)
+# ---------------------------------------------------------------------------
+
+def test_skew_probe_salting_preserves_answer_and_flattens_keys(spark):
+    """At Zipf a=1.2 with a hot conversation: (1) the salted rollup yields
+    byte-identical groups to the plain rollup, (2) the salted shuffle-key
+    histogram's max bucket is strictly smaller than the plain one."""
+    from kgx import aggregate, bench_skew
+
+    facts = bench_skew.skewed_facts(spark, 60_000, zipf_a=1.2, n_convs=500)
+    plain = bench_skew._plain_rollup(facts)
+    salted = aggregate.salted_doc_rollup(facts, 16)
+    cols = ["conv_id", "name_lc", "pred", "pos", "neg"]
+    a = sorted(map(tuple, plain.select(*cols).collect()))
+    b = sorted(map(tuple, salted.select(*cols).collect()))
+    assert a == b
+    s = bench_skew.straggler_metric(facts, 32, 16)
+    assert s["salted"]["max_rows"] < s["plain"]["max_rows"]
+    assert s["salted"]["max_share"] < s["plain"]["max_share"]
