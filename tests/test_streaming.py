@@ -462,3 +462,72 @@ def test_stream_stream_outer_join_emits_null_after_watermark(spark, tmp_path):
     assert got == {(1, 2): 600, (3, None): None}
     # sentinel clicks must not have leaked NULL rows
     assert spark.sql("SELECT count(*) c FROM jostream_mem WHERE user_id < 0").collect()[0]["c"] == 0
+
+
+def test_watermarked_dedup_boundary_virtual_clock(spark, tmp_path):
+    """Pin the EMISSION TIMING of dropDuplicatesWithinWatermark at the
+    exact watermark boundary, on a pure virtual clock (all timing is event
+    timestamps + explicit micro-batch order via file mtimes; no wall
+    clock). Original d0 at 10:00, delay 10 min ⇒ its dedup state lives
+    until the watermark (max prior event ts − delay) EXCEEDS 10:10.
+
+    Two duplicates with near-identical event times (10:12 and 10:13)
+    straddle the eviction batch: the first arrives while the watermark is
+    10:09 (state alive → SUPPRESSED); then one event at 10:21 pushes the
+    next batch's watermark to 10:11 > 10:10 (state evicted); the second
+    duplicate then RE-EMITS. Same content, 1 minute apart in event time —
+    only the watermark crossing separates their fates, so this asserts the
+    boundary itself, not just coarse within/after behavior."""
+    import pandas as pd
+
+    from kgx.streaming import dedup_stream
+
+    def doc(i, text, ts):
+        return {"doc_id": i, "text": text, "ts": pd.Timestamp(ts)}
+
+    batches = [
+        # b0: original
+        [doc(0, "alpha beta", "2025-01-01 10:00:00")],
+        # b1: max event ts 10:19 → NEXT batch's watermark = 10:09 (< 10:10)
+        [doc(1, "other one", "2025-01-01 10:19:00")],
+        # b2: duplicate at wm 10:09 — state alive → suppressed
+        [doc(2, "Alpha   BETA", "2025-01-01 10:12:00")],
+        # b3: max event ts 10:21 → NEXT batch's watermark = 10:11 (> 10:10,
+        # d0 state evicted at that batch's start)
+        [doc(3, "another", "2025-01-01 10:21:00")],
+        # b4: watermark-advance settles + eviction happens end-of-batch
+        [doc(4, "filler row", "2025-01-01 10:21:30")],
+        # b5: duplicate ABOVE the 10:11 watermark, state gone → re-emits
+        [doc(5, "ALPHA beta", "2025-01-01 10:13:00")],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import time as _time
+
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = dedup_stream.dedup_stream_watermarked(stream, delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_b"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM dedup_wm_boundary").collect()}
+    # doc2 (dup, wm 10:09 ≤ 10:10) suppressed; doc5 (dup, wm 10:11 > 10:10)
+    # re-emitted — both sides of the boundary, 1 min apart in event time
+    assert got == {0, 1, 3, 4, 5}
