@@ -164,6 +164,62 @@ def parse_wav_header(
     return None, sample_rate, channels, bits
 
 
+def parse_mp4_header(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, str | None]:
+    """(duration_ms, timescale, brand) from ISO-BMFF (MP4/MOV) bytes by
+    walking the top-level box list to ``moov`` and reading its ``mvhd``
+    movie header (version 0: u32 timescale + u32 duration at payload
+    offset 12; version 1: u32 + u64 at offset 20). Box sizes are big-
+    endian u32 with the size==1 64-bit extension handled. None-tuple for
+    non-BMFF bytes — corrupt media is data, not an exception. NOTE: this
+    is header metadata only; frame decode still requires a demuxer+codec
+    (see sample_video_frames)."""
+    if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None, None, None
+    brand = payload[8:12].decode("ascii", "replace")
+    try:
+        def boxes(buf: bytes, i: int, end: int):
+            while i + 8 <= end:
+                size = struct.unpack(">I", buf[i : i + 4])[0]
+                tag = buf[i + 4 : i + 8]
+                hdr = 8
+                if size == 1:
+                    if i + 16 > end:
+                        return
+                    size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+                    hdr = 16
+                elif size == 0:  # box extends to end of file
+                    size = end - i
+                if size < hdr:
+                    return
+                yield tag, i + hdr, min(i + size, end)
+                i += size
+
+        for tag, s, e in boxes(payload, 0, len(payload)):
+            if tag != b"moov":
+                continue
+            for tag2, s2, e2 in boxes(payload, s, e):
+                if tag2 != b"mvhd":
+                    continue
+                version = payload[s2]
+                if version == 1 and s2 + 32 <= e2:
+                    timescale = struct.unpack(">I", payload[s2 + 20 : s2 + 24])[0]
+                    duration = struct.unpack(">Q", payload[s2 + 24 : s2 + 32])[0]
+                elif version == 0 and s2 + 20 <= e2:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[s2 + 12 : s2 + 20]
+                    )
+                else:
+                    return None, None, brand
+                if not timescale:
+                    return None, None, brand
+                return duration * 1000 // timescale, timescale, brand
+    except (struct.error, IndexError):
+        pass
+    return None, None, brand
+
+
 # --- deterministic fixture builders (valid files, stdlib only) -------------
 
 def make_png(width: int, height: int) -> bytes:
@@ -198,6 +254,23 @@ def make_jpeg(width: int, height: int) -> bytes:
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_mp4(duration_ms: int, timescale: int = 48000, v1: bool = False) -> bytes:
+    """Minimal ISO-BMFF stream: ftyp + moov/mvhd carrying the duration.
+    Header-complete (no track/mdat). Deterministic."""
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    duration = duration_ms * timescale // 1000
+    if v1:
+        mvhd = b"\x01" + b"\x00" * 3 + struct.pack(">QQIQ", 0, 0, timescale, duration)
+    else:
+        mvhd = b"\x00" + b"\x00" * 3 + struct.pack(">IIII", 0, 0, timescale, duration)
+    # trailing mvhd fields (rate, volume, matrix, next-track) zero-padded
+    mvhd += b"\x00" * 80
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + box(b"moov", box(b"mvhd", mvhd))
 
 
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
@@ -360,6 +433,33 @@ def audio_metadata(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "duration_ms", "sample_rate", "channels", "bits"],
+            )
+
+    return pruned.mapInPandas(batches, schema)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """REAL video metadata: (media_id, duration_ms, timescale, brand) from
+    raw ISO-BMFF bytes via parse_mp4_header — the header tier of the video
+    modality (frame decode remains stubbed, see sample_video_frames)."""
+    pruned = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("duration_ms", LongType(), True),
+            StructField("timescale", IntegerType(), True),
+            StructField("brand", StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dur, ts, brand = parse_mp4_header(payload)
+                rows.append((mid, dur, ts, brand))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "duration_ms", "timescale", "brand"]
             )
 
     return pruned.mapInPandas(batches, schema)

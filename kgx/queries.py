@@ -1566,12 +1566,18 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                         else multimodal.make_jpeg(w, h)
                     )
                     mime = ("image/png", "image/gif", "image/jpeg")[k]
-                else:
+                elif kind == "audio":
                     sr = (8000, 16000, 22050, 44100)[mid % 4]
                     payload = multimodal.make_wav(
                         sr, sr // 10 + mid % 100, channels=1 + mid % 2, bits=16
                     )
                     mime = "audio/wav"
+                else:  # video
+                    ts = (600, 1000, 48000, 90000)[mid % 4]
+                    payload = multimodal.make_mp4(
+                        500 + (mid * 13) % 20000, ts, v1=bool(mid % 2)
+                    )
+                    mime = "video/mp4"
                 rows.append((mid, kind, mime, payload, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -1625,6 +1631,33 @@ SELECT media_id,
        CAST(sr AS INTEGER) AS sample_rate,
        CAST(1 + media_id % 2 AS INTEGER) AS channels,
        CAST(16 AS INTEGER) AS bits
+FROM g
+"""
+
+
+def mm_video_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (fake=False) video header surface: spec-shaped ISO-BMFF bytes
+    (ftyp + moov/mvhd, alternating mvhd version 0/1) per doc, parsed back
+    by multimodal.video_metadata — duration_ms/timescale/brand from the
+    actual bytes. The oracle mirrors the mvhd tick arithmetic
+    (duration = dms*timescale//1000 on write, back-converted with
+    duration*1000//timescale on read — two integer floors, both in SQL).
+    Frame decode remains honestly stubbed (needs a demuxer+codec)."""
+    return multimodal.video_metadata(_synth_media(spark, sf_dir, "video"))
+
+
+MM_VIDEO_REAL_SQL = """
+WITH g AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                         WHEN 2 THEN 48000 ELSE 90000 END AS ts,
+         500 + (doc_id * 13) % 20000 AS dms
+  FROM documents
+)
+SELECT media_id,
+       CAST(((dms * ts) // 1000) * 1000 // ts AS BIGINT) AS duration_ms,
+       CAST(ts AS INTEGER) AS timescale,
+       'isom' AS brand
 FROM g
 """
 
@@ -3672,6 +3705,7 @@ REGISTRY: dict[str, tuple] = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "mm_image_real_dims": (mm_image_real_dims, MM_IMAGE_REAL_SQL),
     "mm_audio_real_meta": (mm_audio_real_meta, MM_AUDIO_REAL_SQL),
+    "mm_video_real_meta": (mm_video_real_meta, MM_VIDEO_REAL_SQL),
     "w1_turn_order": (w1_turn_order, W1_SQL),
     "w2_first_wins": (w2_first_wins, W2_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),

@@ -250,3 +250,29 @@ def test_skew_probe_salting_preserves_answer_and_flattens_keys(spark):
     s = bench_skew.straggler_metric(facts, 32, 16)
     assert s["salted"]["max_rows"] < s["plain"]["max_rows"]
     assert s["salted"]["max_share"] < s["plain"]["max_share"]
+
+
+@pytest.mark.parametrize(
+    "dms,ts,v1", [(1000, 48000, False), (98765, 600, False), (7321, 90000, True)]
+)
+def test_mp4_header_roundtrip(dms, ts, v1):
+    dur, scale, brand = mm.parse_mp4_header(mm.make_mp4(dms, ts, v1=v1))
+    assert (scale, brand) == (ts, "isom")
+    assert dur == ((dms * ts) // 1000) * 1000 // ts  # two floors, as written
+
+
+def test_mp4_parser_rejects_garbage():
+    assert mm.parse_mp4_header(b"garbage") == (None, None, None)
+    assert mm.parse_mp4_header(None) == (None, None, None)
+    assert mm.parse_mp4_header(mm.make_mp4(5000)[:20])[0] is None
+
+
+def test_video_metadata_real_kernel(spark):
+    rows = [
+        (0, "video", "video/mp4", mm.make_mp4(2500, 1000), None, None, None),
+        (1, "video", None, b"not a video", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in mm.video_metadata(media).collect()}
+    assert got[0]["duration_ms"] == 2500 and got[0]["timescale"] == 1000
+    assert got[1]["duration_ms"] is None
