@@ -3633,68 +3633,16 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
-# external driver verifies a prefix window of this dict (50 rows in rounds
-# 1-2). Rows are therefore ordered by how much a fresh driver check is
-# worth: (1) queries with NO green driver row yet — ann_ivf_topk first
-# (failed r1, rewritten, never re-checked) then the 23 rows that fell
-# outside round 2's window; (2) rows whose implementation CHANGED this
-# round (stream_kg_triples regression fix, dedup_embedding bucket caps,
-# stats_event_profile approx default) plus new round-3 rows; (3) rows
-# already green in a previous round, least-recently-verified first.
+# external driver verifies a prefix window of this dict (50 rows per
+# round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
+# green driver row is from ROUND 2 — their evidence is the stalest in
+# the registry, so they re-verify first; (2) rows NEW or CHANGED in
+# round 4 (the real media-header kernels, the node_key hashing change,
+# ownership-propagation touchpoints); (3) rows verified green in round
+# 3, unchanged since — freshest evidence, so they cycle last. With 84
+# rows and a 50-row window, tiers 1+2 (37 rows) always fit.
 REGISTRY: dict[str, tuple] = {
-    # -- (1) never driver-verified (r2 window ended at mm_frame_sample) --
-    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
-    "w3_char_offsets": (w3_char_offsets, W3_SQL),
-    "a2_group_pairs": (a2_group_pairs, A2_SQL),
-    "agg_salted_rollup": (agg_salted_rollup, AGG_SALTED_SQL),
-    "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
-    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
-    "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
-    "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
-    "tpch_q5_local_supplier": (tpch_q5_local_supplier, TPCH_Q5_SQL),
-    "tpch_topk_per_group": (tpch_topk_per_group, TPCH_TOPK_SQL),
-    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
-    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
-    "range_join_sessions": (range_join_sessions, RANGE_JOIN_SQL),
-    "kg_entity_degrees": (kg_entity_degrees, KG_ENTITY_DEGREES_SQL),
-    "kg_entity_cooccurrence": (kg_entity_cooccurrence, KG_COOCCURRENCE_SQL),
-    "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
-    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
-    "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
-    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
-    "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
-    "tpch_rollup_revenue": (tpch_rollup_revenue, TPCH_ROLLUP_SQL),
-    "tpch_cube_volume": (tpch_cube_volume, TPCH_CUBE_SQL),
-    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
-    "setop_user_retention": (setop_user_retention, SETOP_RETENTION_SQL),
-    # -- (2) changed this round / regression re-verify / new in round 3 --
-    "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
-    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
-    "kg_url_dim": (kg_url_dim, KG_URL_SQL),
-    "kg_query_params": (kg_query_params, KG_QUERY_PARAMS_SQL),
-    "kg_node_properties": (kg_node_properties, KG_NODE_PROPS_SQL),
-    "a6_model_fuzzy": (a6_model_fuzzy, A6_MODEL_FUZZY_SQL),
-    "stats_hist_profile": (stats_hist_profile, STATS_HIST_SQL),
-    "stream_dedup_docs": (stream_dedup_docs, STREAM_DEDUP_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
-    # -- (3) green in a prior round, least-recently-verified first --
-    "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
-    "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
-    "kg_fallback_ratio": (kg_fallback_ratio, KG_FALLBACK_SQL),
-    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
-    "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
-    "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
-    "kg_indicator_nodes": (kg_indicator_nodes, KG_INDICATOR_NODES_SQL),
-    "kg_document_meta": (kg_document_meta, KG_DOC_META_SQL),
-    "kg_website_dim": (kg_website_dim, KG_WEBSITE_SQL),
-    "kg_corpus_meta": (kg_corpus_meta, KG_CORPUS_META_SQL),
-    "kg_result_docs": (kg_result_docs, KG_RESULT_DOCS_SQL),
-    "cc_canonicalize": (cc_canonicalize, CC_SQL),
-    "stream_conversation_docs": (stream_conversation_docs, STREAM_CONV_DOCS_SQL),
-    "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
-    "stream_join_attribution": (stream_join_attribution, STREAM_JOIN_SQL),
-    "stream_join_outer": (stream_join_outer, STREAM_JOIN_OUTER_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    # -- (1) last driver-verified in round 2 (31 rows, stalest first) --
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_canonical_docs": (dedup_canonical_docs, DEDUP_CANON_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
@@ -3703,9 +3651,6 @@ REGISTRY: dict[str, tuple] = {
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
-    "mm_image_real_dims": (mm_image_real_dims, MM_IMAGE_REAL_SQL),
-    "mm_audio_real_meta": (mm_audio_real_meta, MM_AUDIO_REAL_SQL),
-    "mm_video_real_meta": (mm_video_real_meta, MM_VIDEO_REAL_SQL),
     "w1_turn_order": (w1_turn_order, W1_SQL),
     "w2_first_wins": (w2_first_wins, W2_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
@@ -3729,4 +3674,59 @@ REGISTRY: dict[str, tuple] = {
     "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
     "curate_stratified_sample": (curate_stratified_sample, CURATE_SAMPLE_SQL),
     "curate_keep_list": (curate_keep_list, CURATE_KEEP_SQL),
+    # -- (2) new or changed in round 4 --
+    "mm_image_real_dims": (mm_image_real_dims, MM_IMAGE_REAL_SQL),
+    "mm_audio_real_meta": (mm_audio_real_meta, MM_AUDIO_REAL_SQL),
+    "mm_video_real_meta": (mm_video_real_meta, MM_VIDEO_REAL_SQL),
+    "kg_node_properties": (kg_node_properties, KG_NODE_PROPS_SQL),
+    "kg_query_params": (kg_query_params, KG_QUERY_PARAMS_SQL),
+    "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    # -- (3) green in round 3, unchanged since --
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "w3_char_offsets": (w3_char_offsets, W3_SQL),
+    "a2_group_pairs": (a2_group_pairs, A2_SQL),
+    "agg_salted_rollup": (agg_salted_rollup, AGG_SALTED_SQL),
+    "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
+    "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
+    "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
+    "tpch_q3_revenue": (tpch_q3_revenue, TPCH_Q3_SQL),
+    "tpch_q5_local_supplier": (tpch_q5_local_supplier, TPCH_Q5_SQL),
+    "tpch_topk_per_group": (tpch_topk_per_group, TPCH_TOPK_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "asof_last_purchase": (asof_last_purchase, ASOF_SQL),
+    "range_join_sessions": (range_join_sessions, RANGE_JOIN_SQL),
+    "kg_entity_degrees": (kg_entity_degrees, KG_ENTITY_DEGREES_SQL),
+    "kg_entity_cooccurrence": (kg_entity_cooccurrence, KG_COOCCURRENCE_SQL),
+    "graph_degree_stats": (graph_degree_stats, GRAPH_DEGREE_SQL),
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "graph_two_hop": (graph_two_hop, GRAPH_TWO_HOP_SQL),
+    "stats_event_profile": (stats_event_profile, STATS_PROFILE_SQL),
+    "tpch_rollup_revenue": (tpch_rollup_revenue, TPCH_ROLLUP_SQL),
+    "tpch_cube_volume": (tpch_cube_volume, TPCH_CUBE_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "setop_user_retention": (setop_user_retention, SETOP_RETENTION_SQL),
+    "stream_kg_triples": (stream_kg_triples, KG_STREAM_SQL),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+    "kg_url_dim": (kg_url_dim, KG_URL_SQL),
+    "a6_model_fuzzy": (a6_model_fuzzy, A6_MODEL_FUZZY_SQL),
+    "stats_hist_profile": (stats_hist_profile, STATS_HIST_SQL),
+    "stream_dedup_docs": (stream_dedup_docs, STREAM_DEDUP_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
+    "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
+    "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
+    "kg_fallback_ratio": (kg_fallback_ratio, KG_FALLBACK_SQL),
+    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
+    "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
+    "kg_indicator_nodes": (kg_indicator_nodes, KG_INDICATOR_NODES_SQL),
+    "kg_document_meta": (kg_document_meta, KG_DOC_META_SQL),
+    "kg_website_dim": (kg_website_dim, KG_WEBSITE_SQL),
+    "kg_corpus_meta": (kg_corpus_meta, KG_CORPUS_META_SQL),
+    "kg_result_docs": (kg_result_docs, KG_RESULT_DOCS_SQL),
+    "cc_canonicalize": (cc_canonicalize, CC_SQL),
+    "stream_conversation_docs": (stream_conversation_docs, STREAM_CONV_DOCS_SQL),
+    "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
+    "stream_join_attribution": (stream_join_attribution, STREAM_JOIN_SQL),
+    "stream_join_outer": (stream_join_outer, STREAM_JOIN_OUTER_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
 }
