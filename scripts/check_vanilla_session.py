@@ -32,13 +32,14 @@ DEFAULT_QUERIES = [
     "stream_windowed_counts",
     "stream_join_attribution",
     "stream_join_outer",
-    "ann_lsh_topk",
-    "a6_model_fuzzy",
-    "stats_hist_profile",
-    "kg_url_dim",
-    "kg_query_params",
+    # new or changed in round 4
+    "mm_image_real_dims",
+    "mm_audio_real_meta",
+    "mm_video_real_meta",
     "kg_node_properties",
-    "dedup_embedding",
+    "kg_query_params",
+    "graph_triangles",
+    "agg_salted_rollup",
 ]
 
 

@@ -34,16 +34,26 @@ AUDIT = [
     "a6_model_fuzzy",
     "stats_hist_profile",
     "ann_lsh_topk",
+    "mm_image_real_dims",
+    "kg_node_properties",
 ]
 
 
 def summarize(plan: str) -> dict:
+    # formatted mode prints every operator TWICE (tree line + numbered
+    # detail section) and tags codegen as "codegen id : N", not
+    # "WholeStageCodegen (N)" — count from the detail headers and the
+    # codegen-id tags so each physical node counts once (round-4 fix;
+    # earlier audits double-counted joins and reported 0 codegen spans)
+    ops = re.findall(r"^\((\d+)\) ([A-Za-z]+)", plan, re.M)
+    def n(op: str) -> int:
+        return sum(1 for _id, o in ops if o == op)
     return {
-        "BroadcastHashJoin": len(re.findall(r"BroadcastHashJoin", plan)),
-        "SortMergeJoin": len(re.findall(r"SortMergeJoin", plan)),
-        "Exchange": len(re.findall(r"Exchange", plan)),
-        "WholeStageCodegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
-        "ArrowEvalPython": len(re.findall(r"ArrowEvalPython", plan)),
+        "BroadcastHashJoin": n("BroadcastHashJoin"),
+        "SortMergeJoin": n("SortMergeJoin"),
+        "Exchange": n("Exchange") + n("ShuffleQueryStage"),
+        "WholeStageCodegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "ArrowEvalPython": n("ArrowEvalPython"),
         "PushedFilters": sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))),
         "ReadSchema": sorted(set(re.findall(r"ReadSchema: [^\n]*", plan))),
     }
