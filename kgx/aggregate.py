@@ -81,6 +81,31 @@ def sentence_triples(facts: DataFrame) -> DataFrame:
     )
 
 
+def plain_doc_rollup(facts: DataFrame) -> DataFrame:
+    """Unsalted one-phase rollup per (conv, entity-name lower, pred) —
+    the direct branch of document_triples, shared with the skew probe
+    (kgx/bench_skew.py) so the probe always measures the production plan."""
+    return facts.groupBy(
+        "conv_id",
+        F.lower("entity_name").alias("name_lc"),
+        "pred",
+    ).agg(
+        F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).alias("neg"),
+        # first-seen (lowest turn) original casing + identity — W2.
+        # The ordering struct must be UNIQUE per distinct subj within
+        # the group or min_by picks an arbitrary winner under ties
+        # (two same-name entities in one turn): name breaks the turn
+        # tie, uri breaks a same-name tie (matching the oracle's
+        # min(uri)), entity_id is the total-order backstop.
+        F.min_by(
+            F.struct("entity_id", "entity_uri", "entity_name", "entity_type"),
+            F.struct("turn_idx", "entity_name", "entity_uri", "entity_id"),
+        ).alias("subj"),
+        F.min("ts_day").alias("ts_day"),
+    )
+
+
 def document_triples(
     facts: DataFrame, with_fuzzy: bool = True, salt_buckets: int | None = None
 ) -> DataFrame:
@@ -91,25 +116,7 @@ def document_triples(
     if salt_buckets:
         rolled = salted_doc_rollup(facts, salt_buckets)
     else:
-        rolled = facts.groupBy(
-            "conv_id",
-            F.lower("entity_name").alias("name_lc"),
-            "pred",
-        ).agg(
-            F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).alias("pos"),
-            F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).alias("neg"),
-            # first-seen (lowest turn) original casing + identity — W2.
-            # The ordering struct must be UNIQUE per distinct subj within
-            # the group or min_by picks an arbitrary winner under ties
-            # (two same-name entities in one turn): name breaks the turn
-            # tie, uri breaks a same-name tie (matching the oracle's
-            # min(uri)), entity_id is the total-order backstop.
-            F.min_by(
-                F.struct("entity_id", "entity_uri", "entity_name", "entity_type"),
-                F.struct("turn_idx", "entity_name", "entity_uri", "entity_id"),
-            ).alias("subj"),
-            F.min("ts_day").alias("ts_day"),
-        )
+        rolled = plain_doc_rollup(facts)
     grouped = (
         rolled.filter((F.col("pos") + F.col("neg")) > 0)  # NaN guard (P6)
         .withColumn(

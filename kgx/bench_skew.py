@@ -100,19 +100,9 @@ def skewed_facts(
     )
 
 
-def _plain_rollup(facts: DataFrame) -> DataFrame:
-    """The exact unsalted branch of aggregate.document_triples."""
-    return facts.groupBy(
-        "conv_id", F.lower("entity_name").alias("name_lc"), "pred"
-    ).agg(
-        F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).alias("pos"),
-        F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).alias("neg"),
-        F.min_by(
-            F.struct("entity_id", "entity_uri", "entity_name", "entity_type"),
-            F.struct("turn_idx", "entity_name", "entity_uri", "entity_id"),
-        ).alias("subj"),
-        F.min("ts_day").alias("ts_day"),
-    )
+# the unsalted branch of aggregate.document_triples — imported, not
+# re-implemented, so the probe always measures the production plan
+_plain_rollup = aggregate.plain_doc_rollup
 
 
 def straggler_metric(facts: DataFrame, n_partitions: int, salt_buckets: int) -> dict:
@@ -146,6 +136,36 @@ def straggler_metric(facts: DataFrame, n_partitions: int, salt_buckets: int) -> 
     return {"plain": plain, "salted": salted}
 
 
+def max_group_rows(facts: DataFrame, salt_buckets: int) -> dict:
+    """Largest single GROUP (reduce-state bound), plain vs salted key.
+
+    This — not the shuffle-bucket histogram — is the metric salting
+    directly controls: the hot (conv, entity, pred) key splits into
+    salt_buckets sub-keys, so the biggest state any one reduce task must
+    hold for it drops by ~the bucket factor. The bucket histogram above
+    additionally reflects pmod collisions at small partition counts."""
+    def biggest(*key_cols) -> int:
+        return (
+            facts.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        )
+
+    plain = biggest("conv_id", F.lower("entity_name"), "pred")
+    salted = biggest(
+        "conv_id",
+        F.lower("entity_name"),
+        "pred",
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets)).alias("salt"),
+    )
+    return {
+        "plain": plain,
+        "salted": salted,
+        "flatten_factor": round(plain / max(salted, 1), 2),
+    }
+
+
 def run_skew_probe(
     spark: SparkSession,
     n_rows: int = 3_000_000,
@@ -155,20 +175,21 @@ def run_skew_probe(
 ) -> dict:
     facts = skewed_facts(spark, n_rows, zipf_a=zipf_a)
 
-    def timed(build) -> list[float]:
-        walls = []
+    def timed(build) -> tuple[list[float], int]:
+        walls, n = [], 0
         for _ in range(passes):
             t0 = time.monotonic()
-            build().count()
+            n = build().count()  # deterministic build — every pass agrees
             walls.append(round(time.monotonic() - t0, 3))
-        return walls
+        return walls, n
 
-    plain_walls = timed(lambda: _plain_rollup(facts))
-    salted_walls = timed(lambda: aggregate.salted_doc_rollup(facts, salt_buckets))
-    # correctness side-check: identical totals (the oracle row
-    # agg_salted_rollup pins this cross-engine; this pins it at skew)
-    n_plain = _plain_rollup(facts).count()
-    n_salted = aggregate.salted_doc_rollup(facts, salt_buckets).count()
+    plain_walls, n_plain = timed(lambda: _plain_rollup(facts))
+    salted_walls, n_salted = timed(
+        lambda: aggregate.salted_doc_rollup(facts, salt_buckets)
+    )
+    # correctness side-check rides the timed passes: identical group totals
+    # (the oracle row agg_salted_rollup pins this cross-engine; this pins
+    # it at skew) — no extra executions
     shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return {
         "n_rows": n_rows,
@@ -183,11 +204,31 @@ def run_skew_probe(
         "groups_salted": n_salted,
         "groups_equal": n_plain == n_salted,
         "straggler": straggler_metric(facts, shuffle_p, salt_buckets),
+        "max_group": max_group_rows(facts, salt_buckets),
     }
 
 
 def write_skew_md(result: dict, path: str) -> None:
     s = result["straggler"]
+    g = result.get("max_group", {})
+
+    # narrative derived from the MEASURED ratios — never assert a
+    # conclusion the table doesn't show
+    bucket_ratio = s["plain"]["max_rows"] / max(s["salted"]["max_rows"], 1)
+    if bucket_ratio >= 2:
+        bucket_line = (
+            f"the salted key histogram's max bucket is {bucket_ratio:.1f}x "
+            "smaller than the plain one."
+        )
+    else:
+        bucket_line = (
+            f"at {s['plain']['buckets']} shuffle buckets the salted max "
+            f"bucket is only {bucket_ratio:.2f}x the plain one — the "
+            f"{result['salt_buckets']} salt chunks of the hot key re-collide "
+            "under pmod at this small partition count, so the BUCKET "
+            "histogram understates the win; the per-GROUP bound (last "
+            "table column) is the metric salting controls directly."
+        )
     md = f"""# BENCH/SKEW — salted vs plain rollup under Zipf skew
 
 Input: {result['n_rows']:,} facts rows, entity popularity tail-Zipf
@@ -196,10 +237,10 @@ of all rows (group key is (conv, entity, pred): only a giant conversation
 makes a giant group). Deterministic expression-built corpus
 (kgx/bench_skew.py) — regenerate with the same numbers any time.
 
-| variant | median wall (s) | walls | shuffle-key max bucket rows | max bucket share | median bucket rows |
-|---|---|---|---|---|---|
-| plain groupBy | {result['plain_sec']} | {result['plain_walls']} | {s['plain']['max_rows']:,} | {s['plain']['max_share']:.2%} | {s['plain']['median_rows']:,} |
-| salted ({result['salt_buckets']} buckets) | {result['salted_sec']} | {result['salted_walls']} | {s['salted']['max_rows']:,} | {s['salted']['max_share']:.2%} | {s['salted']['median_rows']:,} |
+| variant | median wall (s) | walls | shuffle-key max bucket rows | max bucket share | median bucket rows | max rows in one GROUP |
+|---|---|---|---|---|---|---|
+| plain groupBy | {result['plain_sec']} | {result['plain_walls']} | {s['plain']['max_rows']:,} | {s['plain']['max_share']:.2%} | {s['plain']['median_rows']:,} | {g.get('plain', 0):,} |
+| salted ({result['salt_buckets']} buckets) | {result['salted_sec']} | {result['salted_walls']} | {s['salted']['max_rows']:,} | {s['salted']['max_share']:.2%} | {s['salted']['median_rows']:,} | {g.get('salted', 0):,} |
 
 Group counts match: {result['groups_equal']} (plain {result['groups_plain']:,}
 / salted final {result['groups_salted']:,}) — salting never changes the
@@ -208,12 +249,12 @@ answer (also pinned cross-engine by the `agg_salted_rollup` oracle row).
 Reading the numbers honestly: for sum/min aggregates Spark's hash
 aggregate partial-combines map-side, so plain-vs-salted WALL parity at
 this scale is expected — the shuffle ships pre-combined rows either way.
-The straggler columns are the scale evidence: they show the raw key
-histogram a reduce stage faces, i.e. what happens when the aggregate
-cannot partial-combine (collect_list-style state, exact distincts) or
-when one (conv, entity, pred) group's combined state itself outgrows a
-task. Salting flattens the max bucket by ~the bucket factor; that is the
-property that holds at 10^12 turns on 1000 executors.
+The scale evidence is the last column: the largest single GROUP a reduce
+task must hold state for drops {g.get('flatten_factor', 0):.1f}x with
+{result['salt_buckets']} salt buckets (~the bucket factor) — the bound
+that protects collect_list-style state, exact distincts, and any
+aggregate that cannot partial-combine at 10^12 turns. On the shuffle-key
+histogram itself: {bucket_line}
 """
     with open(path, "w") as f:
         f.write(md)

@@ -99,6 +99,8 @@ def run_pipeline(
             pe.write.mode("overwrite").partitionBy("ts_day").parquet(
                 paths["phrase_edges"]
             )
+            for cached in getattr(pe, "_kgx_persisted", []):
+                cached.unpersist()
             # DOCUMENT_META_DATA provenance rows
             materialize.document_meta(turns).write.mode("overwrite").parquet(
                 paths["doc_meta"]

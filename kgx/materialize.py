@@ -293,6 +293,12 @@ def phrase_fact_edges(facts: DataFrame, turns_with_mentions: DataFrame, kb) -> D
     gaz = linking.gazetteer_dim(spark, kb)
     ind_dim = linking.indicators_dim(spark, kb)
 
+    # persist the slim exploded-mention frame: all four role branches
+    # below derive from it, and without the cache each branch re-executes
+    # the Arrow mention-detection stage upstream (plan audit showed 9
+    # ArrowEvalPython nodes in the finalized plan; with the cache, 1).
+    # RELEASE OBLIGATION: the returned frame carries the cache in
+    # _kgx_persisted — callers done with the edges should unpersist those.
     ev = turns_with_mentions.select(
         "conv_id", "turn_idx", F.explode("mentions").alias("m")
     ).select(
@@ -302,7 +308,7 @@ def phrase_fact_edges(facts: DataFrame, turns_with_mentions: DataFrame, kb) -> D
         F.col("m.end").alias("end"),
         F.col("m.kind").alias("kind"),
         F.col("m.surface").alias("surface"),
-    )
+    ).persist()
     f = facts.select(
         "conv_id", "turn_idx", "ts_day", "entity_name", "pred", "indicator_uri"
     ).withColumn("_ename_lc", F.lower("entity_name"))
@@ -358,11 +364,13 @@ def phrase_fact_edges(facts: DataFrame, turns_with_mentions: DataFrame, kb) -> D
         .select(*out_cols, F.lit("indicator").alias("role"))
     )
 
-    return (
+    out = (
         subject_edges.unionByName(orientation_edges)
         .unionByName(feature_edges)
         .unionByName(indicator_edges)
     )
+    out._kgx_persisted = [ev]
+    return out
 
 
 def document_meta(turns: DataFrame) -> DataFrame:

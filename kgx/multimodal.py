@@ -331,31 +331,42 @@ def decode_image_features(
     return pruned.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
 
 
-def image_metadata(media: DataFrame) -> DataFrame:
-    """REAL image metadata extraction: (media_id, width, height, format)
-    from the raw payload bytes via parse_image_header — the non-fake
-    decode surface. Payload stays pruned to this one mapInPandas stage;
-    output is fixed-width metadata, so nothing downstream re-touches
-    bytes."""
-    pruned = media.filter(F.col("kind") == "image").select("media_id", "payload")
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-            StructField("format", StringType(), True),
-        ]
-    )
+def _header_metadata(
+    media: DataFrame, kind: str, fields: list[StructField], parse_fn
+) -> DataFrame:
+    """Shared header-metadata plumbing for the three modalities: prune the
+    payload to one mapInPandas stage, apply a per-payload header parser
+    returning a tuple matching ``fields``, emit fixed-width metadata so
+    nothing downstream re-touches bytes."""
+    pruned = media.filter(F.col("kind") == kind).select("media_id", "payload")
+    schema = StructType([StructField("media_id", LongType(), False), *fields])
+    cols = [f.name for f in schema.fields]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, fmt = parse_image_header(payload)
-                rows.append((mid, w, h, fmt))
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "format"])
+            rows = [
+                (mid, *parse_fn(payload))
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=cols)
 
     return pruned.mapInPandas(batches, schema)
+
+
+def image_metadata(media: DataFrame) -> DataFrame:
+    """REAL image metadata extraction: (media_id, width, height, format)
+    from the raw payload bytes via parse_image_header — the non-fake
+    decode surface."""
+    return _header_metadata(
+        media,
+        "image",
+        [
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+            StructField("format", StringType(), True),
+        ],
+        parse_image_header,
+    )
 
 
 AUDIO_FEATURES_SCHEMA = StructType(
@@ -413,56 +424,33 @@ def audio_metadata(media: DataFrame) -> DataFrame:
     """REAL audio metadata: (media_id, duration_ms, sample_rate, channels,
     bits) from raw WAV bytes via parse_wav_header — the non-fake decode
     surface."""
-    pruned = media.filter(F.col("kind") == "audio").select("media_id", "payload")
-    schema = StructType(
+    return _header_metadata(
+        media,
+        "audio",
         [
-            StructField("media_id", LongType(), False),
             StructField("duration_ms", IntegerType(), True),
             StructField("sample_rate", IntegerType(), True),
             StructField("channels", IntegerType(), True),
             StructField("bits", IntegerType(), True),
-        ]
+        ],
+        parse_wav_header,
     )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dur, sr, ch, bits = parse_wav_header(payload)
-                rows.append((mid, dur, sr, ch, bits))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "duration_ms", "sample_rate", "channels", "bits"],
-            )
-
-    return pruned.mapInPandas(batches, schema)
 
 
 def video_metadata(media: DataFrame) -> DataFrame:
     """REAL video metadata: (media_id, duration_ms, timescale, brand) from
     raw ISO-BMFF bytes via parse_mp4_header — the header tier of the video
     modality (frame decode remains stubbed, see sample_video_frames)."""
-    pruned = media.filter(F.col("kind") == "video").select("media_id", "payload")
-    schema = StructType(
+    return _header_metadata(
+        media,
+        "video",
         [
-            StructField("media_id", LongType(), False),
             StructField("duration_ms", LongType(), True),
             StructField("timescale", IntegerType(), True),
             StructField("brand", StringType(), True),
-        ]
+        ],
+        parse_mp4_header,
     )
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dur, ts, brand = parse_mp4_header(payload)
-                rows.append((mid, dur, ts, brand))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "duration_ms", "timescale", "brand"]
-            )
-
-    return pruned.mapInPandas(batches, schema)
 
 
 def sample_video_frames(

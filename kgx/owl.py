@@ -40,7 +40,12 @@ Classification is by ancestry walk over subClassOf ∪ rdf:type:
 
 ``save_owl`` writes the inverse rendering so any KnowledgeBase can be
 shipped as one self-contained ontology file; load_owl∘save_owl is
-identity on every dimension (pytest-pinned for the full default KB).
+identity on every dimension up to exact-duplicate rows (RDF describes a
+set of statements, so duplicate (uri, surface) rows collapse to one).
+Canonical names ride an explicit ``kgx:canonicalName`` literal — NOT
+labels[0] — so a KB whose display name is not its first surface form
+round-trips unchanged (pytest-pinned for the full default KB and a
+name≠surface KB).
 """
 
 from __future__ import annotations
@@ -97,6 +102,9 @@ class _Graph:
         self.parents: dict[str, list[str]] = {}
         self.order: list[str] = []  # first-mention document order
         self.correlations: list[dict] = []
+        # canonical display names (kgx:canonicalName literals); absent in
+        # third-party ontologies, where labels[0] is the fallback
+        self.names: dict[str, str] = {}
 
     def touch(self, uri: str) -> None:
         if uri not in self.labels:
@@ -147,6 +155,8 @@ def _walk(elem: ET.Element, graph: _Graph) -> None:
             else:
                 local = _local(ctag.replace("{", "").replace("}", ""))
                 ref = child.attrib.get(_RESOURCE)
+                if local == "canonicalName" and child.text and child.text.strip():
+                    graph.names.setdefault(uri, child.text.strip())
                 props.setdefault(local, []).append(
                     ref if ref is not None else (child.text or "").strip()
                 )
@@ -255,7 +265,7 @@ def load_owl(
         if ind_types and uri in corr_of:
             pol, obj_cls, pred = corr_of[uri]
             ind_type = ind_types[0][len(indicator_prefix):] or "Indicator"
-            name = labels[0] if labels else local
+            name = graph.names.get(uri) or (labels[0] if labels else local)
             for s in labels or [name]:
                 inds.append((uri, name, s, ind_type, pol, obj_cls, pred))
             continue
@@ -270,7 +280,7 @@ def load_owl(
             ]
             etype_uri = imm[0] if imm else (graph.parents.get(uri) or [""])[0]
             etype = _local(etype_uri)
-            name = labels[0]
+            name = graph.names.get(uri, labels[0])
             for s in labels:
                 gaz.append((uri, name, etype, s))
 
@@ -315,9 +325,16 @@ def save_owl(kb: resources.KnowledgeBase, path: str) -> str:
             w.append(f"    <rdfs:label>{escape(l)}</rdfs:label>")
         w.append("  </owl:Class>")
 
-    def indiv(uri: str, type_uri: str, labels: list[str]) -> None:
+    def indiv(
+        uri: str, type_uri: str, labels: list[str], name: str | None = None
+    ) -> None:
         w.append(f"  <owl:NamedIndividual rdf:about={res(uri)}>")
         w.append(f"    <rdf:type rdf:resource={res(type_uri)}/>")
+        if name is not None:
+            # the canonical name is NOT always a surface form (labels carry
+            # the match surfaces); ship it explicitly so load_owl does not
+            # have to guess it as labels[0]
+            w.append(f"    <kgx:canonicalName>{escape(name)}</kgx:canonicalName>")
         for l in labels:
             w.append(f"    <rdfs:label>{escape(l)}</rdfs:label>")
         w.append("  </owl:NamedIndividual>")
@@ -327,17 +344,17 @@ def save_owl(kb: resources.KnowledgeBase, path: str) -> str:
 
     # gazetteer: type classes under SentimentObject, one individual per uri
     seen_types: set[str] = set()
-    by_uri: dict[str, tuple[str, list[str]]] = {}
-    for uri, _name, etype, surface in kb.gazetteer:
+    by_uri: dict[str, tuple[str, str, list[str]]] = {}
+    for uri, name, etype, surface in kb.gazetteer:
         t_uri = _KGX_NS + etype
         if etype not in seen_types:
             seen_types.add(etype)
             cls(t_uri, sent_root)
-        ent = by_uri.setdefault(uri, (t_uri, []))
-        if surface not in ent[1]:
-            ent[1].append(surface)
-    for uri, (t_uri, surfaces) in by_uri.items():
-        indiv(uri, t_uri, surfaces)
+        ent = by_uri.setdefault(uri, (t_uri, name, []))
+        if surface not in ent[2]:
+            ent[2].append(surface)
+    for uri, (t_uri, name, surfaces) in by_uri.items():
+        indiv(uri, t_uri, surfaces, name=name)
 
     # orientation lexicon
     pos_root = _KGX_NS + "OrientationPhrasePositive"
@@ -369,18 +386,18 @@ def save_owl(kb: resources.KnowledgeBase, path: str) -> str:
         w.append("  </kgx:AliasDefinition>")
 
     # indicators + correlation definitions
-    ind_seen: dict[str, tuple[str, list[str], int, str, str]] = {}
+    ind_seen: dict[str, tuple[str, str, list[str], int, str, str]] = {}
     for uri, name, surface, ind_type, corr, obj_cls, pred in kb.indicators:
-        ent = ind_seen.setdefault(uri, (ind_type, [], corr, obj_cls, pred))
-        if surface not in ent[1]:
-            ent[1].append(surface)
+        ent = ind_seen.setdefault(uri, (ind_type, name, [], corr, obj_cls, pred))
+        if surface not in ent[2]:
+            ent[2].append(surface)
     ind_type_classes: set[str] = set()
-    for uri, (ind_type, surfaces, corr, obj_cls, pred) in ind_seen.items():
+    for uri, (ind_type, name, surfaces, corr, obj_cls, pred) in ind_seen.items():
         t_uri = _KGX_NS + "Indicator" + ind_type
         if t_uri not in ind_type_classes:
             ind_type_classes.add(t_uri)
             cls(t_uri, _KGX_NS + "Indicator")
-        indiv(uri, t_uri, surfaces)
+        indiv(uri, t_uri, surfaces, name=name)
         cd_uri = _KGX_NS + "CorrDef_" + _local(uri)
         w.append(f"  <kgx:CorrelationDefinition rdf:about={res(cd_uri)}>")
         w.append(

@@ -2289,7 +2289,7 @@ def kg_phrase_fact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = assemble.admit_turns(_doc_transcripts(spark, sf_dir))
     wm = mentions.detect_mentions(tr, kb)
     edges = materialize.phrase_fact_edges(facts, wm, kb)
-    return edges.select(
+    out = edges.select(
         "conv_id",
         "turn_idx",
         "subj_name",
@@ -2299,6 +2299,7 @@ def kg_phrase_fact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end").alias("end_off"),
         "role",
     )
+    return dedup.propagate_ownership(edges, out)
 
 
 KG_PHRASE_EDGES_SQL = _KG_SQL_PROLOGUE + """

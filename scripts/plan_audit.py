@@ -39,20 +39,88 @@ AUDIT = [
 ]
 
 
+# a tree line: drawing chars / codegen star, then the operator name (first
+# identifier), join/build details, then the node id "(N)" — e.g.
+# ":- * BroadcastHashJoin LeftOuter BuildRight (111)" or
+# "+- ShuffleQueryStage (5), Statistics(...)"
+_TREE_NODE = re.compile(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9]*)[^()\n]*\((\d+)\)", re.M)
+_DRAWING = " :+-|*"
+
+
+def _depth(line: str) -> int:
+    for i, ch in enumerate(line):
+        if ch not in _DRAWING:
+            return i
+    return len(line)
+
+
+def _final_plan_nodes(tree: str) -> dict:
+    """Distinct (node id → op name) for nodes that actually execute.
+
+    Sections nest: every AdaptiveSparkPlan — the top-level one AND each
+    cached InMemoryRelation's — prints a '== Final Plan ==' and an
+    '== Initial Plan ==' sibling at its own indentation, and a cached
+    subtree is re-printed (same node ids) at every scan site, including
+    inside OTHER plans' Initial sections. A node executes iff every
+    enclosing section on its indentation path is Final; dedupe by id so a
+    cached plan computed once counts once."""
+    stack: list[tuple[int, bool]] = []  # (marker depth, is_final)
+    out: dict[str, str] = {}
+    for line in tree.splitlines():
+        if not line.strip():
+            continue
+        d = _depth(line)
+        stripped = line.strip(" :+-|*")
+        is_marker = stripped.startswith("== Final Plan ==") or stripped.startswith(
+            "== Initial Plan =="
+        )
+        # section CONTENT prints at the same depth as its marker — a node
+        # at depth == marker depth stays inside; a sibling marker at the
+        # same depth replaces the section
+        while stack and (d < stack[-1][0] or (is_marker and d == stack[-1][0])):
+            stack.pop()
+        if is_marker:
+            stack.append((d, stripped.startswith("== Final Plan ==")))
+            continue
+        m = _TREE_NODE.match(line)
+        if m and all(fin for _, fin in stack):
+            out.setdefault(m.group(2), m.group(1))
+    return out
+
+
 def summarize(plan: str) -> dict:
-    # formatted mode prints every operator TWICE (tree line + numbered
-    # detail section) and tags codegen as "codegen id : N", not
-    # "WholeStageCodegen (N)" — count from the detail headers and the
-    # codegen-id tags so each physical node counts once (round-4 fix;
-    # earlier audits double-counted joins and reported 0 codegen spans)
-    ops = re.findall(r"^\((\d+)\) ([A-Za-z]+)", plan, re.M)
+    # An AQE formatted explain prints plan TREES (== Final Plan == and
+    # == Initial Plan == sections, one pair per AdaptiveSparkPlan — the
+    # top-level plan AND every cached InMemoryRelation it scans) followed
+    # by numbered DETAIL sections. Two traps:
+    #   * initial-plan nodes describe what AQE replanned away (an SMJ that
+    #     executed as BHJ) — count final sections only;
+    #   * a cached relation's subtree is re-printed at EVERY
+    #     InMemoryTableScan site with the SAME node ids — dedupe by id so
+    #     a plan computed once counts once.
+    tree_end = plan.find("\n(1) ")
+    tree = plan[: tree_end if tree_end >= 0 else len(plan)]
+    op_by_id = _final_plan_nodes(tree)
+    final_ids = set(op_by_id)
+
     def n(op: str) -> int:
-        return sum(1 for _id, o in ops if o == op)
+        return sum(1 for o in op_by_id.values() if o == op)
+
+    # codegen spans: detail headers carry "[codegen id : N]"; restrict to
+    # final-plan node ids so initial-plan copies don't inflate the count
+    codegen = {
+        cg
+        for nid, cg in re.findall(r"^\((\d+)\) [A-Za-z].*codegen id : (\d+)", plan, re.M)
+        if nid in final_ids
+    }
     return {
         "BroadcastHashJoin": n("BroadcastHashJoin"),
         "SortMergeJoin": n("SortMergeJoin"),
-        "Exchange": n("Exchange") + n("ShuffleQueryStage"),
-        "WholeStageCodegen": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        # ShuffleQueryStage wraps an Exchange it contains — count the
+        # Exchange nodes only (each real shuffle prints exactly one in the
+        # final tree)
+        "Exchange": n("Exchange"),
+        "WholeStageCodegen": len(codegen),
         "ArrowEvalPython": n("ArrowEvalPython"),
         "PushedFilters": sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))),
         "ReadSchema": sorted(set(re.findall(r"ReadSchema: [^\n]*", plan))),
@@ -70,7 +138,10 @@ def main() -> None:
     for name in only:
         fn, _sql = REGISTRY[name]
         df = fn(spark, sf_dir)
-        df.count()  # execute so AQE finalizes the plan
+        # execute THIS frame so ITS AdaptiveSparkPlan finalizes — df.count()
+        # builds a separate groupBy().count() query and leaves df's own plan
+        # at isFinalPlan=false (0 codegen tags, initial-plan Exchanges)
+        df.collect()
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")

@@ -216,6 +216,34 @@ def test_owl_roundtrip_full_default_kb():
     assert kb.version() == kb2.version()
 
 
+def test_owl_roundtrip_name_not_first_surface(tmp_path):
+    """Canonical names that are NOT the entity's first surface form (or not
+    a surface at all) must survive save_owl → load_owl: the name rides an
+    explicit kgx:canonicalName literal, never reconstructed as labels[0].
+    Regression: before round 4 this silently rewrote name to the first
+    surface, changing every downstream fact and the KB lineage version."""
+    from kgx import owl, resources as res
+
+    kb = res.KnowledgeBase(
+        gazetteer=[
+            ("u#apple", "Apple Inc", "Company", "AAPL"),
+            ("u#apple", "Apple Inc", "Company", "Apple"),
+        ],
+        lexicon=[("good", "positive")],
+        indicators=[
+            ("u#rate", "Policy Rate", "rate hike", "Macro", -1, "Company", "price"),
+        ],
+        feature_alias=[("cost", "price")],
+        feature_surfaces=[("price", "price")],
+    )
+    path = str(tmp_path / "kb.owl")
+    owl.save_owl(kb, path)
+    kb2 = owl.load_owl(path)
+    assert sorted(kb2.gazetteer) == sorted(kb.gazetteer)
+    assert sorted(kb2.indicators) == sorted(kb.indicators)
+    assert kb2.version() == kb.version()
+
+
 def test_owl_equivalent_to_snapshot_and_dispatch(tmp_path):
     """load_kb_any dispatches: .owl file → owl parser, dir → snapshot
     loader; both yield the same KB version as the in-memory source."""
