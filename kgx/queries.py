@@ -834,13 +834,30 @@ _SQL_FOLD_DOT = """list_reduce(
 # ---------------------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+    # the synthetic documents table has no normalized-equal texts at any
+    # sf, so running over it alone yields an EMPTY (vacuously matching)
+    # oracle row — every round r1-r3 checked 0 rows. Union a deterministic
+    # perturbed copy (doc_id%10==3, uppercased, padded) so the check
+    # exercises the normalization (lower/trim/whitespace-collapse), the
+    # hash grouping AND the min-id keeper rule on real output.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return dedup.exact_dedup(docs.unionByName(dup))
 
 
 DEDUP_EXACT_SQL = r"""
-WITH h AS (
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, '  ' || upper(text) || '  '
+  FROM documents WHERE doc_id % 10 = 3
+),
+h AS (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
-  FROM documents
+  FROM src
 ),
 g AS (SELECT h, min(doc_id) AS keep_id FROM h GROUP BY h)
 SELECT g.keep_id, h.doc_id AS dup_id
@@ -3641,7 +3658,7 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 4 (the real media-header kernels, the node_key hashing change,
 # ownership-propagation touchpoints); (3) rows verified green in round
 # 3, unchanged since — freshest evidence, so they cycle last. With 84
-# rows and a 50-row window, tiers 1+2 (37 rows) always fit.
+# rows and a 50-row window, tiers 1+2 (41 rows) always fit.
 REGISTRY: dict[str, tuple] = {
     # -- (1) last driver-verified in round 2 (31 rows, stalest first) --
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
@@ -3687,6 +3704,13 @@ REGISTRY: dict[str, tuple] = {
     "w3_char_offsets": (w3_char_offsets, W3_SQL),
     "a2_group_pairs": (a2_group_pairs, A2_SQL),
     "agg_salted_rollup": (agg_salted_rollup, AGG_SALTED_SQL),
+    # changed late in round 4 (shared plain_doc_rollup extraction; the
+    # phrase-edge mention cache + ownership propagation) — windowed so the
+    # driver re-verifies the touched paths
+    "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
+    "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
+    "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "ann_topk_dot": (ann_topk_dot, ANN_DOT_SQL),
     "ann_cosine_topk": (ann_cosine_topk, ANN_COSINE_SQL),
     "tpch_q1_pricing": (tpch_q1_pricing, TPCH_Q1_SQL),
@@ -3713,12 +3737,9 @@ REGISTRY: dict[str, tuple] = {
     "stats_hist_profile": (stats_hist_profile, STATS_HIST_SQL),
     "stream_dedup_docs": (stream_dedup_docs, STREAM_DEDUP_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
-    "kg_sentence_triples": (kg_sentence_triples, KG_SENTENCE_SQL),
-    "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
     "kg_fallback_ratio": (kg_fallback_ratio, KG_FALLBACK_SQL),
     "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
     "kg_phrases": (kg_phrases, KG_PHRASES_SQL),
-    "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
     "kg_indicator_nodes": (kg_indicator_nodes, KG_INDICATOR_NODES_SQL),
     "kg_document_meta": (kg_document_meta, KG_DOC_META_SQL),
     "kg_website_dim": (kg_website_dim, KG_WEBSITE_SQL),
@@ -3729,5 +3750,4 @@ REGISTRY: dict[str, tuple] = {
     "stream_windowed_counts": (stream_windowed_counts, STREAM_WINDOWED_SQL),
     "stream_join_attribution": (stream_join_attribution, STREAM_JOIN_SQL),
     "stream_join_outer": (stream_join_outer, STREAM_JOIN_OUTER_SQL),
-    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
 }

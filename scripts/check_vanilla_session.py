@@ -40,6 +40,11 @@ DEFAULT_QUERIES = [
     "kg_query_params",
     "graph_triangles",
     "agg_salted_rollup",
+    # changed late in round 4: shared plain_doc_rollup + phrase-edge cache
+    "kg_sentence_triples",
+    "kg_document_triples",
+    "kg_phrase_fact_edges",
+    "dedup_exact",  # r4: non-empty oracle via perturbed-copy union
 ]
 
 

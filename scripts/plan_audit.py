@@ -54,8 +54,9 @@ def _depth(line: str) -> int:
     return len(line)
 
 
-def _final_plan_nodes(tree: str) -> dict:
-    """Distinct (node id → op name) for nodes that actually execute.
+def _final_plan_nodes(tree: str) -> tuple[dict, dict]:
+    """(node id → op name, node id → is-under-cache) for nodes that
+    actually execute.
 
     Sections nest: every AdaptiveSparkPlan — the top-level one AND each
     cached InMemoryRelation's — prints a '== Final Plan ==' and an
@@ -65,7 +66,9 @@ def _final_plan_nodes(tree: str) -> dict:
     enclosing section on its indentation path is Final; dedupe by id so a
     cached plan computed once counts once."""
     stack: list[tuple[int, bool]] = []  # (marker depth, is_final)
+    node_stack: list[tuple[int, str]] = []  # (node depth, op) ancestry
     out: dict[str, str] = {}
+    cached: dict[str, bool] = {}
     for line in tree.splitlines():
         if not line.strip():
             continue
@@ -83,9 +86,16 @@ def _final_plan_nodes(tree: str) -> dict:
             stack.append((d, stripped.startswith("== Final Plan ==")))
             continue
         m = _TREE_NODE.match(line)
-        if m and all(fin for _, fin in stack):
+        if not m:
+            continue
+        while node_stack and d <= node_stack[-1][0]:
+            node_stack.pop()
+        under_cache = any(op == "InMemoryRelation" for _, op in node_stack)
+        node_stack.append((d, m.group(1)))
+        if all(fin for _, fin in stack):
             out.setdefault(m.group(2), m.group(1))
-    return out
+            cached[m.group(2)] = cached.get(m.group(2), False) or under_cache
+    return out, cached
 
 
 def summarize(plan: str) -> dict:
@@ -100,8 +110,26 @@ def summarize(plan: str) -> dict:
     #     a plan computed once counts once.
     tree_end = plan.find("\n(1) ")
     tree = plan[: tree_end if tree_end >= 0 else len(plan)]
-    op_by_id = _final_plan_nodes(tree)
+    op_by_id, cached_by_id = _final_plan_nodes(tree)
     final_ids = set(op_by_id)
+    _PY_OPS = {"ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"}
+    # recompute smell: two+ EXECUTING Python nodes outside any cache whose
+    # normalized signature (op + Arguments with expression ids stripped)
+    # is identical — the same logical UDF stage re-derived per branch.
+    # Distinct sequential stages (different funcs) are fine and not flagged.
+    sig_of: dict[str, str] = {}
+    for section in re.split(r"^(?=\(\d+\) )", plan, flags=re.M):
+        h = re.match(r"\((\d+)\) ([A-Za-z]+)", section)
+        if not h or h.group(2) not in _PY_OPS:
+            continue
+        a = re.search(r"^Arguments: ([^\n]*)", section, re.M)
+        if a:
+            sig_of[h.group(1)] = h.group(2) + "|" + re.sub(r"#\d+L?", "#", a.group(1))
+    dup_sigs: dict[str, int] = {}
+    for nid, op in op_by_id.items():
+        if op in _PY_OPS and not cached_by_id.get(nid, False) and nid in sig_of:
+            dup_sigs[sig_of[nid]] = dup_sigs.get(sig_of[nid], 0) + 1
+    recomputed_python = sum(c for c in dup_sigs.values() if c > 1)
 
     def n(op: str) -> int:
         return sum(1 for o in op_by_id.values() if o == op)
@@ -122,6 +150,11 @@ def summarize(plan: str) -> dict:
         "Exchange": n("Exchange"),
         "WholeStageCodegen": len(codegen),
         "ArrowEvalPython": n("ArrowEvalPython"),
+        "MapInPandas": n("MapInPandas") + n("FlatMapGroupsInPandas"),
+        # same-signature Python stages NOT under an InMemoryRelation — the
+        # recompute smell that hid in kg_phrase_fact_edges (9 Arrow nodes
+        # for one logical UDF stage before the round-4 cache fix)
+        "RecomputedPython": recomputed_python,
         "PushedFilters": sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))),
         "ReadSchema": sorted(set(re.findall(r"ReadSchema: [^\n]*", plan))),
     }
@@ -151,8 +184,15 @@ def main() -> None:
             f"- BroadcastHashJoin: {s['BroadcastHashJoin']}, "
             f"SortMergeJoin: {s['SortMergeJoin']}, Exchange: {s['Exchange']}, "
             f"whole-stage-codegen spans: {s['WholeStageCodegen']}, "
-            f"ArrowEvalPython: {s['ArrowEvalPython']}"
+            f"ArrowEvalPython: {s['ArrowEvalPython']}, "
+            f"MapInPandas: {s['MapInPandas']}"
         )
+        if s["RecomputedPython"]:
+            print(
+                f"- **WARN: {s['RecomputedPython']} same-signature uncached "
+                "Python stages** — a re-derived branch re-executes the same "
+                "UDF; the shared upstream should persist"
+            )
         for pf in s["PushedFilters"][:4]:
             print(f"- `{pf}`")
         for rs in s["ReadSchema"][:4]:
