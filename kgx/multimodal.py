@@ -263,7 +263,9 @@ def make_mp4(duration_ms: int, timescale: int = 48000, v1: bool = False) -> byte
         return struct.pack(">I", 8 + len(payload)) + tag + payload
 
     duration = duration_ms * timescale // 1000
-    if v1:
+    if v1 or duration > 0xFFFFFFFF:
+        # version-1 mvhd carries 64-bit times; real muxers upgrade exactly
+        # when the tick count no longer fits the version-0 32-bit field
         mvhd = b"\x01" + b"\x00" * 3 + struct.pack(">QQIQ", 0, 0, timescale, duration)
     else:
         mvhd = b"\x00" + b"\x00" * 3 + struct.pack(">IIII", 0, 0, timescale, duration)
