@@ -164,51 +164,105 @@ def run_scaling() -> dict | None:
     and 4N EXECUTORS (default local-cluster[1,2,3072] vs
     local-cluster[4,2,3072] — real separate executor JVMs with their own
     memory and Python worker pools, inter-process shuffle between them;
-    the literal "N and 4N executors" of the north rule). Each config runs
-    ONE warmed session with several timed trials inside (kgx.bench_scale
-    --trials); the per-config MEDIAN wall is the headline estimator
-    (equal trial counts per config — see bench_scale's round-3 note on
-    why min-of-unequal-draws flattered one side). BENCH_SCALE_MODE=threads
-    falls back to the local[N]-vs-local[4N] per-core probe."""
+    the literal "N and 4N executors" of the north rule). Trials run
+    PAIR-SEQUENTIALLY — N, 4N, N, 4N in time, one fresh warmed process
+    per trial, exactly one cluster alive at a time (see probe() for the
+    two failure modes this dodges). The primary estimator is the median
+    of per-pair efficiencies; the ratio of per-config median walls is
+    published alongside. BENCH_SCALE_MODE=threads falls back to the
+    local[N]-vs-local[4N] per-core probe."""
     inp = f"/tmp/kgx_bench_{SCALE_TURNS}"
     if not os.path.exists(inp):
         print(f"  generating {SCALE_TURNS}-turn corpus ...", file=sys.stderr)
         _gen_corpus(inp)
 
     def probe(mode: str) -> dict | None:
+        # PAIR-SEQUENTIAL trials (round-4 methodology fix, second
+        # iteration). Two failure modes had to be dodged at once:
+        #   1. All-N-then-all-4N (the r3 scheme) lets one external-load
+        #      burst poison whichever config owned that time window (one
+        #      293s outlier once produced a meaningless 0.31 "efficiency").
+        #   2. Keeping BOTH clusters resident and interleaving trials
+        #      (this round's first attempt) cross-contaminates: a 4N trial
+        #      measured 45.7s with the 4N cluster alone but 91-116s with an
+        #      idle 1N cluster resident — the co-resident JVMs/worker pools
+        #      degrade the wider config disproportionately, and a
+        #      sync+settle pause does NOT recover it.
+        # So: trials alternate N, 4N, N, 4N in time (burst-fair at pair
+        # granularity) but each trial runs in a FRESH process and exactly
+        # one cluster is alive at any moment. Each process warms codegen +
+        # Arrow workers on a file-subset read (identical plan shape), then
+        # times ONE full trial. Estimator: per-config MEDIAN over an EQUAL
+        # number of trials; per-trial 1-min loadavg is recorded so external
+        # load is visible in the published record.
+        pairs = min(SCALE_TRIALS_N, SCALE_TRIALS_4N)
+        walls: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: []}
+        loads: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: []}
+        last: dict[int, dict] = {}
+        for t in range(pairs):
+            for n in (SCALE_N, SCALE_4N):
+                if mode == "executors":
+                    args = ["--executors", str(n),
+                            "--exec-cores", str(SCALE_EXEC_CORES)]
+                    desc = f"local-cluster[{n},{SCALE_EXEC_CORES},3072]"
+                else:
+                    args = ["--cpus", str(n)]
+                    desc = f"local[{n}]"
+                out = subprocess.run(
+                    [sys.executable, "-m", "kgx.bench_scale",
+                     *args, "--input", inp, "--trials", "1"],
+                    capture_output=True,
+                    text=True,
+                    cwd=REPO,
+                    timeout=2400,
+                )
+                if out.returncode != 0:
+                    print(out.stderr[-2000:], file=sys.stderr)
+                    return None
+                line = [l for l in out.stdout.strip().splitlines()
+                        if l.startswith("{")][-1]
+                r = json.loads(line)
+                walls[n].append(r["wall_sec"])
+                loads[n].extend(r.get("trial_loadavg", []))
+                last[n] = r
+                print(f"    pair {t} {desc}: {r['wall_sec']}s "
+                      f"(load {r.get('trial_loadavg')})", file=sys.stderr)
+
         results = {}
-        for n, trials in ((SCALE_N, SCALE_TRIALS_N), (SCALE_4N, SCALE_TRIALS_4N)):
-            if mode == "executors":
-                args = ["--executors", str(n), "--exec-cores", str(SCALE_EXEC_CORES)]
-                desc = f"local-cluster[{n},{SCALE_EXEC_CORES},3072]"
-            else:
-                args = ["--cpus", str(n)]
-                desc = f"local[{n}]"
-            print(f"  scaling probe: {desc} x{trials} trials ...", file=sys.stderr)
-            out = subprocess.run(
-                [
-                    sys.executable, "-m", "kgx.bench_scale",
-                    *args, "--input", inp, "--trials", str(trials),
-                ],
-                capture_output=True,
-                text=True,
-                cwd=REPO,
-                timeout=2400,
-            )
-            if out.returncode != 0:
-                print(out.stderr[-2000:], file=sys.stderr)
-                return None
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            print(f"    {line}", file=sys.stderr)
-            results[n] = json.loads(line)
+        for n in (SCALE_N, SCALE_4N):
+            r = dict(last[n])
+            wall = round(statistics.median(walls[n]), 3)
+            r["wall_sec"] = wall
+            r["wall_min_sec"] = min(walls[n])
+            r["trial_walls"] = walls[n]
+            r["trial_loadavg"] = loads[n]
+            r["turns_per_sec"] = round(r["turns"] / wall, 1)
+            r["triples_per_sec"] = round(r["triples"] / wall, 1)
+            results[n] = r
+            print(f"    {json.dumps(r)}", file=sys.stderr)
+        # PRIMARY estimator: median of PER-PAIR efficiencies. Each pair's
+        # two trials share a time window, so host-state drift (this VM's
+        # 1N walls range 126-198s across a quiet hour — hypervisor-level
+        # variance, loadavg stays flat) hits both sides of a ratio and
+        # cancels; the ratio-of-config-medians does not exploit the
+        # pairing and mixes fast-window N walls with slow-window 4N walls.
+        # Both are published.
+        pair_effs = [
+            round((wn / w4) / 4, 3)
+            for wn, w4 in zip(walls[SCALE_N], walls[SCALE_4N])
+        ]
+        eff_pairwise = round(statistics.median(pair_effs), 3)
         eff = results[SCALE_4N]["turns_per_sec"] / (4 * results[SCALE_N]["turns_per_sec"])
         return {
             "mode": mode,
             "n_cores": SCALE_N,
             "n4_cores": SCALE_4N,
+            "interleaved_pairs": pairs,
             "localN": results[SCALE_N],
             "local4N": results[SCALE_4N],
-            "scaling_efficiency": round(eff, 3),
+            "pair_efficiencies": pair_effs,
+            "scaling_efficiency": eff_pairwise,
+            "scaling_efficiency_config_medians": round(eff, 3),
         }
 
     # executor mode is the primary evidence; fall back to the thread probe
@@ -234,20 +288,36 @@ def write_baseline_md(scaling: dict, sf: str) -> None:
 Identical KG-extraction job (assemble → Arrow-UDF mentions → relations →
 linking → aggregation → triples) on the identical synthetic transcript
 corpus ({rn["turns"]} turns), two parallelism levels, separate processes.
-Per config: one warmed session, an EQUAL number of timed trials inside
-it; the headline wall is the per-config MEDIAN (robust to external-load
-bursts on this shared host without flattering either config; the min and
-the full trial distribution are shown so the spread is visible —
-steady-state efficiency on this host is noise-dominated in roughly the
-0.8–1.0 band run-to-run, and the bar is ≥0.8):
+Trials alternate N, 4N, N, 4N in TIME (so an external-load burst lands
+on both configs, not just whichever owned that window — the r3 scheme's
+flaw), but each trial runs in a FRESH process with exactly ONE cluster
+alive at a time (keeping both clusters resident and interleaving inside
+them cross-contaminates: a 4N trial measured 45.7s with its cluster
+alone vs 91-116s with an idle 1N cluster co-resident, and a sync+settle
+pause does not recover it). Each process warms whole-stage codegen and
+the Arrow python workers on a file-subset read whose plan shape is
+identical to the full trial's (limit()-based warmup leaves the real
+plan's codegen cold), then times ONE full-corpus run. Per config: an
+EQUAL number of timed trials; the headline wall is the per-config MEDIAN
+(robust to one-sided bursts without the min's flattery); the min, the
+full trial distribution, and the per-trial 1-min loadavg are shown so
+external-load contamination is visible in the record. The bar is ≥0.8:
 
-| config | median wall (s) | min wall (s) | trial walls | turns/s | triples/s |
-|---|---|---|---|---|---|
-| {cfg_n}  | {rn["wall_sec"]} | {rn.get("wall_min_sec", rn["wall_sec"])} | {rn.get("trial_walls")} | {rn["turns_per_sec"]} | {rn["triples_per_sec"]} |
-| {cfg_4n} | {r4n["wall_sec"]} | {r4n.get("wall_min_sec", r4n["wall_sec"])} | {r4n.get("trial_walls")} | {r4n["turns_per_sec"]} | {r4n["triples_per_sec"]} |
+| config | median wall (s) | min wall (s) | trial walls | per-trial 1-min loadavg | turns/s | triples/s |
+|---|---|---|---|---|---|---|
+| {cfg_n}  | {rn["wall_sec"]} | {rn.get("wall_min_sec", rn["wall_sec"])} | {rn.get("trial_walls")} | {rn.get("trial_loadavg")} | {rn["turns_per_sec"]} | {rn["triples_per_sec"]} |
+| {cfg_4n} | {r4n["wall_sec"]} | {r4n.get("wall_min_sec", r4n["wall_sec"])} | {r4n.get("trial_walls")} | {r4n.get("trial_loadavg")} | {r4n["turns_per_sec"]} | {r4n["triples_per_sec"]} |
 
-**efficiency = tput(4N) / (4 × tput(N)) = {scaling["scaling_efficiency"]}
-(median-based)**
+**efficiency = median over pairs of tput(4N)/(4 × tput(N)) =
+{scaling["scaling_efficiency"]}** (per-pair efficiencies:
+{scaling.get("pair_efficiencies")}; the ratio of config-median
+throughputs = {scaling.get("scaling_efficiency_config_medians")} is
+published alongside). The per-pair median is the declared primary
+estimator: each pair's two trials share a time window, so host-state
+drift — this VM's 1N walls ranged 126-198s across one otherwise-idle
+hour with flat loadavg, i.e. hypervisor-level variance — hits both
+sides of the ratio and cancels, while a ratio of config medians mixes
+fast-window N walls with slow-window 4N walls.
 
 Default probe mode is EXECUTORS: local-cluster[N,2,3072] runs N real
 executor JVMs — each with its own 3 GB heap and its own Arrow

@@ -12,6 +12,15 @@ Two modes:
 
 Usage: python -m kgx.bench_scale --executors 4 --exec-cores 2 --input DIR
        python -m kgx.bench_scale --cpus 8 --input DIR
+
+bench.py's pair-sequential probe launches this module once PER TRIAL
+(--trials 1), alternating N, 4N, N, 4N in time: a fresh process per trial
+with exactly one cluster alive at a time. A rejected earlier design kept
+both clusters resident and interleaved trials inside them via a stdin
+protocol — measurement killed it: a 4N trial ran 45.7s with its cluster
+alone but 91-116s with an idle 1N cluster co-resident (the idle local-
+cluster Worker/executor JVMs churn 35-58% CPU each), and a sync+settle
+pause did not recover it.
 """
 
 from __future__ import annotations
@@ -88,11 +97,23 @@ def main() -> None:
             cached.unpersist()
         return n
 
-    # Warm-up on a small slice: compiles the whole-stage codegen for the
-    # identical plan and spins up the Arrow python workers, so the timed
-    # trials measure steady-state throughput (what a 1000-executor cluster
-    # amortizes to), not one-time JIT + process startup.
-    run(transcripts.limit(20000))
+    # Warm-up on a FILE SUBSET of the input (~1/8 of the parquet files),
+    # not .limit(): limit() inserts Local/GlobalLimit nodes, so its
+    # generated code differs from the real trial's and the first full
+    # trial still paid one-time Janino compilation (measured ~70s vs a
+    # ~46s steady state at 4 executors). Reading a subset of the same
+    # files keeps the plan SHAPE bit-identical — whole-stage codegen, the
+    # Arrow python workers, and the per-worker matcher caches are all hot
+    # before the timed trial, which therefore measures steady-state
+    # throughput (what a 1000-executor cluster amortizes to).
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(args.input, "*.parquet")))
+    if len(files) >= 8:
+        warm_df = spark.read.parquet(*files[: max(4, len(files) // 8)])
+    else:
+        warm_df = transcripts.limit(20000)
+    run(warm_df)
 
     # Multiple timed trials in the SAME warmed session. The MEDIAN wall is
     # the headline estimator: on a shared host external-load bursts slow
@@ -103,11 +124,25 @@ def main() -> None:
     # picking; the min and the full distribution are reported alongside so
     # the spread is visible.
     walls: list[float] = []
+    loads: list[float] = []
     n_triples = 0
-    for _ in range(max(args.trials, 1)):
+
+    def timed_trial() -> float:
+        nonlocal n_triples
         t0 = time.monotonic()
         n_triples = run(transcripts)
-        walls.append(round(time.monotonic() - t0, 3))
+        w = round(time.monotonic() - t0, 3)
+        walls.append(w)
+        # 1-min loadavg right after the trial: published per-trial so
+        # external-load contamination is visible in the record
+        try:
+            loads.append(float(open("/proc/loadavg").read().split()[0]))
+        except OSError:
+            loads.append(-1.0)
+        return w
+
+    for _ in range(max(args.trials, 1)):
+        timed_trial()
     import statistics
 
     wall = round(statistics.median(walls), 3)
@@ -123,6 +158,7 @@ def main() -> None:
                 "wall_sec": wall,
                 "wall_min_sec": min(walls),
                 "trial_walls": walls,
+                "trial_loadavg": loads,
                 "turns_per_sec": round(n_turns / wall, 1),
                 "triples_per_sec": round(n_triples / wall, 1),
             }
