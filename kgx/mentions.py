@@ -37,7 +37,7 @@ from typing import Iterable
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from kgx import schema
 from kgx.resources import KnowledgeBase
@@ -368,6 +368,58 @@ def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
         )
 
     return turns.withColumn("mentions", _detect(F.col("text")))
+
+
+def entity_carryover(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
+    """Coref-lite entity continuity over multi-turn transcripts: each turn's
+    active SO entity set is its own SO mentions if any, else the most
+    recent prior turn's (within the conversation) — the carry rule for
+    turns that refer back ("it", "that one") without naming the entity.
+    Reference analogue: per-document annotation scope
+    (CompletePipelineWorker.java:158-236), widened to conversation scope.
+
+    Emits (conv_id, turn_idx, entity, src_turn_idx, carried) — one row per
+    active entity per turn; turns before the first SO mention emit
+    nothing. Shape: map-only Arrow-UDF mentions, in-row distinct SO set,
+    one narrow shuffle on conv_id for the last-non-null window; rows stay
+    slim (the text column never enters the shuffle)."""
+    m = detect_mentions(turns, kb)
+    so = m.select(
+        "conv_id",
+        "turn_idx",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter(F.col("mentions"), lambda x: x["kind"] == F.lit("SO")),
+                    lambda x: F.lower(x["surface"]),
+                )
+            )
+        ).alias("so_set"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = so.withColumn(
+        "active",
+        F.last(
+            F.when(
+                F.size("so_set") > 0,
+                F.struct(
+                    F.col("turn_idx").alias("src_turn_idx"),
+                    F.col("so_set").alias("ents"),
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    ).where(F.col("active").isNotNull())
+    return carried.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(F.col("active.ents")).alias("entity"),
+        F.col("active.src_turn_idx").alias("src_turn_idx"),
+    ).withColumn("carried", F.col("src_turn_idx") != F.col("turn_idx"))
 
 
 def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:

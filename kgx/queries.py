@@ -3650,15 +3650,300 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-4b additions: Count-Min, Bloom, TF-IDF, unigram LM, entity carryover
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 3, 64
+_CMS_PROBES = (
+    "table", "value", "query", "spark", "customer", "vector",
+    "stream", "window", "fast", "slow", "zzz_absent",
+)
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries per language, with the shard-merge
+    distributivity proof baked in: the cells come from two DISJOINT
+    doc_id-parity shards sketched independently and merged (kgx.sketch
+    cms_counts/cms_merge — sum distributes), while the oracle sketches in
+    a single pass; hash equality IS the mergeability property a sharded
+    100 TB frequency pipeline relies on. CMS never undercounts: the
+    emitted overestimate column is >= 0 for present probes, and the
+    absent probe ('zzz_absent') shows pure collision mass at width 64."""
+    from kgx import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(textops.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    a = sketch.cms_counts(
+        tok.where(F.col("doc_id") % 2 == 0), "token", ["lang"], _CMS_DEPTH, _CMS_WIDTH
+    )
+    b = sketch.cms_counts(
+        tok.where(F.col("doc_id") % 2 == 1), "token", ["lang"], _CMS_DEPTH, _CMS_WIDTH
+    )
+    cells = sketch.cms_merge(a, b, ["lang"])
+    probes = (
+        docs.select("lang")
+        .distinct()
+        .withColumn("probe", F.explode(F.array(*[F.lit(p) for p in _CMS_PROBES])))
+    )
+    est = sketch.cms_point_query(
+        cells, probes, ["lang"], "probe", _CMS_DEPTH, _CMS_WIDTH
+    )
+    exact = (
+        tok.where(F.col("token").isin(*_CMS_PROBES))
+        .groupBy("lang", F.col("token").alias("probe"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return est.join(exact, ["lang", "probe"], "left").select(
+        "lang",
+        "probe",
+        "cms_count",
+        F.coalesce(F.col("exact_count"), F.lit(0)).cast("bigint").alias("exact_count"),
+        (F.col("cms_count") - F.coalesce(F.col("exact_count"), F.lit(0)))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
+
+
+SKETCH_CMS_SQL = rf"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+r AS (SELECT unnest([0, 1, 2]) AS r),
+cells AS (
+  SELECT lang, r,
+         CAST(CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || '|' || token), 1, 15))
+              AS BIGINT) % {_CMS_WIDTH} AS INTEGER) AS c,
+         count(*) AS cnt
+  FROM tok, r GROUP BY 1, 2, 3
+),
+probes AS (SELECT unnest({list(_CMS_PROBES)!r}) AS probe),
+langs AS (SELECT DISTINCT lang FROM documents),
+ph AS (
+  SELECT langs.lang, probes.probe, r.r,
+         CAST(CAST(('0x' || substr(md5('cms' || CAST(r.r AS VARCHAR) || '|' || probes.probe), 1, 15))
+              AS BIGINT) % {_CMS_WIDTH} AS INTEGER) AS c
+  FROM langs, probes, r
+),
+est AS (
+  SELECT ph.lang, ph.probe, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS cms_count
+  FROM ph LEFT JOIN cells ON cells.lang = ph.lang AND cells.r = ph.r AND cells.c = ph.c
+  GROUP BY 1, 2
+),
+exact AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2)
+SELECT est.lang, est.probe, est.cms_count,
+       CAST(coalesce(exact.c, 0) AS BIGINT) AS exact_count,
+       CAST(est.cms_count - coalesce(exact.c, 0) AS BIGINT) AS overestimate
+FROM est LEFT JOIN exact ON exact.lang = est.lang AND exact.token = est.probe
+"""
+
+
+_BLOOM_M, _BLOOM_K, _BLOOM_N = 4096, 3, 8
+
+
+def sketch_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the O(m_bits) build-side variant of
+    curate_contamination (same doc_id % 50 benchmark split, same 8-gram
+    shingles): the exact distinct-shingle broadcast stops fitting when the
+    benchmark outgrows executor memory, the bit table never does. No false
+    negatives by construction (every true overlap flags); false POSITIVES
+    are part of the sketch contract and the md5-derived bit positions
+    (kgx.sketch.bloom_bits/bloom_probe) make even those bit-reproducible
+    in the oracle."""
+    from kgx import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", textops.tokens(F.lower(F.col("text"))).alias("toks")
+    ).select(
+        "doc_id",
+        F.explode(dedup.shingles_from_tokens(F.col("toks"), _BLOOM_N)).alias("sh"),
+    )
+    bench = sh.where(F.col("doc_id") % 50 == 0)
+    corpus = sh.where(F.col("doc_id") % 50 != 0)
+    bits = sketch.bloom_bits(bench, "sh", _BLOOM_M, _BLOOM_K)
+    probed = sketch.bloom_probe(
+        corpus, "sh", ["doc_id"], bits, _BLOOM_M, _BLOOM_K
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("bloom_member").cast("int")).cast("bigint").alias("n_bloom_hits"),
+        )
+        .withColumn("flagged", F.col("n_bloom_hits") > 0)
+    )
+
+
+SKETCH_BLOOM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_BLOOM_N} THEN
+           list_distinct([array_to_string(toks[i:i+{_BLOOM_N - 1}], ' ')
+                          FOR i IN range(1, len(toks) - {_BLOOM_N - 2})])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM tok
+),
+shs AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+hi AS (SELECT unnest([0, 1, 2]) AS i),
+bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || '|' || s), 1, 15))
+              AS BIGINT) % {_BLOOM_M} AS bit
+  FROM shs, hi WHERE doc_id % 50 = 0
+),
+probe AS (
+  SELECT doc_id, s, i,
+         CAST(('0x' || substr(md5('bloom' || CAST(i AS VARCHAR) || '|' || s), 1, 15))
+              AS BIGINT) % {_BLOOM_M} AS bit
+  FROM shs, hi WHERE doc_id % 50 <> 0
+),
+member AS (
+  SELECT p.doc_id, p.s,
+         CAST(sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nhits
+  FROM probe p LEFT JOIN bits b USING (bit)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN nhits = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       sum(CASE WHEN nhits = {_BLOOM_K} THEN 1 ELSE 0 END) > 0 AS flagged
+FROM member GROUP BY doc_id
+"""
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (textops.tfidf_topk): rational-IDF
+    variant (n_docs/df, log-free so the score is bit-reproducible
+    cross-engine; see the operator docstring for how it differs from
+    tf*ln(N/df)), deterministic tie-break on token."""
+    return textops.tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", 5)
+
+
+TEXT_TFIDF_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.doc_freq, n.n_docs,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(dfreq.doc_freq AS DOUBLE) AS tfidf
+  FROM tf JOIN dfreq USING (token), n
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, doc_freq, n_docs, tfidf, rank FROM r WHERE rank <= 5
+"""
+
+
+def text_unigram_lik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean unigram corpus probability (textops.unigram_likelihood):
+    the log-free CCNet-style LM quality score — exact integer numerator /
+    denominator plus one IEEE division."""
+    return textops.unigram_likelihood(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_UNIGRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+corpus AS (SELECT token, CAST(sum(tf) AS BIGINT) AS corpus_cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(corpus_cnt) AS BIGINT) AS total_tokens FROM corpus),
+per_doc AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf * corpus_cnt) AS BIGINT) AS lik_num
+  FROM tf JOIN corpus USING (token) GROUP BY 1
+)
+SELECT doc_id, n_tokens, lik_num,
+       CAST(n_tokens * total_tokens AS BIGINT) AS lik_den,
+       CAST(lik_num AS DOUBLE) / CAST(n_tokens * total_tokens AS DOUBLE)
+         AS unigram_likelihood
+FROM per_doc, total
+"""
+
+
+def kg_entity_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-level entity continuity (coref-lite): turns that mention
+    no SO entity inherit the most recent prior turn's SO set within the
+    conversation — the carry rule a KG builder applies to multi-turn agent
+    transcripts where later turns say "it"/"that one" (reference analogue:
+    per-document annotation scope, CompletePipelineWorker.java:158-236,
+    widened here to conversation scope). Documents fold into 50
+    deterministic multi-turn conversations (conv = doc_id % 50,
+    turn = doc_id // 50), so the rule is exercised on REAL multi-turn
+    input — closing the single-turn-oracle gap ADVICE r3 flagged.
+
+    Shape: Arrow-UDF mention detection (map-only), per-turn distinct SO
+    set in-row, then ONE narrow shuffle on conv_id for the
+    last-non-null-carry window; emitted rows are slim (conv, turn,
+    entity, src)."""
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return mentions.entity_carryover(tr, resources.driver_kb())
+
+
+KG_CARRYOVER_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+tok AS (SELECT conv_id, turn_idx, unnest(toks) AS tok FROM t),
+so AS (
+  SELECT DISTINCT conv_id, turn_idx, tok AS entity
+  FROM tok WHERE tok IN ('spark','customer','vector','stream','window')
+),
+turn_src AS (
+  SELECT tt.conv_id, tt.turn_idx,
+         max(CASE WHEN s.turn_idx IS NOT NULL THEN tt.turn_idx END)
+             OVER (PARTITION BY tt.conv_id ORDER BY tt.turn_idx) AS src_turn_idx
+  FROM (SELECT DISTINCT conv_id, turn_idx FROM t) tt
+  LEFT JOIN (SELECT DISTINCT conv_id, turn_idx FROM so) s
+    ON s.conv_id = tt.conv_id AND s.turn_idx = tt.turn_idx
+)
+SELECT ts.conv_id, ts.turn_idx, so.entity,
+       CAST(ts.src_turn_idx AS INTEGER) AS src_turn_idx,
+       ts.src_turn_idx <> ts.turn_idx AS carried
+FROM turn_src ts
+JOIN so ON so.conv_id = ts.conv_id AND so.turn_idx = ts.src_turn_idx
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
 # green driver row is from ROUND 2 — their evidence is the stalest in
 # the registry, so they re-verify first; (2) rows NEW or CHANGED in
 # round 4 (the real media-header kernels, the node_key hashing change,
-# ownership-propagation touchpoints); (3) rows verified green in round
-# 3, unchanged since — freshest evidence, so they cycle last. With 84
-# rows and a 50-row window, tiers 1+2 (41 rows) always fit.
+# ownership-propagation touchpoints, and the round-4b additions: CMS /
+# Bloom sketches, TF-IDF, unigram LM, entity carryover); (3) rows
+# verified green in round 3, unchanged since — freshest evidence, so
+# they cycle last. With 89 rows and a 50-row window, tiers 1+2 (46
+# rows) always fit.
 REGISTRY: dict[str, tuple] = {
     # -- (1) last driver-verified in round 2 (31 rows, stalest first) --
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
@@ -3699,6 +3984,11 @@ REGISTRY: dict[str, tuple] = {
     "kg_node_properties": (kg_node_properties, KG_NODE_PROPS_SQL),
     "kg_query_params": (kg_query_params, KG_QUERY_PARAMS_SQL),
     "graph_triangles": (graph_triangles, GRAPH_TRIANGLES_SQL),
+    "sketch_cms_heavy_hitters": (sketch_cms_heavy_hitters, SKETCH_CMS_SQL),
+    "sketch_bloom_contamination": (sketch_bloom_contamination, SKETCH_BLOOM_SQL),
+    "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
+    "text_unigram_lik": (text_unigram_lik, TEXT_UNIGRAM_SQL),
+    "kg_entity_carryover": (kg_entity_carryover, KG_CARRYOVER_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),

@@ -1,5 +1,5 @@
-"""Mergeable cardinality sketches (HyperLogLog) — the 100 TB distinct-count
-path.
+"""Mergeable sketches — the 100 TB approximate-state paths: HyperLogLog
+(distinct counts), Count-Min (per-key frequencies), Bloom (set membership).
 
 `count distinct` at corpus scale either shuffles every distinct key
 (exact) or keeps O(m) register state per group (HLL). The register table
@@ -117,3 +117,173 @@ def hll_distinct(
 ) -> DataFrame:
     """registers -> estimate in one call (single-corpus convenience)."""
     return hll_estimate(hll_registers(df, value_col, group_cols, p), group_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — the 100 TB per-key frequency path
+# ---------------------------------------------------------------------------
+#
+# Exact per-token counts over a 10^12-token corpus shuffle every distinct
+# token; a CMS keeps depth*width integer cells per group, mergeable by SUM,
+# so shards/days sketch independently and merge later. Point queries
+# overestimate (never underestimate) by min-of-rows. Same determinism
+# contract as the HLL above: md5-derived row hashes (reproducible in
+# DuckDB) and integer-only cells, so oracles match bit-for-bit.
+
+
+def cms_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Per-group Count-Min cells: (group..., r, c, cnt).
+
+    One pass: each value explodes to `depth` (row, col) pairs, col =
+    md5-derived hash of ("cms{r}|" + value) mod width; groupBy is a
+    map-side-combining count whose post-shuffle size is <= depth*width
+    rows per group regardless of input size. Cells from disjoint shards
+    merge with `cms_merge` (sum is distributive) into the identical
+    sketch the whole corpus would produce."""
+    val = F.col(value_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                F.pmod(md5_hash60(F.concat(F.lit(f"cms{r}|"), val)), F.lit(width))
+                .cast("int")
+                .alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(*[F.col(g) for g in group_cols], F.explode(pairs).alias("rc"))
+        .select(*group_cols, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge two cell tables (same depth/width) — sum per (group, r, c)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_point_query(
+    cells: DataFrame,
+    probes: DataFrame,
+    group_cols: Sequence[str],
+    probe_col: str = "probe",
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Estimate per (group..., probe): min over rows of the probe's cell.
+
+    `probes` must carry the group columns + `probe_col` (one row per
+    wanted estimate). Cells the sketch never touched count 0 (left join +
+    coalesce). The cell table is tiny (<= depth*width per group), so the
+    join broadcasts the SKETCH, never the corpus."""
+    from pyspark.sql.functions import broadcast
+
+    val = F.col(probe_col).cast("string")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                F.pmod(md5_hash60(F.concat(F.lit(f"cms{r}|"), val)), F.lit(width))
+                .cast("int")
+                .alias("c"),
+            )
+            for r in range(depth)
+        ]
+    )
+    ph = probes.select(
+        *[F.col(g) for g in group_cols], probe_col, F.explode(pairs).alias("rc")
+    ).select(*group_cols, probe_col, F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    joined = ph.join(broadcast(cells), [*group_cols, "r", "c"], "left")
+    return (
+        joined.groupBy(*group_cols, probe_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+        .withColumn("cms_count", F.col("cms_count").cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the 100 TB set-membership path
+# ---------------------------------------------------------------------------
+#
+# Broadcasting an exact distinct-key set (curation.contamination_flags)
+# stops working when the reference set outgrows executor memory; a Bloom
+# filter caps the build side at m bits with no false NEGATIVES (every
+# true member always flags). md5-derived bit positions keep the filter —
+# including its false positives — exactly reproducible in a SQL oracle.
+
+
+def bloom_bits(
+    df: DataFrame, value_col: str, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Distinct set bit positions (single column `bit`) for the value set.
+
+    The bit table is the FILTER ITSELF: <= m distinct ints regardless of
+    input size, mergeable across shards by plain union+distinct (bitwise
+    OR), broadcastable to every probe task."""
+    val = F.col(value_col).cast("string")
+    pos = F.array(
+        *[
+            F.pmod(md5_hash60(F.concat(F.lit(f"bloom{i}|"), val)), F.lit(m_bits)).cast(
+                "int"
+            )
+            for i in range(k)
+        ]
+    )
+    return (
+        df.select(F.explode(pos).alias("bit")).distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    bits: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+    out_col: str = "bloom_member",
+) -> DataFrame:
+    """(key..., value) rows -> (key..., value, <out_col>): member iff all
+    k bit positions of value are set.
+
+    `df` rows must be unique per (key_cols, value_col) — the natural
+    shape after an explode-distinct (e.g. per-doc distinct shingles).
+    Probe shape: project the SLIM (key, value) rows, explode k positions,
+    broadcast-join the bit table, count hits per row — payload columns
+    never enter the shuffle, only the tiny bit table moves."""
+    from pyspark.sql.functions import broadcast
+
+    val = F.col(value_col).cast("string")
+    pos = F.array(
+        *[
+            F.pmod(md5_hash60(F.concat(F.lit(f"bloom{i}|"), val)), F.lit(m_bits)).cast(
+                "int"
+            )
+            for i in range(k)
+        ]
+    )
+    marked = bits.withColumn("_hit", F.lit(1))
+    probed = (
+        df.select(*[F.col(c) for c in key_cols], F.col(value_col))
+        .withColumn("bit", F.explode(pos))
+        .join(broadcast(marked), "bit", "left")
+    )
+    return (
+        probed.groupBy(*key_cols, value_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nhits"))
+        .withColumn(out_col, F.col("_nhits") == F.lit(k))
+        .drop("_nhits")
+    )

@@ -10,6 +10,8 @@ Operators:
   * lang_id            — marker-token n-gram heuristic (deterministic)
   * fingerprint        — md5 content fingerprint over normalized text +
                          a shingle-based rolling fingerprint
+  * tfidf_topk         — per-doc top-k terms by (rational-IDF) TF-IDF
+  * unigram_likelihood — log-free unigram-LM quality score (CCNet-style)
 """
 
 from __future__ import annotations
@@ -188,6 +190,100 @@ def repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             "top_bigram_frac",
             F.when(n > 1, run.cast("double") / (n - 1).cast("double")),
         )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    boilerplate-vs-content signal a curation pipeline ranks documents by.
+
+    IDF is the RATIONAL variant n_docs/df (no log), so the score stays one
+    exact integer product + one IEEE division — bit-reproducible across
+    engines (ln's last-ulp behavior is engine-specific; see the HLL
+    docstring for the same policy). NOTE this is a deliberate scoring
+    variant, not a reparameterization: ln is monotone, so rankings agree
+    with classic tf*ln(N/df) for fixed tf, but across different tf values
+    the rational form weights rarity more strongly (tf=1,N/df=100 outranks
+    tf=10,N/df=2). Callers wanting the classic score re-rank driver-side
+    from the emitted exact (tf, doc_freq, n_docs) columns. Ties: token
+    ascending.
+
+    Scale shape: explode → (doc, token) count (map-side combine), token-
+    keyed DF agg over |vocab| rows broadcast back onto the TF rows, per-doc
+    window over <=|doc vocab| rows. The corpus text never shuffles — only
+    slim (doc, token, tf) rows."""
+    from pyspark.sql.functions import broadcast
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs")
+    )
+    scored = (
+        tf.join(broadcast(dfreq), "token")
+        .join(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("doc_freq").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "n_docs", "tfidf", "rank")
+    )
+
+
+def unigram_likelihood(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean unigram corpus probability — the log-free stand-in
+    for the CCNet/KenLM perplexity filter: documents made of corpus-typical
+    tokens score high, token-salad scores low.
+
+    score = (sum over token positions of corpus_count(token)) /
+            (n_tokens * total_tokens)
+    The numerator is an exact integer sum (order-independent across
+    partitions, unlike a float sum), the denominator an exact integer
+    product, the score ONE IEEE division — bit-reproducible cross-engine.
+
+    Scale shape: explode → (doc, token) tf rows, token-keyed corpus counts
+    broadcast onto them, one integer agg per doc. Corpus text never
+    shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy("token").agg(F.sum("tf").alias("corpus_cnt"))
+    total = corpus.select(F.sum("corpus_cnt").cast("bigint").alias("total_tokens"))
+    per_doc = (
+        tf.join(broadcast(corpus), "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("corpus_cnt")).cast("bigint").alias("lik_num"),
+        )
+    )
+    return per_doc.join(broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        "lik_num",
+        (F.col("n_tokens") * F.col("total_tokens")).cast("bigint").alias("lik_den"),
+        (
+            F.col("lik_num").cast("double")
+            / (F.col("n_tokens") * F.col("total_tokens")).cast("double")
+        ).alias("unigram_likelihood"),
     )
 
 
