@@ -370,6 +370,25 @@ def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     return turns.withColumn("mentions", _detect(F.col("text")))
 
 
+def so_sets(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
+    """Per-turn sorted distinct SO surface set (lowercase): map-only Arrow
+    UDF + in-row array ops. Shared by the batch carryover and its
+    streaming twin; keeps every non-key column of `turns` except the
+    mention evidence."""
+    m = detect_mentions(turns, kb)
+    return m.select(
+        *[c for c in turns.columns if c != "text"],
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter(F.col("mentions"), lambda x: x["kind"] == F.lit("SO")),
+                    lambda x: F.lower(x["surface"]),
+                )
+            )
+        ).alias("so_set"),
+    )
+
+
 def entity_carryover(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     """Coref-lite entity continuity over multi-turn transcripts: each turn's
     active SO entity set is its own SO mentions if any, else the most
@@ -383,19 +402,7 @@ def entity_carryover(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     nothing. Shape: map-only Arrow-UDF mentions, in-row distinct SO set,
     one narrow shuffle on conv_id for the last-non-null window; rows stay
     slim (the text column never enters the shuffle)."""
-    m = detect_mentions(turns, kb)
-    so = m.select(
-        "conv_id",
-        "turn_idx",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.filter(F.col("mentions"), lambda x: x["kind"] == F.lit("SO")),
-                    lambda x: F.lower(x["surface"]),
-                )
-            )
-        ).alias("so_set"),
-    )
+    so = so_sets(turns, kb).select("conv_id", "turn_idx", "so_set")
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")

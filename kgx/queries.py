@@ -3933,6 +3933,78 @@ JOIN so ON so.conv_id = ts.conv_id AND so.turn_idx = ts.src_turn_idx
 """
 
 
+def stream_entity_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of kg_entity_carryover (applyInPandasWithState,
+    kgx.streaming.carryover_stream): the same 50 multi-turn conversations
+    fed through a file source with turns deliberately OUT OF ORDER across
+    micro-batches (odd turns arrive a batch before even turns); per-turn
+    SO sets come from the Arrow-UDF mention stage running as a stateless
+    streaming projection, conversations buffer in keyed state and emit
+    their carryover rows when the watermark closes them. Emitting only at
+    close makes the out-of-order arrival safe — and the output therefore
+    equals the batch operator's, so this streaming query shares the batch
+    oracle SQL verbatim (a full value-hash-checked stateful stream)."""
+    import glob as _glob
+    import os as _os
+
+    from kgx import schema as _schema
+    from kgx.streaming import carryover_stream
+
+    base = _stream_workdir("carry")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    # odd turns FIRST: a later micro-batch delivers EARLIER turns, proving
+    # the close-time emission is arrival-order independent
+    tr.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.parquet(f"{src}/p0")
+    tr.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(f"{src}/p1")
+
+    def sentinel(name: str, ts: str) -> None:
+        spark.createDataFrame(
+            [(name, 0, "user", "s", None, ts)],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    sentinel("__s1", "2025-01-02 00:00:00")
+    sentinel("__s2", "2025-01-03 00:00:00")
+    # file order == batch order (see stream_conversation_docs): data first,
+    # sentinels last, modification times ascending
+    for i, name in enumerate(("p0", "p1", "__s1", "__s2")):
+        for f in _glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    source = (
+        spark.readStream.schema(_schema.TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    so = mentions.so_sets(source, resources.driver_kb())
+    rows = carryover_stream.carryover_conversations(
+        so, gap="10 minutes", gap_ms=10 * 60 * 1000
+    )
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).filter(~F.col("conv_id").startswith("__"))
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -3989,6 +4061,7 @@ REGISTRY: dict[str, tuple] = {
     "text_tfidf_topk": (text_tfidf_topk, TEXT_TFIDF_SQL),
     "text_unigram_lik": (text_unigram_lik, TEXT_UNIGRAM_SQL),
     "kg_entity_carryover": (kg_entity_carryover, KG_CARRYOVER_SQL),
+    "stream_entity_carryover": (stream_entity_carryover, KG_CARRYOVER_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),

@@ -201,6 +201,48 @@ def _turns(spark, rows):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def test_stream_carry_rows_batch_parity(spark):
+    """The streaming emitter's pandas kernel must produce exactly the
+    batch operator's rows for the same buffered turns — the parity that
+    lets stream_entity_carryover share the batch oracle SQL."""
+    from kgx.streaming.carryover_stream import _carry_rows
+
+    tr = _turns(
+        spark,
+        [
+            ("cx", 0, "nothing yet"),
+            ("cx", 1, "spark and window appear"),
+            ("cx", 2, "quiet"),
+            ("cx", 3, "vector only"),
+            ("cx", 4, "quiet again"),
+        ],
+    )
+    batch = {
+        (r.conv_id, r.turn_idx, r.entity, r.src_turn_idx, r.carried)
+        for r in mentions.entity_carryover(tr, resources.driver_kb()).collect()
+    }
+    # buffered out of order, as a stream would deliver them
+    idxs = [3, 0, 4, 1, 2]
+    sets = ["vector", "", "", "spark|window", ""]
+    got = {
+        ("cx", r.turn_idx, r.entity, r.src_turn_idx, r.carried)
+        for r in _carry_rows("cx", idxs, sets).itertuples()
+    }
+    assert got == batch
+
+
+def test_stream_carry_rows_duplicate_delivery_deterministic():
+    """Redelivered turn_idx resolves to the min sorted-set winner, whatever
+    the arrival order."""
+    from kgx.streaming.carryover_stream import _carry_rows
+
+    a = _carry_rows("c", [0, 0, 1], ["spark", "customer", ""], )
+    b = _carry_rows("c", [0, 0, 1], ["customer", "spark", ""], )
+    ra = {(r.turn_idx, r.entity, r.src_turn_idx) for r in a.itertuples()}
+    rb = {(r.turn_idx, r.entity, r.src_turn_idx) for r in b.itertuples()}
+    assert ra == rb == {(0, "customer", 0), (1, "customer", 0)}
+
+
 def test_carryover_semantics(spark):
     """Hand-built conversation: SO at turn 0, silence, new SO at turn 3,
     silence; plus a conversation that never mentions an SO."""
