@@ -3933,6 +3933,105 @@ JOIN so ON so.conv_id = ts.conv_id AND so.turn_idx = ts.src_turn_idx
 """
 
 
+_PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings -> 8 subspaces of 8
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """Deterministic ±1 sub-quantizer stand-ins (same contract as
+    _ivf_centroids): shared verbatim by the Spark query (literal arrays)
+    and the DuckDB oracle (VALUES rows)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if hashlib.md5(f"kgx-pq-{s}-{c}-{i}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for i in range(_PQ_DSUB)
+            ]
+            for c in range(_PQ_K)
+        ]
+        for s in range(_PQ_M)
+    ]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (similarity.pq_topk): corpus encoded
+    to 8 codes/vector against literal codebooks, per-query 8x16 distance
+    tables, in-row ordered fold for the ADC sum — codes, tables and
+    distances all bit-exact cross-engine. (Raw corpus vectors are never
+    read at query time — the PQ scale contract.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = similarity.pq_topk(emb, q, k=5, codebooks=_pq_codebooks())
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+_SQL_FOLD_SQDIST = """list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list_zip({a}, {b}),
+                x -> (CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2]))),
+            (a, b) -> a + b)"""
+
+
+def _pq_sql() -> str:
+    cbs = _pq_codebooks()
+    values = ",\n  ".join(
+        f"({s}, {c}, ["
+        + ", ".join(f"{v:.1f}" for v in cbs[s][c])
+        + "]::DOUBLE[])"
+        for s in range(_PQ_M)
+        for c in range(_PQ_K)
+    )
+    d = _SQL_FOLD_SQDIST
+    sub = f"embedding[cb.s*{_PQ_DSUB}+1 : cb.s*{_PQ_DSUB}+{_PQ_DSUB}]"
+    return f"""
+WITH cb(s, c, cv) AS (VALUES
+  {values}
+),
+corpus_sub AS (
+  SELECT e.vec_id, cb.s, cb.c,
+         {d.format(a=f"e.{sub}", b="cb.cv")} AS dist
+  FROM embeddings e, cb
+),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist ASC, c ASC) AS rn
+    FROM corpus_sub
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+qtab AS (
+  SELECT q.query_id, cb.s, cb.c,
+         {d.format(a=f"q.{sub}", b="cb.cv")} AS dist
+  FROM q, cb
+),
+pair AS (
+  SELECT qt.query_id, co.vec_id AS neighbor_id, qt.s, qt.dist
+  FROM codes co JOIN qtab qt ON qt.s = co.s AND qt.c = co.code
+  WHERE co.vec_id <> qt.query_id
+),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dist ORDER BY s)),
+                     (a, b) -> a + b) AS adc_dist
+  FROM pair GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
+ANN_PQ_SQL = _pq_sql()
+
+
 def stream_entity_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of kg_entity_carryover (applyInPandasWithState,
     kgx.streaming.carryover_stream): the same 50 multi-turn conversations
@@ -4062,6 +4161,7 @@ REGISTRY: dict[str, tuple] = {
     "text_unigram_lik": (text_unigram_lik, TEXT_UNIGRAM_SQL),
     "kg_entity_carryover": (kg_entity_carryover, KG_CARRYOVER_SQL),
     "stream_entity_carryover": (stream_entity_carryover, KG_CARRYOVER_SQL),
+    "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),

@@ -11,6 +11,9 @@
     hyperplane band buckets (dedup.hyperplane_band_buckets), candidates =
     bucket co-membership, exact cosine ranks them; optional Hamming-1
     multi-probe (probe_flips=1) for recall.
+  * pq_encode / pq_topk — product-quantization scale path: corpus
+    compressed to m codes/vector, query-time ADC scores code tables
+    instead of raw floats (the bytes-per-vector scan contract at 100 TB).
 
 Dot products use F.zip_with + F.aggregate (whole-stage codegen). For exact
 cross-engine oracle checks use metric="dot_decimal" (decimal accumulation is
@@ -375,4 +378,133 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-codes scale path
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WHICH vectors get scored; PQ compresses WHAT is scored: each
+# vector becomes m small codes (one byte each at k<=256), and query-time
+# ADC (asymmetric distance computation) scores against the codes via a
+# per-query m x k lookup table — the corpus' raw floats are never read at
+# query time. At 100 TB of embeddings this is the difference between
+# scanning 256 B/vector and scanning m bytes/vector. (Jegou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search".)
+#
+# Codebooks here are deterministic literals (the sandbox stand-in for
+# trained sub-quantizers, same contract as ivf_topk's centroids) so a SQL
+# oracle embeds the identical values; every fold is left-to-right in
+# double, making codes, tables and ADC distances bit-exact cross-engine.
+
+
+def _subvec(vec: Column, s: int, dsub: int) -> Column:
+    # F.slice is 1-based; subspace s covers [s*dsub+1, (s+1)*dsub]
+    return F.slice(vec, s * dsub + 1, dsub)
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Left-fold squared L2 distance (cross-engine deterministic)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — per subspace, the nearest codebook entry
+    (squared L2; ties break to the smaller code id via struct min). Narrow
+    map over the corpus, no shuffle; emit is m ints per vector."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sqdist(
+                        _subvec(F.col(vec_col), s, dsub),
+                        F.array(*[F.lit(float(v)) for v in codebooks[s][c]]),
+                    ).alias("dist"),
+                    F.lit(c).cast("int").alias("code"),
+                )
+                for c in range(len(codebooks[s]))
+            ]
+        )
+        codes.append(F.array_min(cands)["code"])
+    return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: encode the corpus once, build each query's m x k distance
+    table, score = in-row ordered fold over subspaces of table[s][code_s]
+    (never a cross-row float sum — fold order is fixed so the oracle
+    reproduces it bit-for-bit). Ranks ascend by distance, ties by
+    neighbor id.
+
+    Scale shape: corpus -> codes is a narrow map (m ints/vector); the
+    query tables broadcast (|queries| * m * k doubles); scoring reads ONLY
+    the code table. The raw corpus vectors are never touched at query
+    time — that is the PQ contract."""
+    assert codebooks is not None
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    # per-query lookup table: array over s of array over c of sqdist
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sqdist(
+                        _subvec(F.col(vec_col), s, dsub),
+                        F.array(*[F.lit(float(v)) for v in codebooks[s][c]]),
+                    )
+                    for c in range(len(codebooks[s]))
+                ]
+            )
+            for s in range(m)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), qtab.alias("qtab"))
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("qtab"), s + F.lit(1)),
+            F.element_at(F.col("codes"), s + F.lit(1)) + F.lit(1),
+        ),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("adc_dist", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "adc_dist", "rank"
+        )
     )

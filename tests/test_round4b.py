@@ -273,3 +273,85 @@ def test_carryover_semantics(spark):
     assert not any(k[0] == "c2" for k in rows)
     assert ("c3", 0, "window") not in rows
     assert rows[("c3", 1, "window")] == (1, False)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+
+def _emb_frame(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_adc_matches_python_recompute(spark):
+    """Differential: ADC distances recomputed in plain Python from the same
+    codebooks must equal the Spark operator's output exactly (codes,
+    tables and the ordered fold are all deterministic)."""
+    from kgx.queries import _pq_codebooks
+    from kgx import similarity
+
+    cbs = _pq_codebooks()
+    rng_rows = [
+        (i, [((i * 37 + j * 11) % 17 - 8) / 4.0 for j in range(64)])
+        for i in range(12)
+    ]
+    emb = _emb_frame(spark, rng_rows)
+    q = emb.filter(F.col("vec_id") < 2)
+    got = {
+        (r.query_id, r.neighbor_id): (r.adc_dist, r.rank)
+        for r in similarity.pq_topk(emb, q, k=3, codebooks=cbs).collect()
+    }
+
+    def sqd(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    def encode(v):
+        codes = []
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            best = min((sqd(sub, cbs[s][c]), c) for c in range(16))
+            codes.append(best[1])
+        return codes
+
+    vecs = {i: [float(__import__("numpy").float32(x)) for x in v] for i, v in rng_rows}
+    codes = {i: encode(v) for i, v in vecs.items()}
+    for qid in (0, 1):
+        dists = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            acc = 0.0
+            for s in range(8):
+                acc = acc + sqd(vecs[qid][s * 8 : (s + 1) * 8], cbs[s][codes[nid][s]])
+            dists.append((acc, nid))
+        dists.sort()
+        for rank, (d, nid) in enumerate(dists[:3], 1):
+            assert got[(qid, nid)] == (d, rank)
+
+
+def test_pq_planted_duplicate_retrieves_at_zero(spark):
+    """Vectors built exactly from codebook rows quantize losslessly: a
+    planted duplicate of the query retrieves at rank 1 with adc_dist 0."""
+    from kgx.queries import _pq_codebooks
+    from kgx import similarity
+
+    cbs = _pq_codebooks()
+    v0 = [x for s in range(8) for x in cbs[s][3]]
+    v1 = [x for s in range(8) for x in cbs[s][9]]
+    # decoy built from a THIRD code per subspace (a same-codes decoy like
+    # 0.5*v0 would legitimately tie at adc 0 — quantization is lossy by
+    # design and ties resolve by id)
+    v2 = [x for s in range(8) for x in cbs[s][5]]
+    rows = [(0, v0), (100, list(v0)), (1, v1), (101, list(v1)), (2, v2)]
+    emb = _emb_frame(spark, rows)
+    q = emb.filter(F.col("vec_id") < 2)
+    top = {
+        r.query_id: (r.neighbor_id, r.adc_dist)
+        for r in similarity.pq_topk(emb, q, k=1, codebooks=cbs).collect()
+    }
+    assert top[0] == (100, 0.0)
+    assert top[1] == (101, 0.0)
