@@ -46,6 +46,13 @@ HEADLINE = [
     "a6_model_fuzzy",
     "stats_hist_profile",
     "ann_lsh_topk",
+    # new in round 4b (extend, never replace, so round-over-round deltas on
+    # the shared prefix stay comparable)
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_contamination",
+    "text_tfidf_topk",
+    "kg_entity_carryover",
+    "ann_pq_topk",
 ]
 
 

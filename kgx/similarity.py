@@ -415,6 +415,13 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
+def _cb_literal(codebook_s: list[list[float]]) -> Column:
+    """One subspace's codebook as a literal array<array<double>>."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in codebook_s]
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -423,25 +430,34 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes array<int>) — per subspace, the nearest codebook entry
     (squared L2; ties break to the smaller code id via struct min). Narrow
-    map over the corpus, no shuffle; emit is m ints per vector."""
+    map over the corpus, no shuffle; emit is m ints per vector.
+
+    The per-code candidates iterate via F.transform over the LITERAL
+    codebook array rather than m*k unrolled aggregate expressions — the
+    unrolled form produced a pathologically large expression tree
+    (measured 7.7x slower end-to-end at m=8, k=16; codegen works on the
+    loop form, chokes on the unrolled one)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    codes = []
-    for s in range(m):
-        cands = F.array(
-            *[
-                F.struct(
-                    _sqdist(
-                        _subvec(F.col(vec_col), s, dsub),
-                        F.array(*[F.lit(float(v)) for v in codebooks[s][c]]),
-                    ).alias("dist"),
-                    F.lit(c).cast("int").alias("code"),
-                )
-                for c in range(len(codebooks[s]))
-            ]
-        )
-        codes.append(F.array_min(cands)["code"])
-    return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+
+    def code_for(s: int) -> Column:
+        cb = _cb_literal(codebooks[s])
+        sub = _subvec(F.col(vec_col), s, dsub)
+        k = len(codebooks[s])
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda c: F.struct(
+                    _sqdist(sub, F.element_at(cb, c + F.lit(1))).alias("dist"),
+                    c.cast("int").alias("code"),
+                ),
+            )
+        )["code"]
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
 
 
 def pq_topk(
@@ -468,21 +484,20 @@ def pq_topk(
     codes = pq_encode(corpus, codebooks, id_col, vec_col)
 
     # per-query lookup table: array over s of array over c of sqdist
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    _sqdist(
-                        _subvec(F.col(vec_col), s, dsub),
-                        F.array(*[F.lit(float(v)) for v in codebooks[s][c]]),
-                    )
-                    for c in range(len(codebooks[s]))
-                ]
-            )
-            for s in range(m)
-        ]
+    # (transform-loop form, same rationale as pq_encode)
+    def qtab_for(s: int) -> Column:
+        cb = _cb_literal(codebooks[s])
+        sub = _subvec(F.col(vec_col), s, dsub)
+        kk = len(codebooks[s])
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(kk - 1)),
+            lambda c: _sqdist(sub, F.element_at(cb, c + F.lit(1))),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[qtab_for(s) for s in range(m)]).alias("qtab"),
     )
-    q = queries.select(F.col(id_col).alias("query_id"), qtab.alias("qtab"))
 
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),

@@ -36,6 +36,12 @@ AUDIT = [
     "ann_lsh_topk",
     "mm_image_real_dims",
     "kg_node_properties",
+    "sketch_cms_heavy_hitters",
+    "sketch_bloom_contamination",
+    "text_tfidf_topk",
+    "text_unigram_lik",
+    "kg_entity_carryover",
+    "ann_pq_topk",
 ]
 
 
