@@ -3933,6 +3933,100 @@ JOIN so ON so.conv_id = ts.conv_id AND so.turn_idx = ts.src_turn_idx
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel per user (view -> click -> purchase),
+    greedy earliest-completion semantics: step i+1 matches the first
+    qualifying event strictly after step i's (ts, event_id). Emits every
+    user with the stage reached and the matched event ids.
+
+    Shape: one groupBy(user) builds the time-sorted event array
+    (event_type + ids only — slim), then an IN-ROW left fold walks the
+    funnel state machine; no window self-joins, one shuffle. Per-user
+    state is the user's own history — the same bounded-by-key contract as
+    sessionization (document users with 10^6 events via pre-bucketing).
+    Deterministic: array_sort orders by (ts, event_id) [event_id unique],
+    the fold is sequential by construction."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    grouped = ev.groupBy("user_id").agg(arr.alias("evs"))
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("bigint").alias("e1"),
+        F.lit(None).cast("bigint").alias("e2"),
+        F.lit(None).cast("bigint").alias("e3"),
+    )
+
+    def step(acc, x):
+        adv1 = (acc["stage"] == 0) & (x["event_type"] == _FUNNEL_STEPS[0])
+        adv2 = (acc["stage"] == 1) & (x["event_type"] == _FUNNEL_STEPS[1])
+        adv3 = (acc["stage"] == 2) & (x["event_type"] == _FUNNEL_STEPS[2])
+        return F.struct(
+            F.when(adv1, F.lit(1))
+            .when(adv2, F.lit(2))
+            .when(adv3, F.lit(3))
+            .otherwise(acc["stage"])
+            .cast("int")
+            .alias("stage"),
+            F.when(adv1, x["event_id"]).otherwise(acc["e1"]).alias("e1"),
+            F.when(adv2, x["event_id"]).otherwise(acc["e2"]).alias("e2"),
+            F.when(adv3, x["event_id"]).otherwise(acc["e3"]).alias("e3"),
+        )
+
+    state = F.aggregate(F.col("evs"), init, step)
+    return grouped.select(
+        "user_id",
+        state["stage"].alias("funnel_stage"),
+        state["e1"].alias("view_event_id"),
+        state["e2"].alias("click_event_id"),
+        state["e3"].alias("purchase_event_id"),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts AS t1, event_id AS e1 FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, ts AS t2, event_id AS e2 FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.t1, s1.e1)
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT user_id, event_id AS e3 FROM (
+    SELECT e.user_id, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t2, s2.e2)
+  ) WHERE rn = 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.e3 IS NOT NULL THEN 3
+                 WHEN s2.e2 IS NOT NULL THEN 2
+                 WHEN s1.e1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_stage,
+       s1.e1 AS view_event_id,
+       s2.e2 AS click_event_id,
+       s3.e3 AS purchase_event_id
+FROM u LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 _PQ_M, _PQ_K, _PQ_DSUB = 8, 16, 8  # 64-dim embeddings -> 8 subspaces of 8
 
 
@@ -4162,6 +4256,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_entity_carryover": (kg_entity_carryover, KG_CARRYOVER_SQL),
     "stream_entity_carryover": (stream_entity_carryover, KG_CARRYOVER_SQL),
     "ann_pq_topk": (ann_pq_topk, ANN_PQ_SQL),
+    "events_funnel": (events_funnel, EVENTS_FUNNEL_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "w3_char_offsets": (w3_char_offsets, W3_SQL),

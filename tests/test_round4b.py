@@ -355,3 +355,50 @@ def test_pq_planted_duplicate_retrieves_at_zero(spark):
     }
     assert top[0] == (100, 0.0)
     assert top[1] == (101, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Funnel
+# ---------------------------------------------------------------------------
+
+
+def test_events_funnel_greedy_order_semantics(spark, tmp_path):
+    """Hand-built histories: pre-step events don't count, steps must occur
+    strictly after the previous match, ties on ts break by event_id."""
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2025, 1, 1, 0, m)
+
+    rows = [
+        # u1: click BEFORE view (ignored), then full funnel
+        (1, ts(0), 10, "click", 0.0, ""),
+        (2, ts(1), 10, "view", 0.0, ""),
+        (3, ts(2), 10, "click", 0.0, ""),
+        (4, ts(3), 10, "purchase", 0.0, ""),
+        # u2: purchase before click -> stuck at stage 2? no: view, purchase,
+        # click -> purchase precedes click so stage ends at 2 (view+click)
+        (5, ts(0), 20, "view", 0.0, ""),
+        (6, ts(1), 20, "purchase", 0.0, ""),
+        (7, ts(2), 20, "click", 0.0, ""),
+        # u3: same-ts tie -> event_id order decides (view id 8 < click id 9)
+        (8, ts(0), 30, "view", 0.0, ""),
+        (9, ts(0), 30, "click", 0.0, ""),
+        # u4: never views
+        (10, ts(0), 40, "signup", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    p = str(tmp_path / "events.parquet")
+    df.write.parquet(p)
+    from kgx.queries import events_funnel
+
+    got = {
+        r.user_id: (r.funnel_stage, r.view_event_id, r.click_event_id, r.purchase_event_id)
+        for r in events_funnel(spark, str(tmp_path)).collect()
+    }
+    assert got[10] == (3, 2, 3, 4)
+    assert got[20] == (2, 5, 7, None)
+    assert got[30] == (2, 8, 9, None)
+    assert got[40] == (0, None, None, None)
