@@ -8,8 +8,8 @@ Stage graph (each stage checkpoints to parquet/Iceberg and records lineage,
 so a killed run resumes at the first incomplete stage — SURVEY.md §3 tail):
 
     assemble → extract (mentions+relations → facts/turn_feats/mentions/
-    phrase_edges) → triples (+ indicator_nodes) → nodes → analytics
-    (entity_degrees + corpus_meta read-side rollups)
+    phrase_edges/carryover) → triples (+ indicator_nodes) → nodes →
+    analytics (entity_degrees + corpus_meta read-side rollups)
 """
 
 from __future__ import annotations
@@ -63,12 +63,16 @@ def run_pipeline(
         "url_dim": os.path.join(out_dir, "url_dim"),
         "query_params": os.path.join(out_dir, "query_params"),
         "node_props": os.path.join(out_dir, "node_props"),
+        "carryover": os.path.join(out_dir, "carryover"),
     }
 
     # -- stage: extract (assemble + mentions + relations), one Spark job ---
     extract_ok = all(
         lineage.stage_output_ok(paths[p])
-        for p in ("facts", "turn_feats", "mentions", "phrase_edges", "doc_meta")
+        for p in (
+            "facts", "turn_feats", "mentions", "phrase_edges", "doc_meta",
+            "carryover",
+        )
     )
     if not (resume and extract_ok):
         with lineage.StageTimer() as t:
@@ -105,6 +109,15 @@ def run_pipeline(
             materialize.document_meta(turns).write.mode("overwrite").parquet(
                 paths["doc_meta"]
             )
+            # coref-lite entity continuity (active SO set per turn, carried
+            # across silent turns) — reuses the evidence path's mention
+            # frame, so no extra Arrow pass; one narrow conv_id window
+            so = with_mentions.select(
+                "conv_id", "turn_idx", mentions_mod.so_set_col().alias("so_set")
+            )
+            mentions_mod.carryover_from_so(so).write.mode("overwrite").parquet(
+                paths["carryover"]
+            )
             # release everything this stage pinned: the raw admitted turns
             # and the slim intermediates persisted inside extract_facts
             turns.unpersist()
@@ -115,6 +128,7 @@ def run_pipeline(
         lineage.mark_stage_ok(paths["mentions"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["phrase_edges"], {"run_id": run_id})
         lineage.mark_stage_ok(paths["doc_meta"], {"run_id": run_id})
+        lineage.mark_stage_ok(paths["carryover"], {"run_id": run_id})
         lineage.append_lineage(spark, lin_dir, run_id, "extract", None, None, t.wall_ms, kb_version=kb.version())
         lineage.append_partition_lineage(spark, lin_dir, run_id, "extract", paths["facts"], kb_version=kb.version())
 

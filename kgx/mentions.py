@@ -370,6 +370,20 @@ def detect_mentions(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     return turns.withColumn("mentions", _detect(F.col("text")))
 
 
+def so_set_col(mentions_col: Column = None) -> Column:
+    """Sorted distinct lowercase SO surfaces from a `mentions` array column
+    (in-row; no shuffle)."""
+    m = mentions_col if mentions_col is not None else F.col("mentions")
+    return F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.filter(m, lambda x: x["kind"] == F.lit("SO")),
+                lambda x: F.lower(x["surface"]),
+            )
+        )
+    )
+
+
 def so_sets(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     """Per-turn sorted distinct SO surface set (lowercase): map-only Arrow
     UDF + in-row array ops. Shared by the batch carryover and its
@@ -378,14 +392,7 @@ def so_sets(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     m = detect_mentions(turns, kb)
     return m.select(
         *[c for c in turns.columns if c != "text"],
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.filter(F.col("mentions"), lambda x: x["kind"] == F.lit("SO")),
-                    lambda x: F.lower(x["surface"]),
-                )
-            )
-        ).alias("so_set"),
+        so_set_col().alias("so_set"),
     )
 
 
@@ -403,6 +410,14 @@ def entity_carryover(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
     one narrow shuffle on conv_id for the last-non-null window; rows stay
     slim (the text column never enters the shuffle)."""
     so = so_sets(turns, kb).select("conv_id", "turn_idx", "so_set")
+    return carryover_from_so(so)
+
+
+def carryover_from_so(so: DataFrame) -> DataFrame:
+    """The carry window over a precomputed (conv_id, turn_idx, so_set)
+    frame — lets callers that already ran detect_mentions (e.g. the job
+    pipeline's extract stage) reuse the mention frame instead of paying a
+    second Arrow pass."""
     w = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
