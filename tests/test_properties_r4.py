@@ -141,3 +141,50 @@ def test_owl_roundtrip_arbitrary_kb(kb, tmp_path_factory):
     kb2 = owl.load_owl(path)
     for dim in ("gazetteer", "lexicon", "indicators", "feature_alias", "feature_surfaces"):
         assert sorted(set(getattr(kb, dim))) == sorted(set(getattr(kb2, dim))), dim
+
+
+# ---------------------------------------------------------------------------
+# streaming carryover emitter: property parity with an independent model
+# ---------------------------------------------------------------------------
+
+_ENTS = ["spark", "customer", "vector", "stream", "window"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    turns=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # turn_idx (dups allowed)
+            st.lists(st.sampled_from(_ENTS), max_size=3),  # SO surfaces
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_stream_carry_rows_matches_model(turns):
+    from kgx.streaming.carryover_stream import _carry_rows
+
+    idxs = [t for (t, _e) in turns]
+    sets = ["|".join(sorted(set(e))) for (_t, e) in turns]
+
+    # independent model: dedup turn_idx by min joined-set string, walk turns
+    # ascending carrying the last non-empty set
+    best: dict = {}
+    for i, s in sorted(zip(idxs, sets), key=lambda p: (p[0], p[1])):
+        best.setdefault(i, s)
+    want = set()
+    src, ents = None, None
+    for i in sorted(best):
+        cur = [e for e in best[i].split("|") if e]
+        if cur:
+            src, ents = i, cur
+        if ents is None:
+            continue
+        for e in ents:
+            want.add((i, e, src, src != i))
+
+    got = {
+        (r.turn_idx, r.entity, r.src_turn_idx, r.carried)
+        for r in _carry_rows("c", idxs, sets).itertuples()
+    }
+    assert got == want
