@@ -15,6 +15,12 @@ pairwise step must never see the full cross product.
   * simhash               — 64-bit SimHash fingerprint + banded candidates
   * embedding_neardup     — cosine near-duplicates over an embedding column
                             via random-hyperplane LSH buckets
+  * semdedup              — SemDeDup (Abbas et al. 2023): k-means cell
+                            blocking, within-cell cosine, min-id keeper
+  * dup_substring_coverage — per-doc fraction of tokens covered by n-gram
+                            shingles that also occur in another document
+                            (the exact-substring dedup signal of Lee et
+                            al. 2022, shingle-granular)
 
 Everything is DataFrame expressions (codegen); no Python in the hot path.
 """
@@ -725,3 +731,180 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", "cosine")
     )
     return give_ownership(out, [cand])
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Left-to-right double fold of <a, b> — the one IEEE-754 evaluation
+    order every SQL oracle in this repo reproduces (queries._SQL_FOLD_DOT)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pair_cosine(a: Column, b: Column) -> Column:
+    """Exact cosine between two vector columns, bit-reproducible cross-engine:
+    dot / (sqrt(<a,a>) * sqrt(<b,b>)), each inner product a left fold."""
+    return _fold_dot(a, b) / (F.sqrt(_fold_dot(a, a)) * F.sqrt(_fold_dot(b, b)))
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    tau: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup: semantic deduplication by clustering then within-cluster
+    cosine (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method). Reference
+    analogue: document-level dedup before extraction
+    (ClassifiedDocument.java txt_h dedup), lifted to embedding space.
+
+    Pipeline: assign every vector to its nearest centroid cell
+    (similarity.assign_cells — centroids are driver-side literals, the
+    documented k-means contract), generate candidate pairs ONLY within a
+    cell via the shared bucket kernel (cell = the blocking key; hot cells
+    degrade to linear STAR pairs under `max_cell_size` exactly like the
+    LSH families), verify with exact cosine, and drop any vector that has
+    a within-cell neighbor with smaller id and cosine >= tau (min-id
+    keeper — the same deterministic keeper rule as exact_dedup).
+
+    Returns one row per input vector:
+      (vec_id, cell, n_dup_smaller, max_sim_smaller, is_kept)
+
+    Scale shape: the only shuffles are the cell assignment's none (narrow
+    map over literal centroids), the bucket kernel's slim (id, band, key)
+    self-join, and the two vector join-backs keyed by id. In a real
+    deployment k grows with the corpus so that E[cell size] stays bounded
+    (the paper uses k ~ sqrt(N)); `max_cell_size` is the deterministic
+    backstop for skewed cells.
+    """
+    from kgx.similarity import assign_cells
+
+    assigned = assign_cells(df, id_col=id_col, vec_col=vec_col, centroids=centroids)
+    base = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
+    )
+    buckets = base.select(
+        "id", F.lit(0).alias("band"), F.col("cell").cast("string").alias("key")
+    )
+    cand = candidate_pairs_from_buckets(buckets, max_cell_size)
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    dup = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", pair_cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+    )
+    losers = dup.groupBy("id_b").agg(
+        F.count(F.lit(1)).alias("n_dup_smaller"),
+        F.max("cosine").alias("max_sim_smaller"),
+    )
+    out = (
+        base.join(losers, base["id"] == losers["id_b"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("int").alias("cell"),
+            F.coalesce(F.col("n_dup_smaller"), F.lit(0)).cast("bigint").alias(
+                "n_dup_smaller"
+            ),
+            F.col("max_sim_smaller"),
+            (F.col("n_dup_smaller").isNull()).alias("is_kept"),
+        )
+    )
+    return give_ownership(out, getattr(cand, "_kgx_persisted", []))
+
+
+def dup_substring_coverage(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Duplicated-substring coverage: for each document, the fraction of
+    tokens covered by an n-token shingle that also occurs in ANOTHER
+    document. This is the shingle-granular form of exact-substring
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — public method; they use suffix arrays for
+    character-exact spans, this uses fixed-width shingles, the standard
+    distributed relaxation).
+
+    Returns one row per document:
+      (doc_id, n_tokens, n_shingles, n_dup_positions, covered_tokens,
+       dup_fraction)
+
+    Scale shape: positional shingles are hashed to 60-bit md5 keys
+    immediately, so the duplicate-frequency groupBy and the join back
+    shuffle only (doc_id, pos, h) — never shingle text. The coverage
+    explode multiplies ONLY duplicated positions by n (<=5), and the
+    per-doc countDistinct is bounded by document length. At 100 TB the
+    frequency table is the big shuffle; it is a plain hash groupBy with
+    map-side partial aggregation (min/max doc_id, not a distinct-count).
+
+    Short docs (< n tokens) degrade to one whole-text shingle covering
+    every token — the same fallback contract as shingles_from_tokens.
+    """
+    c = F.col(text_col)
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(c)).alias("toks")
+    )
+    k = F.size(F.col("toks")) - F.lit(n - 1)
+    # positional (NON-distinct) shingles: (pos, shingle) per position
+    shl = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(F.col("toks"), " ")))
+    base = toked.select(
+        "doc_id", F.size(F.col("toks")).alias("n_tokens"), shl.alias("shl")
+    )
+    pos = base.select(
+        "doc_id", "n_tokens", F.posexplode("shl").alias("pos", "s")
+    ).select("doc_id", "n_tokens", "pos", md5_hash60(F.col("s")).alias("h"))
+    dup_h = (
+        pos.groupBy("h")
+        .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
+        .filter(F.col("dmin") < F.col("dmax"))
+        .select("h")
+    )
+    dup_pos = pos.join(dup_h, "h").persist()
+    dup_counts = dup_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_positions")
+    )
+    covered = (
+        dup_pos.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + F.lit(n - 1), F.col("n_tokens") - 1),
+                )
+            ).alias("ti"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("ti").alias("covered_tokens"))
+    )
+    out = (
+        base.select("doc_id", "n_tokens", F.size("shl").alias("n_shingles"))
+        .join(dup_counts, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias(
+                "n_dup_positions"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("bigint").alias(
+                "covered_tokens"
+            ),
+            (
+                F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )
+    return give_ownership(out, [dup_pos])

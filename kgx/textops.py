@@ -12,6 +12,10 @@ Operators:
                          a shingle-based rolling fingerprint
   * tfidf_topk         — per-doc top-k terms by (rational-IDF) TF-IDF
   * unigram_likelihood — log-free unigram-LM quality score (CCNet-style)
+  * bm25               — Okapi BM25 doc relevance per query term (rational
+                         log-free IDF; rank-identical per term)
+  * ngram_lm           — corpus bigram counts + MLE conditionals with
+                         min-count pruning (MapReduce n-gram LM stage)
 """
 
 from __future__ import annotations
@@ -295,3 +299,139 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     bag = F.array_join(F.array_sort(F.array_distinct(tokens(F.lower(c)))), " ")
     return df.withColumn("fp_exact", F.md5(norm)).withColumn("fp_bag", F.md5(bag))
+
+
+def bm25(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document to each query term (Robertson &
+    Walker's Okapi BM25 — public method), top-k docs per term.
+
+    Bit-reproducibility policy (same as tfidf_topk / the HLL sketch): the
+    IDF is the RATIONAL Robertson form WITHOUT the log,
+        idf = (N - df + 0.5) / (df + 0.5),
+    so the whole score is exact-integer inputs flowing through a FIXED
+    sequence of IEEE double ops:
+        score = idf * ((tf * (k1+1)) / (tf + k1 * ((1-b) + b * (dl/avgdl))))
+    with every parenthesis explicit — a SQL oracle evaluating the same
+    parse tree reproduces each double bit-for-bit. Per-term rankings are
+    IDENTICAL to Lucene's BM25 (idf = ln(1 + (N-df+0.5)/(df+0.5)) — an
+    always-positive monotone transform of the rational form, so ordering
+    within a term is preserved). Note the RAW Robertson ln((N-df+.5)/
+    (df+.5)) goes negative for df > N/2 and would reverse per-term order
+    — the well-known quirk production systems clamp away, which the
+    log-free form avoids by construction. avgdl = total_tokens/N is one
+    division of exact integers.
+
+    Emitted per (term, doc): tf, dl, doc_freq, n_docs, score, rank — NOT a
+    summed multi-term score: a float sum over terms is order-dependent,
+    and rank-per-term is what a retrieval-style curation filter consumes.
+
+    Scale shape: one explode → (doc, token) count with map-side combine,
+    filtered to the |query_terms| tokens BEFORE any join (the tf frame the
+    join sees is |terms| * |matching docs|, not |corpus vocab|); df/dl/N
+    are broadcast scalars/dims. Corpus text never shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    terms = [t.lower() for t in query_terms]
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    tf = (
+        tok.where(F.col("token").isin(terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("doc_freq")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    )
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        (F.col("n_docs") - F.col("doc_freq")).cast("double") + F.lit(0.5)
+    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
+    norm = k1c * (
+        (F.lit(1.0) - bc) + bc * (F.col("dl").cast("double") / avgdl)
+    )
+    score = idf * (
+        (F.col("tf").cast("double") * (k1c + F.lit(1.0)))
+        / (F.col("tf").cast("double") + norm)
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(broadcast(dfreq), "token")
+        .join(broadcast(stats))
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("token").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("token", id_col, "tf", "dl", "doc_freq", "n_docs", "score", "rank")
+    )
+
+
+def ngram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 3,
+) -> DataFrame:
+    """Corpus bigram language-model counts with min-count pruning — the
+    count-collection stage of an n-gram LM build (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the classic
+    MapReduce n-gram pipeline, public method).
+
+    Emits one row per surviving bigram:
+      (w1, w2, cnt, head_cnt, cond_p)
+    where head_cnt = total bigram occurrences with first word w1 (the LM
+    denominator) and cond_p = cnt/head_cnt — exact integers plus ONE IEEE
+    division, bit-reproducible cross-engine. Pruning (cnt >= min_count)
+    happens BEFORE the emit but AFTER head_cnt aggregation, so surviving
+    rows carry the unpruned denominator (the correct MLE conditional).
+
+    Scale shape: bigrams are generated in-row (zip of the token array with
+    its own tail — no self-join), counted with map-side combine on slim
+    (w1, w2) keys, and head counts are a second partial-agg rollup of the
+    bigram counts themselves (never a rescan of the corpus). Text never
+    shuffles. At the 100 TB point this is the canonical two-groupBy count
+    pipeline; min_count pruning is what keeps the emitted table (and any
+    downstream join) Zipf-truncated."""
+    toked = df.select(tokens(F.lower(F.col(text_col))).alias("toks"))
+    m = F.size(F.col("toks")) - F.lit(1)
+    bigrams = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    bg = toked.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    head = cnt.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("head_cnt"))
+    return (
+        cnt.where(F.col("cnt") >= min_count)
+        .join(head, "w1")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            "head_cnt",
+            (F.col("cnt").cast("double") / F.col("head_cnt").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+    )

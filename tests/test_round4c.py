@@ -1,0 +1,218 @@
+"""Round-4c operators: SemDeDup, duplicated-substring coverage, BM25 and
+bigram LM counts. Each test pins the property that makes the operator
+trustworthy at scale, independent of the DuckDB oracle rows (which pin
+cross-engine value equality)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from kgx import dedup, textops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _centroids(n_cells=4, dim=64):
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"t-{ci}-{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for ci in range(n_cells)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_keeper_rule(emb):
+    """The defining SemDeDup contract: a vector is dropped iff it has a
+    SAME-CELL neighbor with smaller id and cosine >= tau — verified by
+    brute force over every same-cell pair."""
+    tau = 0.3
+    out = dedup.semdedup(emb, centroids=_centroids(), tau=tau).toPandas()
+    rows = emb.select("vec_id", "embedding").toPandas()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows.itertuples()}
+    cell = {int(r.vec_id): int(r.cell) for r in out.itertuples()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for r in out.itertuples():
+        vid = int(r.vec_id)
+        expect_drop = any(
+            o < vid and cell[o] == cell[vid] and cos(vecs[o], vecs[vid]) >= tau
+            for o in vecs
+        )
+        assert bool(r.is_kept) == (not expect_drop), vid
+        if expect_drop:
+            assert r.n_dup_smaller >= 1
+
+
+def test_semdedup_cap_keeps_one_row_per_vector(emb):
+    """Hot-cell STAR degradation (max_cell_size) never loses or duplicates
+    vectors: output stays exactly one row per input, and every dropped
+    vector still names at least one smaller-id duplicate."""
+    out = dedup.semdedup(emb, centroids=_centroids(1), tau=-1.0, max_cell_size=3)
+    n_in = emb.count()
+    assert out.count() == n_in
+    assert out.select("vec_id").distinct().count() == n_in
+    # tau=-1 in a single cell: everything but the global min-id pairs with
+    # the STAR keeper (cosine >= -1 always), so exactly one survivor
+    assert out.where("is_kept").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring coverage
+# ---------------------------------------------------------------------------
+
+
+def test_dup_substring_hand_case(spark):
+    """Two docs sharing one 5-gram + a unique tail, one disjoint doc, one
+    short doc: exact expected coverage per doc."""
+    rows = [
+        (1, "a b c d e x1 y1 z1"),  # shares 'a b c d e' with doc 2
+        (2, "a b c d e x2 y2 z2"),
+        (3, "p q r s t u v w"),  # no shared shingle
+        (4, "a b c"),  # < n tokens: whole-text fallback shingle
+        (5, "a b c"),  # identical short doc -> fully covered
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.dup_substring_coverage(df, n=5).collect()
+    }
+    # docs 1/2: tokens 0..4 covered (5 of 8); 4 positions -> 1 dup position
+    for d in (1, 2):
+        assert out[d].n_tokens == 8
+        assert out[d].n_shingles == 4
+        assert out[d].n_dup_positions == 1
+        assert out[d].covered_tokens == 5
+        assert abs(out[d].dup_fraction - 5 / 8) < 1e-15
+    assert out[3].covered_tokens == 0 and out[3].dup_fraction == 0.0
+    # short dup docs: single fallback shingle covers all 3 tokens
+    for d in (4, 5):
+        assert out[d].n_shingles == 1
+        assert out[d].covered_tokens == 3
+        assert out[d].dup_fraction == 1.0
+
+
+def test_dup_substring_overlapping_spans_count_once(spark):
+    """Overlapping duplicated shingles must not double-count covered
+    tokens (the countDistinct is the interval union)."""
+    rows = [
+        (1, "a b c d e f g"),  # shingles at pos 0,1,2 all duplicated
+        (2, "a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.dup_substring_coverage(df, n=5).collect()
+    for r in out:
+        assert r.n_dup_positions == 3
+        assert r.covered_tokens == 7  # union of [0,4],[1,5],[2,6]
+        assert r.dup_fraction == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_independent_recompute(docs):
+    """Differential test: the Spark scores equal a from-scratch Python
+    BM25 (same rational-IDF variant) to the last ulp, and per-term ranks
+    equal Lucene-style ln(1 + rational) BM25's ranks (always-positive
+    monotone transform of the rational idf; the raw Robertson ln form
+    goes NEGATIVE for df > N/2 and reverses order — see the operator
+    docstring)."""
+    terms = ["the", "scan", "join"]
+    k1, b = 1.2, 0.75
+    got = textops.bm25(docs, terms, k=1000, k1=k1, b=b).toPandas()
+
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r.doc_id: r.text.strip().lower().split() for r in rows}
+    n_docs = len(toks)
+    total = sum(len(t) for t in toks.values())
+    avgdl = total / n_docs
+    tf = {
+        (d, t): sum(1 for w in ws if w == t)
+        for d, ws in toks.items()
+        for t in terms
+    }
+    dfreq = {t: sum(1 for d in toks if tf[(d, t)] > 0) for t in terms}
+
+    def score(d, t, idf):
+        return idf * (
+            (tf[(d, t)] * (k1 + 1.0))
+            / (tf[(d, t)] + k1 * ((1.0 - b) + b * (len(toks[d]) / avgdl)))
+        )
+
+    for r in got.itertuples():
+        idf = ((n_docs - dfreq[r.token]) + 0.5) / (dfreq[r.token] + 0.5)
+        assert r.score == score(r.doc_id, r.token, idf), (r.token, r.doc_id)
+
+    # rank parity with classic log-IDF BM25, per term
+    import math as m
+
+    for t in terms:
+        sub = got[got.token == t]
+        ours = list(sub.sort_values("rank").doc_id)
+        idf_ln = m.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        classic = sorted(
+            (d for d in toks if tf[(d, t)] > 0),
+            key=lambda d: (-score(d, t, idf_ln), d),
+        )
+        assert ours == classic[: len(ours)]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_lm_exact_counts(spark):
+    corpus = [
+        ("x y x y z",),
+        ("x y q",),
+        ("w",),  # single token: no bigram
+    ]
+    df = spark.createDataFrame(corpus, ["text"])
+    out = {
+        (r.w1, r.w2): r for r in textops.ngram_lm(df, min_count=2).collect()
+    }
+    assert set(out) == {("x", "y")}
+    r = out[("x", "y")]
+    assert r.cnt == 3
+    # head_cnt counts ALL bigrams headed by x, including pruned ones
+    assert r.head_cnt == 3
+    assert r.cond_p == 1.0
+
+
+def test_ngram_lm_denominator_unpruned(spark):
+    """Pruning removes rows but must NOT shrink head_cnt: the survivor's
+    conditional stays the true MLE against all continuations."""
+    corpus = [("a b a b a c",)]  # (a,b)x2, (b,a)x2, (a,c)x1
+    df = spark.createDataFrame(corpus, ["text"])
+    out = {(r.w1, r.w2): r for r in textops.ngram_lm(df, min_count=2).collect()}
+    assert ("a", "c") not in out  # pruned
+    r = out[("a", "b")]
+    assert r.cnt == 2 and r.head_cnt == 3  # denominator includes (a,c)
+    assert r.cond_p == 2 / 3
+    assert out[("b", "a")].cond_p == 1.0
