@@ -53,6 +53,11 @@ HEADLINE = [
     "text_tfidf_topk",
     "kg_entity_carryover",
     "ann_pq_topk",
+    # new in round 4c
+    "dedup_semantic",
+    "text_dup_substring",
+    "text_bm25",
+    "kg_triple_type_check",
 ]
 
 

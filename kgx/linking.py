@@ -128,3 +128,65 @@ def normalize_feature(df: DataFrame, alias_dim: DataFrame, col: str = "feature_s
         .withColumn("pred", F.coalesce("canonical", F.lit(PRED_REPUTATION)))
         .drop("alias_lc", "canonical")
     )
+
+
+def triple_type_check(
+    spark: SparkSession,
+    facts: DataFrame,
+    kb: KnowledgeBase,
+    rules: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """SHACL-lite triple validation against the ontology's domain/range
+    shape: every extracted fact is checked (a) DOMAIN — is the subject's
+    entity type allowed for this predicate (resources.DOMAIN_RULES, the
+    owl domain-axiom stand-in), and (b) RANGE — for indicator-backed
+    facts, does the subject's type match the indicator's declared
+    object_class (the correlation individuals' applies-to class,
+    FIRSTOntology.owl:4224-4259 shape / DatabaseFacade.java:1026-1143
+    indicator linking). The reference enforces these constraints
+    implicitly through typed Hibernate lookups; here they are an explicit
+    auditable validation stage — the KG-QA pass a consumer runs before
+    trusting the graph.
+
+    Emits one row per fact:
+      (conv_id, turn_idx, subj_name, subj_type, pred, indicator_uri,
+       domain_ok, range_ok, is_valid)
+    domain_ok is NULL for an unruled predicate, range_ok NULL for
+    non-indicator facts; is_valid = coalesce(domain_ok, false) AND
+    coalesce(range_ok, true) — strict on domain, vacuous on absent range.
+
+    Scale shape: two broadcast hash joins against O(10)-row dims; the
+    fact stream never shuffles. Validation is a map over the extraction
+    output at any corpus size."""
+    from kgx.resources import DOMAIN_RULES
+
+    rule_rows = [(p, list(ts)) for p, ts in (rules or DOMAIN_RULES).items()]
+    rdf = spark.createDataFrame(rule_rows, "pred string, allowed array<string>")
+    ind = (
+        kb.indicators_df(spark)
+        .select("indicator_uri", "object_class")
+        .distinct()
+    )
+    domain_ok = F.array_contains("allowed", F.col("entity_type"))
+    range_ok = F.when(
+        F.col("indicator_uri").isNotNull(),
+        F.col("entity_type") == F.col("object_class"),
+    )
+    return (
+        facts.join(F.broadcast(rdf), "pred", "left")
+        .join(F.broadcast(ind), "indicator_uri", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.col("entity_name").alias("subj_name"),
+            F.col("entity_type").alias("subj_type"),
+            "pred",
+            "indicator_uri",
+            domain_ok.alias("domain_ok"),
+            range_ok.alias("range_ok"),
+            (
+                F.coalesce(domain_ok, F.lit(False))
+                & F.coalesce(range_ok, F.lit(True))
+            ).alias("is_valid"),
+        )
+    )

@@ -30,6 +30,7 @@ from kgx import (
     assemble,
     dedup,
     graph,
+    linking,
     mentions,
     multimodal,
     relations,
@@ -4396,6 +4397,40 @@ WHERE cnt.cnt >= 30
 """
 
 
+def kg_triple_type_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite domain/range validation of every extracted fact
+    (linking.triple_type_check): domain = subject type allowed for the
+    predicate (resources.DOMAIN_RULES), range = indicator object_class
+    match. The sf0.01 corpus yields both valid rows and domain
+    violations (Topic subjects under reputation/price predicates)."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    return linking.triple_type_check(spark, facts, resources.driver_kb())
+
+
+KG_TYPE_CHECK_SQL = _KG_SQL_PROLOGUE + f"""
+, rules(pred, allowed) AS (VALUES
+  ('{P_REP}',   ['Company']),
+  ('{P_PRICE}', ['Company', 'Stock', 'Currency']),
+  ('{P_VOL}',   ['Company', 'Stock', 'Currency', 'Topic'])
+),
+inds(indicator_uri, object_class) AS (VALUES
+  ('{NS}hash_ind',  'Company'),
+  ('{NS}merge_ind', 'Topic')
+)
+SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.typ AS subj_type,
+       f.pred, f.indicator_uri,
+       list_contains(r.allowed, f.typ) AS domain_ok,
+       CASE WHEN f.indicator_uri IS NULL THEN NULL
+            ELSE f.typ = i.object_class END AS range_ok,
+       (coalesce(list_contains(r.allowed, f.typ), FALSE)
+        AND coalesce(CASE WHEN f.indicator_uri IS NULL THEN NULL
+                          ELSE f.typ = i.object_class END, TRUE)) AS is_valid
+FROM facts f
+LEFT JOIN rules r USING (pred)
+LEFT JOIN inds i USING (indicator_uri)
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4468,6 +4503,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_document_triples": (kg_document_triples, KG_DOCUMENT_SQL),
     "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "kg_triple_type_check": (kg_triple_type_check, KG_TYPE_CHECK_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),

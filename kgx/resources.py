@@ -53,6 +53,18 @@ FEATURE_ALIASES: list[tuple[str, str]] = [
     (PRED_VOLATILITY, PRED_VOLATILITY),
 ]
 
+# SHACL-lite domain axioms: which subject classes each canonical predicate
+# may apply to. The reference ontology declares class structure in RDF/XML
+# (FIRSTOntology.owl owl:Class hierarchy; loaded via WeblogTag.java:83-116)
+# and the extractor implicitly scopes features to financial-instrument and
+# organization subjects; these rules are an ORIGINAL synthetic dimension
+# with that shape (no ontology content copied) for triple validation.
+DOMAIN_RULES: dict[str, tuple[str, ...]] = {
+    PRED_REPUTATION: ("Company",),
+    PRED_PRICE: ("Company", "Stock", "Currency"),
+    PRED_VOLATILITY: ("Company", "Stock", "Currency", "Topic"),
+}
+
 # classifier-type dimension values (SENTIMENT_CLASSIFIER_TYPE,
 # insertAllConstantTypes.sql)
 CLS_KNOWLEDGE_BASED = "Knowledge-Based/CRISP"

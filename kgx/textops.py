@@ -343,7 +343,13 @@ def bm25(
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # dl in-row (size of the token array): map-only — the naive
+    # explode→groupBy(doc) shape shuffles one row per TOKEN of the corpus
+    # for what is a per-row scalar
+    dl = df.select(
+        F.col(id_col),
+        F.size(tokens(F.lower(F.col(text_col)))).cast("bigint").alias("dl"),
+    )
     tf = (
         tok.where(F.col("token").isin(terms))
         .groupBy(id_col, "token")

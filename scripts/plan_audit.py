@@ -42,6 +42,11 @@ AUDIT = [
     "text_unigram_lik",
     "kg_entity_carryover",
     "ann_pq_topk",
+    "dedup_semantic",
+    "text_dup_substring",
+    "text_bm25",
+    "text_ngram_lm",
+    "kg_triple_type_check",
 ]
 
 

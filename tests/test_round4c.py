@@ -216,3 +216,72 @@ def test_ngram_lm_denominator_unpruned(spark):
     assert r.cnt == 2 and r.head_cnt == 3  # denominator includes (a,c)
     assert r.cond_p == 2 / 3
     assert out[("b", "a")].cond_p == 1.0
+
+
+# ---------------------------------------------------------------------------
+# triple type check
+# ---------------------------------------------------------------------------
+
+
+def test_triple_type_check_rules(spark):
+    """Domain + range semantics on a hand-built fact frame: allowed type
+    passes, disallowed fails, unruled pred -> NULL domain_ok and invalid,
+    indicator mismatch fails range, no indicator -> NULL range_ok valid."""
+    from kgx import linking, resources
+
+    facts = spark.createDataFrame(
+        [
+            # (conv, turn, name, type, pred, indicator_uri)
+            ("c1", 0, "acme", "Company", resources.PRED_REPUTATION, None),
+            ("c2", 0, "vec", "Topic", resources.PRED_REPUTATION, None),
+            ("c3", 0, "acme", "Company", "unruledPred", None),
+            (
+                "c4",
+                0,
+                "acme",
+                "Company",
+                resources.PRED_PRICE,
+                "http://kgx.example.org/onto#hash_ind",
+            ),
+            (
+                "c5",
+                0,
+                "vec",
+                "Topic",
+                resources.PRED_VOLATILITY,
+                "http://kgx.example.org/onto#hash_ind",  # Company indicator
+            ),
+        ],
+        "conv_id string, turn_idx int, entity_name string, entity_type string,"
+        " pred string, indicator_uri string",
+    )
+    out = {
+        r.conv_id: r
+        for r in linking.triple_type_check(
+            spark, facts, resources.driver_kb()
+        ).collect()
+    }
+    assert out["c1"].domain_ok and out["c1"].range_ok is None and out["c1"].is_valid
+    assert out["c2"].domain_ok is False and not out["c2"].is_valid
+    assert out["c3"].domain_ok is None and not out["c3"].is_valid
+    assert out["c4"].domain_ok and out["c4"].range_ok and out["c4"].is_valid
+    # domain allows Topic for volatility, but the Company indicator fails range
+    assert out["c5"].domain_ok and out["c5"].range_ok is False
+    assert not out["c5"].is_valid
+
+
+def test_triple_type_check_broadcast_only(spark):
+    """The validation stage must add zero shuffles: both dim joins are
+    BroadcastHashJoins in the physical plan."""
+    from kgx import linking, resources
+
+    facts = spark.createDataFrame(
+        [("c1", 0, "acme", "Company", resources.PRED_REPUTATION, None)],
+        "conv_id string, turn_idx int, entity_name string, entity_type string,"
+        " pred string, indicator_uri string",
+    )
+    plan = linking.triple_type_check(
+        spark, facts, resources.driver_kb()
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
