@@ -127,3 +127,31 @@ def interval_join(
         F.col(point_ts).between(F.col(start_col), F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Changelog → SCD2 validity intervals (slowly-changing-dimension
+    type 2, Kimball — public method): each change row becomes effective
+    at its own timestamp and expires at the NEXT change of the same key;
+    the latest row per key has valid_to = NULL and is_current = true.
+
+    The ordering key is (ts_col, *order_tiebreak) — pass a unique
+    tie-break column (e.g. the event id) so same-timestamp changes get a
+    deterministic total order; without one, lead() under ties is
+    engine-dependent.
+
+    Scale shape: ONE window shuffle keyed by the dimension key — the
+    canonical warehouse compaction; no self-join (the naive "join next
+    change" doubles the shuffle and skews on hot keys)."""
+    order_cols = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (order_tiebreak or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return df.withColumn("valid_to", F.lead(ts_col).over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )

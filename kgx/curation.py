@@ -230,3 +230,58 @@ def stratified_sample(
         docs.select(F.col(id_col), F.col(stratum_col), bucket.alias("bucket"))
         .where(F.col("bucket") < thresh)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    fixed-size chunks with overlap — the standard prep step for training
+    or embedding models with a bounded context window (stride =
+    chunk_tokens - overlap; the tail chunk is kept even if short, the
+    usual keep-the-remainder policy).
+
+    Returns (id_col, chunk_idx, start_tok, n_chunk_tokens, chunk_text),
+    one row per chunk, chunk_idx 0-based in document order.
+
+    Cross-engine determinism: the chunk count is PURE INTEGER arithmetic
+    (((max(n - chunk, 0) + stride - 1) div stride) + 1 — no float ceil,
+    whose rounding a SQL engine need not reproduce), and chunk boundaries
+    are array slices of the one token array.
+
+    Scale shape: map-only — tokenize, compute chunk starts in-row, slice
+    and posexplode. Zero shuffle at any corpus size; output rows carry
+    only their own chunk text. Fan-out is n_tokens/stride per doc, the
+    contract every downstream trainer expects."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    n = F.size(F.col("toks"))
+    n_chunks = (
+        F.expr(
+            f"(greatest(size(toks) - {chunk_tokens}, 0) + {stride - 1}) div {stride}"
+        )
+        + F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            (i * stride).alias("start_tok"),
+            F.slice(F.col("toks"), i * stride + 1, chunk_tokens).alias("ct"),
+        ),
+    )
+    return (
+        toked.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.start_tok").cast("bigint").alias("start_tok"),
+            F.size("c.ct").cast("bigint").alias("n_chunk_tokens"),
+            F.array_join("c.ct", " ").alias("chunk_text"),
+        )
+    )

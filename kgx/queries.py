@@ -4431,6 +4431,58 @@ LEFT JOIN inds i USING (indicator_uri)
 """
 
 
+def curate_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (curation.chunk_documents): 32-token
+    chunks, 8-token overlap, tail kept — one row per chunk, map-only."""
+    from kgx import curation
+
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+CURATE_CHUNK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         [{idx: i, s: i * 24} FOR i IN
+          range(0, ((greatest(len(toks) - 32, 0) + 23) // 24) + 1)] AS ch,
+         toks
+  FROM tok
+),
+u AS (SELECT doc_id, toks, unnest(ch) AS cc FROM c)
+SELECT doc_id,
+       CAST(cc.idx AS BIGINT) AS chunk_idx,
+       CAST(cc.s AS BIGINT) AS start_tok,
+       CAST(len(toks[cc.s + 1 : cc.s + 32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[cc.s + 1 : cc.s + 32], ' ') AS chunk_text
+FROM u
+"""
+
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of the events changelog (asof.scd2_intervals):
+    per-user validity intervals for `value`, event_id tie-break, one
+    window shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return asof.scd2_intervals(
+        ev.select("user_id", "event_id", "ts", "value"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_tiebreak=["event_id"],
+    )
+
+
+EVENTS_SCD2_SQL = """
+SELECT user_id, event_id, ts, value,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+FROM events
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4442,12 +4494,14 @@ LEFT JOIN inds i USING (indicator_uri)
 # verified green in round 3, unchanged since — freshest evidence, so
 # they cycle last. Late-round-4 amendment: with the round-4c additions
 # (SemDeDup, dup-substring coverage, BM25, bigram LM) tier 2 grew past
-# the window, so four tier-1 rows whose code paths are ALSO exercised by
+# the window, so six tier-1 rows whose code paths are ALSO exercised by
 # in-window rows are demoted to tier 3 (sketch_hll_merge shares
 # SKETCH_HLL_SQL with in-window sketch_hll_users; mm_image_features /
 # mm_audio_features / mm_frame_sample share the mapInPandas plumbing the
-# in-window mm_*_real rows execute) — changed-in-r4 rows take priority
-# over stale-but-unchanged ones for the hard driver signal.
+# in-window mm_*_real rows execute; a4_sign_map's polarity expression and
+# text_top_tokens' token-count groupBy run inside the in-window kg trio /
+# text_tfidf_topk) — changed-in-r4 rows take priority over
+# stale-but-unchanged ones for the hard driver signal.
 REGISTRY: dict[str, tuple] = {
     # -- (1) last driver-verified in round 2 (stalest first) --
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
@@ -4460,7 +4514,6 @@ REGISTRY: dict[str, tuple] = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "a1_posneg_ratio": (a1_posneg_ratio, A1_SQL),
     "a3_group_score": (a3_group_score, A3_SQL),
-    "a4_sign_map": (a4_sign_map, A4_SQL),
     "j7_dom_binning": (j7_dom_binning, J7_SQL),
     "j1_entity_link": (j1_entity_link, J1_SQL),
     "p1_routing_union": (p1_routing_union, P1_SQL),
@@ -4469,7 +4522,6 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
-    "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
     "sketch_hll_users": (sketch_hll_users, SKETCH_HLL_SQL),
     "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
@@ -4504,8 +4556,12 @@ REGISTRY: dict[str, tuple] = {
     "kg_phrase_fact_edges": (kg_phrase_fact_edges, KG_PHRASE_EDGES_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "kg_triple_type_check": (kg_triple_type_check, KG_TYPE_CHECK_SQL),
+    "curate_chunk_documents": (curate_chunk_documents, CURATE_CHUNK_SQL),
+    "events_scd2": (events_scd2, EVENTS_SCD2_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
+    "a4_sign_map": (a4_sign_map, A4_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),
     "mm_audio_features": (mm_audio_features, MM_AUDIO_FEATURES_SQL),
     "mm_image_features": (mm_image_features, MM_IMAGE_FEATURES_SQL),

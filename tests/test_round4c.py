@@ -285,3 +285,65 @@ def test_triple_type_check_broadcast_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 2
+
+
+# ---------------------------------------------------------------------------
+# chunking + SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_reconstructs(spark):
+    """Chunks with overlap must tile the document exactly: stitching
+    chunk 0 plus every later chunk minus its overlap reproduces the
+    original token stream; boundaries follow the stride arithmetic."""
+    from kgx import curation
+
+    words = " ".join(f"w{i}" for i in range(70))
+    df = spark.createDataFrame([(1, words), (2, "a b c")], ["doc_id", "text"])
+    out = curation.chunk_documents(df, chunk_tokens=32, overlap=8)
+    rows = sorted(
+        [r for r in out.collect() if r.doc_id == 1], key=lambda r: r.chunk_idx
+    )
+    assert [r.start_tok for r in rows] == [0, 24, 48]
+    assert [r.n_chunk_tokens for r in rows] == [32, 32, 22]
+    stitched = rows[0].chunk_text.split()
+    for r in rows[1:]:
+        stitched += r.chunk_text.split()[8:]
+    assert stitched == words.split()
+    short = [r for r in out.collect() if r.doc_id == 2]
+    assert len(short) == 1
+    assert short[0].chunk_text == "a b c" and short[0].n_chunk_tokens == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from kgx import curation
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        curation.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_scd2_intervals_chain(spark):
+    """Per key: intervals chain gap-free in order, exactly one current
+    row, ties broken deterministically by the tie-break column."""
+    import datetime as dt
+
+    from kgx import asof
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, 10, t(1), 1.0),
+        (1, 11, t(5), 2.0),
+        (1, 12, t(5), 3.0),  # same ts as 11: event_id orders them
+        (2, 20, t(2), 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts", "value"])
+    out = asof.scd2_intervals(
+        df, key_cols=["user_id"], ts_col="ts", order_tiebreak=["event_id"]
+    ).collect()
+    by_eid = {r.event_id: r for r in out}
+    assert by_eid[10].valid_to == t(5)
+    assert by_eid[11].valid_to == t(5)  # superseded by the same-ts row 12
+    assert by_eid[12].valid_to is None and by_eid[12].is_current
+    assert by_eid[20].valid_to is None and by_eid[20].is_current
+    assert sum(1 for r in out if r.user_id == 1 and r.is_current) == 1
