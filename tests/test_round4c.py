@@ -347,3 +347,45 @@ def test_scd2_intervals_chain(spark):
     assert by_eid[12].valid_to is None and by_eid[12].is_current
     assert by_eid[20].valid_to is None and by_eid[20].is_current
     assert sum(1 for r in out if r.user_id == 1 and r.is_current) == 1
+
+
+def test_chunk_documents_tiling_property(spark):
+    """Property (batched through one Spark call): for random doc lengths
+    and (chunk, overlap) shapes, chunk boundaries equal an independent
+    Python chunker's, chunks tile the doc exactly, and every chunk except
+    a lone short doc's is full-size."""
+    cases = []
+    doc_id = 0
+    shapes = [(32, 8), (16, 0), (8, 7), (5, 2)]
+    import random
+
+    rng = random.Random(7)
+    for chunk, ov in shapes:
+        for _ in range(12):
+            n = rng.randint(1, 90)
+            cases.append((doc_id, chunk, ov, n))
+            doc_id += 1
+    from kgx import curation
+
+    for chunk, ov in shapes:
+        sub = [(d, " ".join(f"t{i}" for i in range(n)))
+               for d, c, o, n in cases if (c, o) == (chunk, ov)]
+        df = spark.createDataFrame(sub, ["doc_id", "text"])
+        got = {}
+        for r in curation.chunk_documents(df, chunk_tokens=chunk, overlap=ov).collect():
+            got.setdefault(r.doc_id, []).append(r)
+        for d, text in sub:
+            n = len(text.split())
+            stride = chunk - ov
+            # independent reference chunker
+            starts = [0]
+            while starts[-1] + chunk < n:
+                starts.append(starts[-1] + stride)
+            rows = sorted(got[d], key=lambda r: r.chunk_idx)
+            assert [r.start_tok for r in rows] == starts, (d, chunk, ov, n)
+            stitched = rows[0].chunk_text.split()
+            for r in rows[1:]:
+                stitched += r.chunk_text.split()[ov:]
+            assert stitched == text.split(), (d, chunk, ov, n)
+            for r in rows[:-1]:
+                assert r.n_chunk_tokens == chunk
