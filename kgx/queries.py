@@ -223,7 +223,11 @@ labeled AS (
   SELECT conv_id, CAST(NULL AS INTEGER) AS turn_idx, 'document' AS level,
          name AS subj_name, uri AS subj_uri, typ AS subj_type, pred,
          CASE WHEN dscore > 0 THEN 'positive' ELSE 'negative' END AS obj_polarity,
-         dscore AS score,
+         -- mirror aggregate._decimal_score: bround(x,16) -> DECIMAL(18,16)
+         -- -> double. Single-turn corpora only produce exactly-representable
+         -- ratios so this is a no-op there; the multi-turn fold hits e.g.
+         -- -1/11, where the raw IEEE ratio differs in the 17th digit.
+         round(dscore, 16) AS score,
          CASE WHEN abs(dscore) >= 0.8 THEN 'maximum amount'
               WHEN abs(dscore) >= 0.6 THEN 'large amount'
               WHEN abs(dscore) >= 0.4 THEN 'moderate amount'
@@ -4483,6 +4487,122 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# multi-turn KG oracle rows: the same extraction semantics over folded
+# 50-conversation x 10-turn transcripts, so the TURN-ORDERED rules (W1/W2
+# first-seen, query-param arg-min) are pinned cross-engine — the gap
+# ADVICE r3 flagged (single-turn corpora make min(name) coincide with the
+# turn-order rule, hiding regressions from the oracle).
+# ---------------------------------------------------------------------------
+
+
+def _doc_mt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multi-turn transcripts: conv = doc_id % 50,
+    turn = doc_id // 50 (the same deterministic fold as the carryover
+    rows, so one mental model covers every multi-turn oracle)."""
+    return _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+
+
+def _kg_mt_run(spark: SparkSession, sf_dir: str):
+    """Extraction stages over the multi-turn fold, cached like _kg_run."""
+    key = (id(spark), sf_dir, "mt")
+    hit = _KG_CACHE.get(key)
+    if hit is not None and hit[0] is spark and _session_alive(spark):
+        return hit[1], hit[2]
+    kb = resources.driver_kb()
+    turns = assemble.assemble_turns(
+        _doc_mt_transcripts(spark, sf_dir), num_partitions=32
+    )
+    facts, tf = relations.extract_facts(turns, kb)
+    facts = facts.persist()
+    _KG_CACHE[key] = (spark, facts, tf)
+    return facts, tf
+
+
+# multi-turn prologue: IDENTICAL fact semantics, only the conv/turn fold
+# differs — derived by substitution so the two prologues cannot drift
+_KG_MT_SQL_PROLOGUE = _KG_SQL_PROLOGUE.replace(
+    "SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,",
+    "SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,\n"
+    "         CAST(doc_id // 50 AS INTEGER) AS turn_idx,",
+)
+assert _KG_MT_SQL_PROLOGUE != _KG_SQL_PROLOGUE
+
+
+def kg_multiturn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level triples over REAL multi-turn conversations: the
+    per-(conv, entity, pred) rollup now aggregates pos/neg evidence
+    ACROSS ten turns and the W2 first-seen identity resolves by turn
+    order. Shares the single-turn row's SQL tail (only the fold differs)
+    except the score RENDERING: multi-turn groups produce ratios like
+    -1/7 whose IEEE double's shortest repr ends in an exact '5' at digit
+    17 — Java's BigDecimal(shortest-repr) HALF_EVEN and a
+    multiply-based SQL round() legitimately disagree there by one ulp of
+    the 16th digit, so the row compares bround(score, 12) on both sides
+    (ties at digit 13 are unreachable for small-denominator ratios; the
+    full decimal(18,16) semantics stay pinned by the single-turn row and
+    the pytest ladder). Same rendering-for-checkability precedent as
+    kg_website_dim's md5 keys."""
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    out = agg_mod.document_triples(facts, with_fuzzy=True)
+    return (
+        out.select(*_KG_COLS)
+        .withColumn("score", F.bround(F.col("score").cast("double"), 12))
+    )
+
+
+KG_MT_DOCUMENT_SQL = (
+    _KG_MT_SQL_PROLOGUE + KG_DOCUMENT_SQL[len(_KG_SQL_PROLOGUE):]
+).replace("round(dscore, 16) AS score", "round(dscore, 12) AS score")
+assert "round(dscore, 12)" in KG_MT_DOCUMENT_SQL
+
+
+def kg_multiturn_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_PARAMETER's first-subject-in-TURN-ORDER rule
+    (materialize.query_parameters min_by((turn_idx, name))) on input
+    where it DIFFERS from min(name): later turns introduce
+    alphabetically-smaller entities, so a regression to min(name) — the
+    exact hazard noted in KG_QUERY_PARAMS_SQL — flips rows and fails the
+    hash."""
+    from kgx import materialize
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    meta = (
+        _doc_mt_transcripts(spark, sf_dir)
+        .select("conv_id")
+        .distinct()
+        .withColumn("source", F.lit("corpus"))
+        .withColumn("retrieval_date", F.lit("2025-01-01"))
+    )
+    return materialize.query_parameters(meta, facts)
+
+
+KG_MT_QUERY_PARAMS_SQL = _KG_MT_SQL_PROLOGUE + """
+, first_so AS (
+  SELECT conv_id, name AS query_sentiment_object FROM (
+    SELECT conv_id, name,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx ASC, name ASC) AS rn
+    FROM facts
+  ) WHERE rn = 1
+)
+SELECT 'corpus' AS query_site,
+       '2025-01-01' AS query_date,
+       query_sentiment_object,
+       count(*) AS n_docs,
+       'corpus ' || query_sentiment_object AS query_string
+FROM first_so
+GROUP BY 1, 2, 3
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4494,22 +4614,23 @@ FROM events
 # verified green in round 3, unchanged since — freshest evidence, so
 # they cycle last. Late-round-4 amendment: with the round-4c additions
 # (SemDeDup, dup-substring coverage, BM25, bigram LM) tier 2 grew past
-# the window, so six tier-1 rows whose code paths are ALSO exercised by
+# the window, so eight tier-1 rows whose code paths are ALSO exercised by
 # in-window rows are demoted to tier 3 (sketch_hll_merge shares
 # SKETCH_HLL_SQL with in-window sketch_hll_users; mm_image_features /
 # mm_audio_features / mm_frame_sample share the mapInPandas plumbing the
 # in-window mm_*_real rows execute; a4_sign_map's polarity expression and
 # text_top_tokens' token-count groupBy run inside the in-window kg trio /
-# text_tfidf_topk) — changed-in-r4 rows take priority over
-# stale-but-unchanged ones for the hard driver signal.
+# text_tfidf_topk; mm_image_meta's fake-kernel mapInPandas plumbing is the
+# same code path as the in-window mm_*_real rows; w1_turn_order's turn
+# ordering is now hard-pinned by the in-window multi-turn KG rows) —
+# changed-in-r4 rows take priority over stale-but-unchanged ones for the
+# hard driver signal.
 REGISTRY: dict[str, tuple] = {
     # -- (1) last driver-verified in round 2 (stalest first) --
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_SQL),
     "dedup_canonical_docs": (dedup_canonical_docs, DEDUP_CANON_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
-    "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
-    "w1_turn_order": (w1_turn_order, W1_SQL),
     "w2_first_wins": (w2_first_wins, W2_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "a1_posneg_ratio": (a1_posneg_ratio, A1_SQL),
@@ -4558,8 +4679,12 @@ REGISTRY: dict[str, tuple] = {
     "kg_triple_type_check": (kg_triple_type_check, KG_TYPE_CHECK_SQL),
     "curate_chunk_documents": (curate_chunk_documents, CURATE_CHUNK_SQL),
     "events_scd2": (events_scd2, EVENTS_SCD2_SQL),
+    "kg_multiturn_triples": (kg_multiturn_triples, KG_MT_DOCUMENT_SQL),
+    "kg_multiturn_query_params": (kg_multiturn_query_params, KG_MT_QUERY_PARAMS_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "w1_turn_order": (w1_turn_order, W1_SQL),
+    "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),
     "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "a4_sign_map": (a4_sign_map, A4_SQL),
     "mm_frame_sample": (mm_frame_sample, MM_FRAMES_SQL),

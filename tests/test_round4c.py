@@ -389,3 +389,45 @@ def test_chunk_documents_tiling_property(spark):
             assert stitched == text.split(), (d, chunk, ov, n)
             for r in rows[:-1]:
                 assert r.n_chunk_tokens == chunk
+
+
+# ---------------------------------------------------------------------------
+# multi-turn KG oracle rows
+# ---------------------------------------------------------------------------
+
+
+def test_multiturn_query_params_discriminates_turn_order(spark):
+    """The multi-turn fold must make the first-subject-in-turn-order rule
+    OBSERVABLE: a min(name) regression (the hazard the single-turn oracle
+    cannot see) must change the result. Guards the new oracle row's
+    discriminating power, not just its current green-ness."""
+    import pyspark.sql.functions as F2
+
+    from kgx import queries as q
+
+    facts, _tf = q._kg_mt_run(spark, "/root/testdata/sf0.001")
+    turn_first = facts.groupBy("conv_id").agg(
+        F2.min_by("entity_name", F2.struct("turn_idx", "entity_name")).alias("n")
+    )
+    alpha = facts.groupBy("conv_id").agg(F2.min("entity_name").alias("n"))
+    diff = (
+        turn_first.alias("t")
+        .join(alpha.alias("a"), "conv_id")
+        .where(F2.col("t.n") != F2.col("a.n"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_multiturn_document_triples_aggregate_across_turns(spark):
+    """Multi-turn document triples must aggregate evidence ACROSS turns:
+    at least one (conv, entity, pred) group has |score| strictly between
+    0 and 1 (impossible on single-turn input, where every group holds
+    exactly one fact and dscore is ±1)."""
+    from kgx import queries as q
+
+    out = q.kg_multiturn_triples(spark, "/root/testdata/sf0.001")
+    frac = out.where(
+        (F.abs(F.col("score")) > 0) & (F.abs(F.col("score")) < 1)
+    ).count()
+    assert frac > 0
