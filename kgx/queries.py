@@ -2530,10 +2530,10 @@ KG_QUERY_PARAMS_SQL = _KG_SQL_PROLOGUE + """
 , first_so AS (
   -- min(name) coincides with materialize.query_parameters' first-subject-
   -- in-TURN-ORDER rule only because this oracle corpus is single-turn
-  -- (turn_idx=0 everywhere). The turn-order rule itself is pinned by a
-  -- multi-turn unit test (tests/test_round3.py); a future multi-turn
-  -- oracle fixture must replace min(name) with a turn-ordered arg-min
-  -- (min_by over (turn_idx, name)).
+  -- (turn_idx=0 everywhere). The turn-order rule is pinned cross-engine
+  -- by kg_multiturn_query_params (turn-ordered arg-min over the folded
+  -- multi-turn corpus, where it DIFFERS from min(name) in 28/50 convs)
+  -- and by the multi-turn unit test (tests/test_round3.py).
   SELECT conv_id, min(name) AS query_sentiment_object FROM facts GROUP BY conv_id
 )
 SELECT lower(d.source) AS query_site,
