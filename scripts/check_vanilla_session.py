@@ -45,6 +45,16 @@ DEFAULT_QUERIES = [
     "kg_document_triples",
     "kg_phrase_fact_edges",
     "dedup_exact",  # r4: non-empty oracle via perturbed-copy union
+    # round-4c additions
+    "dedup_semantic",
+    "text_dup_substring",
+    "text_bm25",
+    "text_ngram_lm",
+    "kg_triple_type_check",
+    "curate_chunk_documents",
+    "events_scd2",
+    "kg_multiturn_triples",
+    "kg_multiturn_query_params",
 ]
 
 

@@ -431,3 +431,114 @@ def test_multiturn_document_triples_aggregate_across_turns(spark):
         (F.abs(F.col("score")) > 0) & (F.abs(F.col("score")) < 1)
     ).count()
     assert frac > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2
+# ---------------------------------------------------------------------------
+
+
+def test_stream_scd2_quiet_gap_split_semantics(spark, tmp_path):
+    """Pin the quiet-gap contract on a virtual clock: a key quiet for
+    `gap` emits and CLOSES (is_current on its last row); a later change
+    re-opens the key and the second emission starts a fresh interval set.
+    The stale is_current from window 1 is the documented append-mode
+    artifact a downstream MERGE supersedes."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from kgx.streaming import scd2_stream
+
+    def ev(eid, ts, val, uid=1):
+        return {"user_id": uid, "event_id": eid, "ts": pd.Timestamp(ts), "value": val}
+
+    batches = [
+        # window 1: two changes close together
+        [ev(1, "2025-01-01 10:00:00", 1.0), ev(2, "2025-01-01 10:02:00", 2.0)],
+        # advance the watermark past 10:02 + 10min via another key
+        [ev(90, "2025-01-01 10:30:00", 0.0, uid=9)],
+        [ev(91, "2025-01-01 10:31:00", 0.0, uid=9)],
+        # window 2: key 1 re-opens after the quiet gap
+        [ev(3, "2025-01-01 11:00:00", 3.0)],
+        # drain sentinels push the watermark past 11:00 + 10min
+        [ev(92, "2025-01-01 12:00:00", 0.0, uid=9)],
+        [ev(93, "2025-01-01 12:30:00", 0.0, uid=9)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = scd2_stream.scd2_events(stream, gap="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_gap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r
+        for r in spark.sql(
+            "SELECT * FROM scd2_gap WHERE user_id = 1"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # window 1 chains internally, then closes with a (stale) is_current
+    assert got[1].valid_to == got[2].ts and not got[1].is_current
+    assert got[2].valid_to is None and got[2].is_current
+    # window 2 is a fresh interval set
+    assert got[3].valid_to is None and got[3].is_current
+
+
+def test_stream_scd2_interval_rows_matches_batch(spark):
+    """The emission kernel must agree with the batch operator on the same
+    rows (shared semantics claim behind the verbatim shared oracle),
+    including same-timestamp ties broken by event_id."""
+    import pandas as pd
+
+    from kgx import asof
+    from kgx.streaming.scd2_stream import _interval_rows
+
+    rows = [
+        (1, 10, pd.Timestamp("2024-01-01 00:00:00.000001").to_pydatetime(), 1.0),
+        (1, 12, pd.Timestamp("2024-01-01 00:00:05.500001").to_pydatetime(), 2.0),
+        (1, 11, pd.Timestamp("2024-01-01 00:00:05.500001").to_pydatetime(), 3.0),
+        (1, 13, pd.Timestamp("2024-01-02 00:00:00.999999").to_pydatetime(), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    batch = {
+        r.event_id: r
+        for r in asof.scd2_intervals(
+            df, key_cols=["user_id"], ts_col="ts", order_tiebreak=["event_id"]
+        ).collect()
+    }
+    import pandas as pd2
+
+    us = lambda t: pd2.Timestamp(t).value // 1_000
+    stream = _interval_rows(
+        1, [r[1] for r in rows], [us(r[2]) for r in rows], [r[3] for r in rows]
+    )
+    assert len(stream) == len(batch)
+    for rec in stream.itertuples():
+        b = batch[rec.event_id]
+        assert pd.Timestamp(b.ts) == rec.ts
+        bv = pd.Timestamp(b.valid_to) if b.valid_to is not None else pd.NaT
+        assert (pd.isna(bv) and pd.isna(rec.valid_to)) or bv == rec.valid_to
+        assert b.is_current == rec.is_current
