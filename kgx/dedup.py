@@ -861,9 +861,17 @@ def dup_substring_coverage(
     base = toked.select(
         "doc_id", F.size(F.col("toks")).alias("n_tokens"), shl.alias("shl")
     )
-    pos = base.select(
-        "doc_id", "n_tokens", F.posexplode("shl").alias("pos", "s")
-    ).select("doc_id", "n_tokens", "pos", md5_hash60(F.col("s")).alias("h"))
+    # persist the positional-shingle frame: THREE consumers (the frequency
+    # groupBy's build side, the probe side of the join, and the per-doc
+    # shingle counts) would otherwise each re-run tokenize+shingle+md5
+    # over the corpus — the same recompute smell the phrase-edge audit
+    # caught in r4. Rows are slim (doc_id, n_tokens, pos, h): the same
+    # volume the frequency shuffle moves anyway.
+    pos = (
+        base.select("doc_id", "n_tokens", F.posexplode("shl").alias("pos", "s"))
+        .select("doc_id", "n_tokens", "pos", md5_hash60(F.col("s")).alias("h"))
+        .persist()
+    )
     dup_h = (
         pos.groupBy("h")
         .agg(F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"))
@@ -887,9 +895,15 @@ def dup_substring_coverage(
         .groupBy("doc_id")
         .agg(F.countDistinct("ti").alias("covered_tokens"))
     )
+    # per-doc totals from the SAME persisted frame (every doc emits >= 1
+    # shingle — the short-doc fallback — so no doc is lost here), instead
+    # of a second tokenize pass over the text
+    totals = pos.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
     out = (
-        base.select("doc_id", "n_tokens", F.size("shl").alias("n_shingles"))
-        .join(dup_counts, "doc_id", "left")
+        totals.join(dup_counts, "doc_id", "left")
         .join(covered, "doc_id", "left")
         .select(
             "doc_id",
@@ -907,4 +921,4 @@ def dup_substring_coverage(
             ).alias("dup_fraction"),
         )
     )
-    return give_ownership(out, [dup_pos])
+    return give_ownership(out, [pos, dup_pos])

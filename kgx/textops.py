@@ -427,10 +427,14 @@ def ngram_lm(
     ).otherwise(F.array())
     bg = toked.select(F.explode(bigrams).alias("bg")).select("bg.w1", "bg.w2")
     cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    head = cnt.groupBy("w1").agg(F.sum("cnt").cast("bigint").alias("head_cnt"))
+    # head counts via a window over the COUNTED rows, not a groupBy+join
+    # back onto cnt — the join form evaluates the bigram explode+count
+    # twice (once per side); the window re-shuffles only the slim
+    # (w1, w2, cnt) vocabulary rows
+    head_cnt = F.sum("cnt").over(Window.partitionBy("w1")).cast("bigint")
     return (
-        cnt.where(F.col("cnt") >= min_count)
-        .join(head, "w1")
+        cnt.withColumn("head_cnt", head_cnt)
+        .where(F.col("cnt") >= min_count)
         .select(
             "w1",
             "w2",
