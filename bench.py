@@ -58,6 +58,10 @@ HEADLINE = [
     "text_dup_substring",
     "text_bm25",
     "kg_triple_type_check",
+    "text_ngram_lm",
+    "curate_chunk_documents",
+    "events_scd2",
+    "curate_group_cap",
 ]
 
 

@@ -47,6 +47,10 @@ AUDIT = [
     "text_bm25",
     "text_ngram_lm",
     "kg_triple_type_check",
+    "curate_chunk_documents",
+    "events_scd2",
+    "curate_group_cap",
+    "kg_multiturn_triples",
 ]
 
 
