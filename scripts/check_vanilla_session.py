@@ -55,6 +55,8 @@ DEFAULT_QUERIES = [
     "events_scd2",
     "kg_multiturn_triples",
     "kg_multiturn_query_params",
+    "stream_events_scd2",
+    "curate_group_cap",
 ]
 
 

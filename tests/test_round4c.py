@@ -575,3 +575,31 @@ def test_group_cap_uniform_and_additive(spark):
     # tiny group: cap larger than the group keeps everything
     small = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "source"])
     assert curation.group_cap(small, cap=5).count() == 2
+
+
+def test_registry_window_holds_r4_changes():
+    """Registry ORDER is evidence policy: the driver verifies the first 50
+    rows, so every row NEW or CHANGED in round 4 must sit inside that
+    window. Guards against an innocent-looking reorder silently moving a
+    changed row out of the hard verification signal."""
+    from kgx.queries import REGISTRY
+
+    window = set(list(REGISTRY)[:50])
+    r4_rows = {
+        # round-4a/b
+        "mm_image_real_dims", "mm_audio_real_meta", "mm_video_real_meta",
+        "kg_node_properties", "kg_query_params", "graph_triangles",
+        "sketch_cms_heavy_hitters", "sketch_bloom_contamination",
+        "text_tfidf_topk", "text_unigram_lik", "kg_entity_carryover",
+        "stream_entity_carryover", "ann_pq_topk", "events_funnel",
+        # changed late in round 4
+        "kg_sentence_triples", "kg_document_triples",
+        "kg_phrase_fact_edges", "dedup_exact",
+        # round-4c
+        "dedup_semantic", "text_dup_substring", "text_bm25",
+        "text_ngram_lm", "kg_triple_type_check", "curate_chunk_documents",
+        "events_scd2", "stream_events_scd2", "curate_group_cap",
+        "kg_multiturn_triples", "kg_multiturn_query_params",
+    }
+    missing = r4_rows - window
+    assert not missing, f"r4 rows outside the driver window: {sorted(missing)}"
