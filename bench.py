@@ -62,6 +62,7 @@ HEADLINE = [
     "curate_chunk_documents",
     "events_scd2",
     "curate_group_cap",
+    "text_lm_score",
 ]
 
 

@@ -16,6 +16,9 @@ Operators:
                          log-free IDF; rank-identical per term)
   * ngram_lm           — corpus bigram counts + MLE conditionals with
                          min-count pruning (MapReduce n-gram LM stage)
+  * lm_score           — apply the bigram LM back to documents: mean
+                         conditional probability + OOV counts (the CCNet
+                         LM-filter apply side)
 """
 
 from __future__ import annotations
@@ -445,3 +448,75 @@ def ngram_lm(
             ),
         )
     )
+
+
+def lm_score(
+    df: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a bigram LM (the apply side of ngram_lm —
+    together they form the CCNet-style LM quality filter: train counts on
+    a reference corpus, score candidate docs, keep the head).
+
+    Per document: mean conditional probability over its bigram positions,
+    with out-of-vocabulary bigrams (pruned or unseen) contributing 0 and
+    counted separately:
+      (doc_id, n_bigrams, n_oov, lm_score)
+    lm_score is NULL for docs with < 2 tokens (no bigrams).
+
+    Bit-reproducibility: the per-doc probability sum is a LEFT FOLD in
+    BIGRAM POSITION ORDER (collect_list is unordered across partitions,
+    so the (pos, p) pairs are sort_array'd before folding) — the same
+    IEEE order a SQL oracle reproduces; the mean is one division.
+
+    Scale shape: the LM is min-count pruned (Zipf-truncated) → broadcast;
+    the corpus explodes to slim (doc, pos, w1, w2) rows, one broadcast
+    join, one keyed agg whose state is the doc's bigram list (bounded by
+    doc length). Text never shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("toks")
+    )
+    m = F.size(F.col("toks")) - F.lit(1)
+    bg = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array())
+    pos_rows = toked.select(F.col(id_col), F.explode(bg).alias("b")).select(
+        id_col, "b.pos", "b.w1", "b.w2"
+    )
+    scored = pos_rows.join(
+        broadcast(lm.select("w1", "w2", "cond_p")), ["w1", "w2"], "left"
+    )
+    folded = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("cond_p").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.coalesce("cond_p", F.lit(0.0)).alias("p"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["p"],
+        ).alias("p_sum"),
+    )
+    out = df.select(F.col(id_col)).join(folded, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        (F.col("p_sum") / F.col("n_bigrams").cast("double")).alias("lm_score"),
+    )
+    return out

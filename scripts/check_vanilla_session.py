@@ -57,6 +57,7 @@ DEFAULT_QUERIES = [
     "kg_multiturn_query_params",
     "stream_events_scd2",
     "curate_group_cap",
+    "text_lm_score",
 ]
 
 

@@ -51,6 +51,7 @@ AUDIT = [
     "events_scd2",
     "curate_group_cap",
     "kg_multiturn_triples",
+    "text_lm_score",
 ]
 
 

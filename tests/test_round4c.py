@@ -600,6 +600,7 @@ def test_registry_window_holds_r4_changes():
         "text_ngram_lm", "kg_triple_type_check", "curate_chunk_documents",
         "events_scd2", "stream_events_scd2", "curate_group_cap",
         "kg_multiturn_triples", "kg_multiturn_query_params",
+        "text_lm_score",
     }
     missing = r4_rows - window
     assert not missing, f"r4 rows outside the driver window: {sorted(missing)}"
@@ -651,3 +652,23 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lm_score_hand_case(spark):
+    """Exact LM-apply semantics on a hand corpus: known conditionals,
+    OOV bigrams contribute 0 and are counted, single-token docs score
+    NULL with zero bigrams."""
+    corpus = [
+        (1, "a b a b"),   # bigrams: (a,b) x2, (b,a) x1
+        (2, "a b z"),     # (a,b), (b,z)
+        (3, "q"),         # no bigrams
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    lm = textops.ngram_lm(df, min_count=2)  # keeps only (a,b): cnt=3
+    out = {r.doc_id: r for r in textops.lm_score(df, lm).collect()}
+    # corpus-wide: head a -> 3 bigrams ((a,b) x3); cond_p(a,b) = 3/3 = 1.0
+    assert out[1].n_bigrams == 3 and out[1].n_oov == 1  # (b,a) pruned -> OOV
+    assert out[1].lm_score == (1.0 + 0.0 + 1.0) / 3
+    assert out[2].n_bigrams == 2 and out[2].n_oov == 1
+    assert out[2].lm_score == (1.0 + 0.0) / 2
+    assert out[3].n_bigrams == 0 and out[3].lm_score is None
