@@ -672,3 +672,92 @@ def test_lm_score_hand_case(spark):
     assert out[2].n_bigrams == 2 and out[2].n_oov == 1
     assert out[2].lm_score == (1.0 + 0.0) / 2
     assert out[3].n_bigrams == 0 and out[3].lm_score is None
+
+
+def test_stream_scd2_checkpoint_recovery(spark, tmp_path):
+    """Kill the SCD2 stream BEFORE any key has emitted (its buffered rows
+    live only in the state store), restart from the checkpoint, drain:
+    the recovered state must still produce the exact batch-equivalent
+    interval set — state-store durability, not just sink idempotency."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from kgx import asof
+    from kgx.streaming import scd2_stream
+
+    def ev(eid, ts, val, uid):
+        return {"user_id": uid, "event_id": eid, "ts": pd.Timestamp(ts), "value": val}
+
+    data = [
+        ev(1, "2025-01-01 10:00:00", 1.0, 1),
+        ev(2, "2025-01-01 10:30:00", 2.0, 1),
+        ev(3, "2025-01-01 10:10:00", 3.0, 2),
+        ev(4, "2025-01-01 11:00:00", 4.0, 2),
+    ]
+    batches = [
+        [data[1], data[2]],  # out of order: later event first
+        [data[0], data[3]],
+        [ev(90, "2025-01-02 00:00:00", 0.0, 9)],  # sentinels drain
+        [ev(91, "2025-01-03 00:00:00", 0.0, 9)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = _time.time() - 3600
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(available_now: bool):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rows = scd2_stream.scd2_events(stream, gap="10 minutes")
+        w = (
+            rows.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # phase 1: stop after the first batch COMMITS but before anything emits
+    q = start(available_now=False)
+    commits = os.path.join(ckpt, "commits")
+    for _ in range(300):
+        if os.path.isdir(commits) and len(
+            [f for f in os.listdir(commits) if not f.startswith(".")]
+        ) >= 1:
+            break
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the same checkpoint, drain everything
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).where(F.col("user_id") < 9)
+    ev_df = spark.createDataFrame(
+        [(d["user_id"], d["event_id"], d["ts"].to_pydatetime(), d["value"]) for d in data],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    want = asof.scd2_intervals(
+        ev_df, key_cols=["user_id"], ts_col="ts", order_tiebreak=["event_id"]
+    )
+    g = sorted(map(tuple, got.toPandas().astype(str).values.tolist()))
+    w2 = sorted(map(tuple, want.toPandas()[got.columns].astype(str).values.tolist()))
+    assert g == w2
