@@ -735,12 +735,13 @@ def embedding_neardup_pairs(
 
 def _fold_dot(a: Column, b: Column) -> Column:
     """Left-to-right double fold of <a, b> — the one IEEE-754 evaluation
-    order every SQL oracle in this repo reproduces (queries._SQL_FOLD_DOT)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    order every SQL oracle in this repo reproduces (queries._SQL_FOLD_DOT).
+    Delegates to kgx.similarity._dot, the canonical kernel, so the two
+    modules cannot drift (a fold-order change there is a fold-order
+    change here)."""
+    from kgx.similarity import _dot
+
+    return _dot(a, b)
 
 
 def pair_cosine(a: Column, b: Column) -> Column:

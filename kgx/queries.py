@@ -4212,9 +4212,9 @@ def stream_entity_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table (dedup.semdedup): literal ±1
     centroids shared verbatim with the oracle (the k-means contract —
-    see ann_ivf_topk), within-cell exact cosine, min-id keeper. tau=0.25
+    see ann_ivf_topk), within-cell exact cosine, min-id keeper. tau=0.35
     sits in this synthetic corpus's near-dup tail (max pairwise cosine
-    ~0.51; tau=0.35 drops 61 of the 500 sf0.01 vectors), so the row
+    ~0.51; it drops 61 of the 500 sf0.01 vectors), so the row
     exercises both kept and dropped vectors."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.semdedup(emb, centroids=_ivf_centroids(8, 64), tau=0.35)

@@ -73,8 +73,12 @@ _STATE = StructType(
 
 
 def _interval_rows(user_id: int, eids: list, tss: list, vals: list) -> pd.DataFrame:
-    """Batch-parity SCD2 over the buffered (event_id, ts_us, value) rows."""
-    rows = sorted(zip(tss, eids, vals))  # (ts, event_id) — the batch order key
+    """Batch-parity SCD2 over the buffered (event_id, ts_us, value) rows.
+
+    The sort KEY is (ts, event_id) only — the batch operator's order key;
+    including value would both diverge from it and crash comparing None
+    against a float when two rows tie on (ts, event_id)."""
+    rows = sorted(zip(tss, eids, vals), key=lambda r: (r[0], r[1]))
     out = []
     for i, (ts, eid, val) in enumerate(rows):
         nxt = rows[i + 1][0] if i + 1 < len(rows) else None
@@ -88,9 +92,16 @@ def _interval_rows(user_id: int, eids: list, tss: list, vals: list) -> pd.DataFr
                 "is_current": nxt is None,
             }
         )
-    return pd.DataFrame(
+    pdf = pd.DataFrame(
         out, columns=["user_id", "event_id", "ts", "value", "valid_to", "is_current"]
     )
+    # keep NULL values NULL: building the frame coerces value to float64
+    # (None -> NaN), and Arrow would emit that NaN as a double NaN, not a
+    # SQL NULL — an object column with real None round-trips as NULL
+    pdf["value"] = pd.array(
+        [None if v is None else float(v) for _, _, v in rows], dtype=object
+    )
+    return pdf
 
 
 def scd2_events(changes: DataFrame, gap: str = "10 minutes") -> DataFrame:
@@ -120,7 +131,10 @@ def scd2_events(changes: DataFrame, gap: str = "10 minutes") -> DataFrame:
         for pdf in pdfs:
             eids.extend(int(v) for v in pdf["event_id"])
             tss.extend((pdf["ts"].astype("int64") // 1_000).tolist())  # ns → us
-            vals.extend(float(v) for v in pdf["value"])
+            # NULL change values arrive as NaN in the pandas batch; keep
+            # them None in state so emission preserves SQL NULL (batch
+            # parity for nullable value columns)
+            vals.extend(None if pd.isna(v) else float(v) for v in pdf["value"])
         state.update((eids, tss, vals))
         state.setTimeoutTimestamp(max(tss) // 1_000 + gap_ms)  # us → ms
         return

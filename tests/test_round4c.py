@@ -761,3 +761,75 @@ def test_stream_scd2_checkpoint_recovery(spark, tmp_path):
     g = sorted(map(tuple, got.toPandas().astype(str).values.tolist()))
     w2 = sorted(map(tuple, want.toPandas()[got.columns].astype(str).values.tolist()))
     assert g == w2
+
+
+def test_stream_scd2_preserves_null_values(spark, tmp_path):
+    """A NULL change value must stay SQL NULL through state and emission
+    (the pandas batch delivers it as NaN; state+emit must not launder it
+    into a double NaN) — batch parity for nullable value columns."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from kgx.streaming import scd2_stream
+
+    batches = [
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(
+                    ["2025-01-01 10:00:00", "2025-01-01 10:05:00"]
+                ).astype("datetime64[us]"),
+                "value": [1.5, None],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "user_id": [9],
+                "event_id": [90],
+                "ts": pd.to_datetime(["2025-01-02 00:00:00"]).astype("datetime64[us]"),
+                "value": [0.0],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "user_id": [9],
+                "event_id": [91],
+                "ts": pd.to_datetime(["2025-01-03 00:00:00"]).astype("datetime64[us]"),
+                "value": [0.0],
+            }
+        ),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = _time.time() - 3600
+    for i, pdf in enumerate(batches):
+        path = f"{src}/b{i}.parquet"
+        pdf.to_parquet(path, index=False)
+        os.utime(path, (base + i * 60, base + i * 60))
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = scd2_stream.scd2_events(stream, gap="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_nulls")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r
+        for r in spark.sql("SELECT * FROM scd2_nulls WHERE user_id = 1").collect()
+    }
+    assert got[1].value == 1.5
+    assert got[2].value is None  # NULL, not NaN
+    assert got[2].is_current
