@@ -63,6 +63,7 @@ HEADLINE = [
     "events_scd2",
     "curate_group_cap",
     "text_lm_score",
+    "events_rolling",
 ]
 
 

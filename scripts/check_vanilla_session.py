@@ -58,6 +58,7 @@ DEFAULT_QUERIES = [
     "stream_events_scd2",
     "curate_group_cap",
     "text_lm_score",
+    "events_rolling",
 ]
 
 

@@ -52,6 +52,7 @@ AUDIT = [
     "curate_group_cap",
     "kg_multiturn_triples",
     "text_lm_score",
+    "events_rolling",
 ]
 
 

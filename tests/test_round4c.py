@@ -600,7 +600,7 @@ def test_registry_window_holds_r4_changes():
         "text_ngram_lm", "kg_triple_type_check", "curate_chunk_documents",
         "events_scd2", "stream_events_scd2", "curate_group_cap",
         "kg_multiturn_triples", "kg_multiturn_query_params",
-        "text_lm_score",
+        "text_lm_score", "events_rolling",
     }
     missing = r4_rows - window
     assert not missing, f"r4 rows outside the driver window: {sorted(missing)}"
@@ -833,3 +833,45 @@ def test_stream_scd2_preserves_null_values(spark, tmp_path):
     assert got[1].value == 1.5
     assert got[2].value is None  # NULL, not NaN
     assert got[2].is_current
+
+
+def test_events_rolling_trailing_window(spark):
+    """RANGE-frame semantics on a hand case: the trailing hour includes
+    events exactly at the boundary (RANGE is value-inclusive), excludes
+    older ones, and same-second peers see each other."""
+    import datetime as dt
+
+    from kgx import queries as q
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(
+        minutes=m, seconds=s
+    )
+    rows = [
+        (1, 1, t(0), 5.0),
+        (1, 2, t(30), 1.0),
+        (1, 3, t(60), 9.0),   # exactly 3600s after e1: still in frame
+        (1, 4, t(60, 1), 2.0),  # 3601s after e1: e1 now out
+        (2, 5, t(0), 7.0),
+        (2, 6, t(0), 3.0),    # same second: RANGE peers include each other
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, value double")
+    import pyspark.sql.functions as F2
+
+    w = (
+        __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("user_id")
+        .orderBy(F2.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    out = {
+        r.event_id: r
+        for r in df.select(
+            "user_id", "event_id",
+            F2.count(F2.lit(1)).over(w).alias("n"),
+            F2.min("value").over(w).alias("mn"),
+            F2.max("value").over(w).alias("mx"),
+        ).collect()
+    }
+    assert out[3].n == 3 and out[3].mn == 1.0 and out[3].mx == 9.0
+    assert out[4].n == 3 and out[4].mn == 1.0 and out[4].mx == 9.0  # e1 aged out
+    assert out[5].n == 2 and out[6].n == 2  # same-second peers
+    assert out[5].mn == 3.0 and out[5].mx == 7.0
