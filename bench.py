@@ -64,6 +64,7 @@ HEADLINE = [
     "curate_group_cap",
     "text_lm_score",
     "events_rolling",
+    "curate_temperature_sample",
 ]
 
 

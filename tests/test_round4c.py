@@ -600,7 +600,7 @@ def test_registry_window_holds_r4_changes():
         "text_ngram_lm", "kg_triple_type_check", "curate_chunk_documents",
         "events_scd2", "stream_events_scd2", "curate_group_cap",
         "kg_multiturn_triples", "kg_multiturn_query_params",
-        "text_lm_score", "events_rolling",
+        "text_lm_score", "events_rolling", "curate_temperature_sample",
     }
     missing = r4_rows - window
     assert not missing, f"r4 rows outside the driver window: {sorted(missing)}"
@@ -875,3 +875,34 @@ def test_events_rolling_trailing_window(spark):
     assert out[4].n == 3 and out[4].mn == 1.0 and out[4].mx == 9.0  # e1 aged out
     assert out[5].n == 2 and out[6].n == 2  # same-second peers
     assert out[5].mn == 3.0 and out[5].mx == 7.0
+
+
+def test_temperature_sample_flattens_toward_uniform(spark):
+    """alpha=0.5 semantics: the smallest stratum keeps everything, and a
+    stratum of size n keeps ~sqrt(n_min*n) docs (geometric flattening);
+    kept sets are the deterministic hash buckets below the derived
+    threshold — recomputed independently here."""
+    import hashlib
+    import math
+
+    from kgx import curation
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(450)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = curation.temperature_sample(df, "lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, set()).add(r.doc_id)
+    # small stratum (50 docs): keep_prob = 1 -> all kept
+    assert len(by["small"]) == 50
+    # big stratum: threshold = floor(sqrt(50/400)*10000) = 3535
+    thresh = math.floor(math.sqrt(50 / 400) * 10000.0)
+    expect = set()
+    for i in range(400):
+        h = int(hashlib.md5(f"big:{i}".encode()).hexdigest()[:15], 16) % 10000
+        if h < thresh:
+            expect.add(i)
+    assert by["big"] == expect
+    # expected kept count ~ 400 * 0.3535 ~ sqrt(50*400) = 141; hash
+    # realization must be in a sane band around it
+    assert abs(len(by["big"]) - math.sqrt(50 * 400)) < 40
