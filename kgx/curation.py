@@ -201,6 +201,18 @@ def pii_redact(
     return docs.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))
 
 
+def _stratum_bucket(stratum_col: str, id_col: str, n_buckets: int) -> "F.Column":
+    """Deterministic per-doc bucket in [0, n_buckets): md5 of
+    "<stratum>:<id>" — the ONE bucket formula both samplers (and their
+    SQL oracles) share, so the cross-engine contract cannot fork."""
+    return F.pmod(
+        md5_hash60(
+            F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))
+        ),
+        F.lit(n_buckets),
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: Mapping[str, float],
@@ -218,10 +230,7 @@ def stratified_sample(
 
     Returns the kept rows as (id_col, stratum_col, bucket).
     """
-    bucket = F.pmod(
-        md5_hash60(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
-        F.lit(10000),
-    )
+    bucket = _stratum_bucket(stratum_col, id_col, 10000)
     # round(), not int(): IEEE representation error makes e.g.
     # 0.57 * 10000 == 5699.999..., and truncation would silently lower the
     # realized rate below the documented `bucket < rate*10000` rule
@@ -350,33 +359,44 @@ def temperature_sample(
     while a general pow(x, alpha) differs across libm implementations in
     the last ulp and would break the cross-engine hash.
 
-    Per-doc keep/drop uses the same md5 bucket as stratified_sample
-    (deterministic, additive); the threshold is floor(keep_prob * 10000)
-    — floor of the SAME double on both engines, mirrored in the oracle.
+    Per-doc keep/drop uses the shared md5 bucket (_stratum_bucket) over a
+    10^8 bucket space — wide enough that floor(keep_prob * 1e8) only
+    quantizes to zero beyond 10^16:1 stratum skew (a 10^4 space zeroed
+    out at 10^8:1, i.e. one junk doc against a 10^8-doc stratum would
+    have DROPPED the large stratum entirely); the threshold floor is the
+    SAME double on both engines, mirrored in the oracle.
+
+    NOT additive, by construction — unlike stratified_sample's fixed
+    rates, the derived rates move when the corpus grows (a new smallest
+    stratum lowers n_min and with it every threshold), so a resample can
+    drop previously-kept docs. Pipelines needing stable membership
+    across corpus growth should derive the rates once and FREEZE them
+    into stratified_sample.
+
+    NULL strata are EXCLUDED from both the rate derivation and the
+    output (a NULL group would otherwise set n_min and silently deflate
+    every real stratum's keep rate); route unknown-stratum docs through
+    an explicit class upstream if they must be sampled.
 
     Returns kept rows as (id_col, stratum_col, n_stratum, n_min, bucket).
 
     Scale shape: one slim groupBy for the stratum counts (map-side
     combine), broadcast back onto the corpus; the filter itself is
     map-only. Text never shuffles."""
-    from pyspark.sql.functions import broadcast
-
-    counts = docs.groupBy(stratum_col).agg(
+    base = docs.where(F.col(stratum_col).isNotNull())
+    counts = base.groupBy(stratum_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_stratum")
     )
     nmin = counts.agg(F.min("n_stratum").cast("bigint").alias("n_min"))
-    bucket = F.pmod(
-        md5_hash60(F.concat_ws(":", F.col(stratum_col), F.col(id_col).cast("string"))),
-        F.lit(10000),
-    )
+    bucket = _stratum_bucket(stratum_col, id_col, 100_000_000)
     keep_prob = F.sqrt(
         F.col("n_min").cast("double") / F.col("n_stratum").cast("double")
     )
-    thresh = F.floor(keep_prob * F.lit(10000.0))
+    thresh = F.floor(keep_prob * F.lit(100_000_000.0))
     return (
-        docs.select(F.col(id_col), F.col(stratum_col), bucket.alias("bucket"))
-        .join(broadcast(counts), stratum_col)
-        .join(broadcast(nmin))
+        base.select(F.col(id_col), F.col(stratum_col), bucket.alias("bucket"))
+        .join(F.broadcast(counts), stratum_col)
+        .join(F.broadcast(nmin))
         .where(F.col("bucket") < thresh)
         .select(id_col, stratum_col, "n_stratum", "n_min", "bucket")
     )

@@ -4785,19 +4785,21 @@ def curate_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CURATE_TEMPERATURE_SQL = """
 WITH counts AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM documents GROUP BY 1
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
 ),
 nm AS (SELECT CAST(min(n_stratum) AS BIGINT) AS n_min FROM counts),
 b AS (
   SELECT d.doc_id, d.lang,
          CAST(('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
-              AS BIGINT) % 10000 AS bucket,
+              AS BIGINT) % 100000000 AS bucket,
          c.n_stratum, nm.n_min
   FROM documents d JOIN counts c USING (lang), nm
+  WHERE d.lang IS NOT NULL
 )
 SELECT doc_id, lang, n_stratum, n_min, bucket
 FROM b
-WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 10000.0)
+WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 100000000.0)
 """
 
 

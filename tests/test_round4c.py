@@ -895,14 +895,30 @@ def test_temperature_sample_flattens_toward_uniform(spark):
         by.setdefault(r.lang, set()).add(r.doc_id)
     # small stratum (50 docs): keep_prob = 1 -> all kept
     assert len(by["small"]) == 50
-    # big stratum: threshold = floor(sqrt(50/400)*10000) = 3535
-    thresh = math.floor(math.sqrt(50 / 400) * 10000.0)
+    # big stratum: threshold = floor(sqrt(50/400) * 1e8)
+    thresh = math.floor(math.sqrt(50 / 400) * 100_000_000.0)
     expect = set()
     for i in range(400):
-        h = int(hashlib.md5(f"big:{i}".encode()).hexdigest()[:15], 16) % 10000
+        h = int(hashlib.md5(f"big:{i}".encode()).hexdigest()[:15], 16) % 100_000_000
         if h < thresh:
             expect.add(i)
     assert by["big"] == expect
     # expected kept count ~ 400 * 0.3535 ~ sqrt(50*400) = 141; hash
     # realization must be in a sane band around it
     assert abs(len(by["big"]) - math.sqrt(50 * 400)) < 40
+
+
+def test_temperature_sample_excludes_null_strata(spark):
+    """A NULL stratum must not poison n_min (which would deflate every
+    real stratum's keep rate) and NULL-stratum docs are excluded from
+    the output — the documented contract."""
+    from kgx import curation
+
+    rows = [(i, "big") for i in range(100)] + [(100 + i, "small") for i in range(20)]
+    rows += [(200 + i, None) for i in range(3)]  # 3-doc NULL group
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.temperature_sample(df, "lang").collect()
+    assert all(r.lang is not None for r in out)
+    # n_min must be 20 (the smallest REAL stratum), not 3
+    assert {r.n_min for r in out} == {20}
+    assert sum(1 for r in out if r.lang == "small") == 20  # keeps everything
