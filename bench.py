@@ -65,6 +65,7 @@ HEADLINE = [
     "text_lm_score",
     "events_rolling",
     "curate_temperature_sample",
+    "text_bpe_pairs",
 ]
 
 

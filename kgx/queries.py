@@ -4803,6 +4803,49 @@ WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 1
 """
 
 
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE-training iteration over the corpus vocabulary
+    (textops.bpe_pair_counts, merges=[]): adjacent-character pair counts
+    weighted by word frequency, top-30 — the distributed kernel of
+    tokenizer induction (the multi-merge trainer bpe_train is
+    differential-tested against a pure-Python BPE; its per-iteration
+    statistics are exactly this query under the learned merges)."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(textops.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pc = textops.bpe_pair_counts(wf, merges=[])
+    w = Window.orderBy(F.col("cnt").desc(), F.col("sym_a").asc(), F.col("sym_b").asc())
+    return (
+        pc.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 30)
+    )
+
+
+TEXT_BPE_PAIRS_SQL = r"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+ch AS (
+  SELECT freq, substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b
+  FROM wf, unnest(range(1, len(word))) t(i)
+),
+pc AS (
+  SELECT sym_a, sym_b, CAST(sum(freq) AS BIGINT) AS cnt FROM ch GROUP BY 1, 2
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cnt DESC, sym_a ASC, sym_b ASC)
+                 AS BIGINT) AS rank
+  FROM pc
+)
+SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 30
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4814,7 +4857,7 @@ WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 1
 # verified green in round 3, unchanged since — freshest evidence, so
 # they cycle last. Late-round-4 amendment: with the round-4c additions
 # (SemDeDup, dup-substring coverage, BM25, bigram LM) tier 2 grew past
-# the window, so thirteen tier-1 rows whose code paths are ALSO exercised by
+# the window, so fourteen tier-1 rows whose code paths are ALSO exercised by
 # in-window rows are demoted to tier 3 (sketch_hll_merge shares
 # SKETCH_HLL_SQL with in-window sketch_hll_users; mm_image_features /
 # mm_audio_features / mm_frame_sample share the mapInPandas plumbing the
@@ -4830,7 +4873,9 @@ WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 1
 # in-window text_tfidf_topk / text_ngram_lm rows execute; sessionize's
 # gap-window shape is represented in-window by events_scd2/events_rolling
 # and its stateful twin by the stream rows; curate_pii_redact is a pure
-# JVM-regex map op whose shared-regex-subset contract is pytest-pinned) —
+# JVM-regex map op whose shared-regex-subset contract is pytest-pinned;
+# curate_pack_sequences' grouped-Arrow machinery runs in-window via the
+# stateful stream rows and its greedy rule is pytest-pinned) —
 # changed-in-r4 rows take priority over stale-but-unchanged ones for the
 # hard driver signal.
 REGISTRY: dict[str, tuple] = {
@@ -4850,7 +4895,6 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "sketch_hll_users": (sketch_hll_users, SKETCH_HLL_SQL),
     "curate_contamination": (curate_contamination, CURATE_CONTAM_SQL),
-    "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
     "curate_stratified_sample": (curate_stratified_sample, CURATE_SAMPLE_SQL),
     "curate_keep_list": (curate_keep_list, CURATE_KEEP_SQL),
     # -- (2) new or changed in round 4 --
@@ -4887,10 +4931,12 @@ REGISTRY: dict[str, tuple] = {
     "text_lm_score": (text_lm_score, TEXT_LM_SCORE_SQL),
     "events_rolling": (events_rolling, EVENTS_ROLLING_SQL),
     "curate_temperature_sample": (curate_temperature_sample, CURATE_TEMPERATURE_SQL),
+    "text_bpe_pairs": (text_bpe_pairs, TEXT_BPE_PAIRS_SQL),
     "kg_multiturn_triples": (kg_multiturn_triples, KG_MT_DOCUMENT_SQL),
     "kg_multiturn_query_params": (kg_multiturn_query_params, KG_MT_QUERY_PARAMS_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
     "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "text_vocab_stats": (text_vocab_stats, TEXT_VOCAB_SQL),

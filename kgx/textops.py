@@ -19,6 +19,9 @@ Operators:
   * lm_score           — apply the bigram LM back to documents: mean
                          conditional probability + OOV counts (the CCNet
                          LM-filter apply side)
+  * bpe_pair_counts / bpe_train — distributed BPE tokenizer induction
+                         over the word-frequency table (corpus pass
+                         happens once; training runs over |vocab|)
 """
 
 from __future__ import annotations
@@ -520,3 +523,94 @@ def lm_score(
         (F.col("p_sum") / F.col("n_bigrams").cast("double")).alias("lm_score"),
     )
     return out
+
+
+def _apply_merges(chars: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply BPE merges IN ORDER to a symbol array, each as a greedy
+    left-to-right fold (the classic merge semantics: [a,a,a] under (a,a)
+    becomes [aa, a]). Loop-form expression per merge — bounded depth
+    |merges|, never an unrolled cross product (the PQ codegen lesson)."""
+    def step(a: str, b: str):
+        merged = a + b
+
+        def fold(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return fold
+
+    out = chars
+    for a, b in merges:
+        out = F.aggregate(out, F.array().cast("array<string>"), step(a, b))
+    return out
+
+
+def bpe_pair_counts(
+    word_freq: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """One BPE-training iteration's pair statistics (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units"
+    — public method): adjacent-symbol pair counts over the word-frequency
+    table, weighted by word frequency, AFTER applying the merges learned
+    so far. Returns (sym_a, sym_b, cnt) — argmax(cnt) is the next merge.
+
+    Scale shape: BPE training runs over the |vocab|-row word-frequency
+    table, not the corpus (the corpus collapses to (word, freq) once);
+    symbol splitting and merge application are in-row array ops, and the
+    pair count is one groupBy with map-side combine on slim
+    (sym_a, sym_b) keys. This is what makes tokenizer induction feasible
+    on-cluster at any corpus size — the expensive corpus pass happens
+    exactly once."""
+    chars = F.split(F.col(word_col), "")
+    syms = _apply_merges(chars, merges or [])
+    w = word_freq.select(F.col(freq_col).alias("freq"), syms.alias("syms"))
+    m = F.size(F.col("syms")) - F.lit(1)
+    pairs = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.struct(
+                F.element_at(F.col("syms"), i).alias("sym_a"),
+                F.element_at(F.col("syms"), i + F.lit(1)).alias("sym_b"),
+            ),
+        ),
+    ).otherwise(F.array())
+    return (
+        w.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+
+def bpe_train(
+    word_freq: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[str, str]]:
+    """Learn n_merges BPE merges: per iteration, count pairs under the
+    merges so far and take the most frequent (ties broken
+    lexicographically — deterministic, parallelism-independent). Driver
+    state is the merge list (tiny by construction — the same collect
+    contract as similarity.kmeans_centroids)."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            bpe_pair_counts(word_freq, merges, word_col, freq_col)
+            .orderBy(F.col("cnt").desc(), F.col("sym_a").asc(), F.col("sym_b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append((top[0]["sym_a"], top[0]["sym_b"]))
+    return merges

@@ -60,6 +60,7 @@ DEFAULT_QUERIES = [
     "text_lm_score",
     "events_rolling",
     "curate_temperature_sample",
+    "text_bpe_pairs",
 ]
 
 

@@ -54,6 +54,7 @@ AUDIT = [
     "text_lm_score",
     "events_rolling",
     "curate_temperature_sample",
+    "text_bpe_pairs",
 ]
 
 

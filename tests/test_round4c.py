@@ -601,6 +601,7 @@ def test_registry_window_holds_r4_changes():
         "events_scd2", "stream_events_scd2", "curate_group_cap",
         "kg_multiturn_triples", "kg_multiturn_query_params",
         "text_lm_score", "events_rolling", "curate_temperature_sample",
+        "text_bpe_pairs",
     }
     missing = r4_rows - window
     assert not missing, f"r4 rows outside the driver window: {sorted(missing)}"
@@ -922,3 +923,69 @@ def test_temperature_sample_excludes_null_strata(spark):
     # n_min must be 20 (the smallest REAL stratum), not 3
     assert {r.n_min for r in out} == {20}
     assert sum(1 for r in out if r.lang == "small") == 20  # keeps everything
+
+
+def _py_bpe_train(word_freq: dict, n_merges: int):
+    """Reference BPE trainer (pure Python, greedy leftmost merges, most
+    frequent pair first, lexicographic tie-break)."""
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freq.items():
+            syms = list(w)
+            for a, b in merges:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        top = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(top[0])
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, docs):
+    """Differential test: 5 merges learned on the real corpus vocabulary
+    equal a from-scratch pure-Python BPE trainer's (same greedy fold,
+    same tie-break) — the whole train loop, not just one iteration."""
+    from kgx import textops as T
+
+    wf_df = (
+        docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    got = T.bpe_train(wf_df, 5)
+    wf = {r.word: r.freq for r in wf_df.collect()}
+    assert got == _py_bpe_train(wf, 5)
+
+
+def test_bpe_apply_merges_greedy_edges(spark):
+    """Greedy leftmost semantics: [a,a,a] under (a,a) -> [aa, a]; chained
+    merges compose in order; merged symbols do not re-trigger on their
+    parts."""
+    from kgx import textops as T
+
+    df = spark.createDataFrame(
+        [("aaa",), ("abab",), ("aab",)], ["word"]
+    )
+    out = {
+        r.word: r.s
+        for r in df.select(
+            "word",
+            T._apply_merges(
+                F.split(F.col("word"), ""), [("a", "a"), ("aa", "b")]
+            ).alias("s"),
+        ).collect()
+    }
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aab"] == ["aab"]  # (a,a) then (aa,b)
+    assert out["abab"] == ["a", "b", "a", "b"]  # no (a,b) merge learned
