@@ -66,6 +66,7 @@ HEADLINE = [
     "events_rolling",
     "curate_temperature_sample",
     "text_bpe_pairs",
+    "events_outliers",
 ]
 
 

@@ -4846,6 +4846,47 @@ SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 30
 """
 
 
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based outlier flagging per event_type: the top 1% of
+    events by value (k = (n * 1) div 100, PURE INTEGER — a float
+    0.01*n would floor differently from exact arithmetic for some n, and
+    moment-based z-scores need float sums whose accumulation order is
+    engine-chosen; exact order statistics sidestep both). The
+    winsorization/trim prep of a curation pipeline: one window shuffle
+    keyed by the group, slim (group, value, id) rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("bigint").alias("value_rank"),
+            n.cast("bigint").alias("n_group"),
+        )
+        .withColumn("k_cut", F.expr("n_group div 100").cast("bigint"))
+        .where(F.col("value_rank") <= F.col("k_cut"))
+    )
+
+
+EVENTS_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id ASC) AS BIGINT)
+           AS value_rank,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_group
+  FROM events
+)
+SELECT event_type, event_id, value, value_rank, n_group,
+       CAST(n_group // 100 AS BIGINT) AS k_cut
+FROM r WHERE value_rank <= n_group // 100
+"""
+
+
 # Registry ORDER is a correctness-evidence policy, not cosmetics: the
 # external driver verifies a prefix window of this dict (50 rows per
 # round). Round-4 policy (VERDICT r3 #1): (1) the 31 rows whose latest
@@ -4857,7 +4898,7 @@ SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 30
 # verified green in round 3, unchanged since — freshest evidence, so
 # they cycle last. Late-round-4 amendment: with the round-4c additions
 # (SemDeDup, dup-substring coverage, BM25, bigram LM) tier 2 grew past
-# the window, so fourteen tier-1 rows whose code paths are ALSO exercised by
+# the window, so fifteen tier-1 rows whose code paths are ALSO exercised by
 # in-window rows are demoted to tier 3 (sketch_hll_merge shares
 # SKETCH_HLL_SQL with in-window sketch_hll_users; mm_image_features /
 # mm_audio_features / mm_frame_sample share the mapInPandas plumbing the
@@ -4875,7 +4916,9 @@ SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 30
 # and its stateful twin by the stream rows; curate_pii_redact is a pure
 # JVM-regex map op whose shared-regex-subset contract is pytest-pinned;
 # curate_pack_sequences' grouped-Arrow machinery runs in-window via the
-# stateful stream rows and its greedy rule is pytest-pinned) —
+# stateful stream rows and its greedy rule is pytest-pinned;
+# j7_dom_binning's expression ladder runs inside the in-window
+# kg_document_triples fuzzy rows) —
 # changed-in-r4 rows take priority over stale-but-unchanged ones for the
 # hard driver signal.
 REGISTRY: dict[str, tuple] = {
@@ -4887,7 +4930,6 @@ REGISTRY: dict[str, tuple] = {
     "w2_first_wins": (w2_first_wins, W2_SQL),
     "a1_posneg_ratio": (a1_posneg_ratio, A1_SQL),
     "a3_group_score": (a3_group_score, A3_SQL),
-    "j7_dom_binning": (j7_dom_binning, J7_SQL),
     "j1_entity_link": (j1_entity_link, J1_SQL),
     "p1_routing_union": (p1_routing_union, P1_SQL),
     "a7_word_counts": (a7_word_counts, A7_SQL),
@@ -4932,10 +4974,12 @@ REGISTRY: dict[str, tuple] = {
     "events_rolling": (events_rolling, EVENTS_ROLLING_SQL),
     "curate_temperature_sample": (curate_temperature_sample, CURATE_TEMPERATURE_SQL),
     "text_bpe_pairs": (text_bpe_pairs, TEXT_BPE_PAIRS_SQL),
+    "events_outliers": (events_outliers, EVENTS_OUTLIERS_SQL),
     "kg_multiturn_triples": (kg_multiturn_triples, KG_MT_DOCUMENT_SQL),
     "kg_multiturn_query_params": (kg_multiturn_query_params, KG_MT_QUERY_PARAMS_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "j7_dom_binning": (j7_dom_binning, J7_SQL),
     "curate_pack_sequences": (curate_pack_sequences, CURATE_PACK_SQL),
     "curate_pii_redact": (curate_pii_redact, CURATE_PII_SQL),
     "sessionize": (sessionize, SESSIONIZE_SQL),

@@ -61,6 +61,7 @@ DEFAULT_QUERIES = [
     "events_rolling",
     "curate_temperature_sample",
     "text_bpe_pairs",
+    "events_outliers",
 ]
 
 

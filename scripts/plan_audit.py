@@ -55,6 +55,7 @@ AUDIT = [
     "events_rolling",
     "curate_temperature_sample",
     "text_bpe_pairs",
+    "events_outliers",
 ]
 
 

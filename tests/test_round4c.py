@@ -601,7 +601,7 @@ def test_registry_window_holds_r4_changes():
         "events_scd2", "stream_events_scd2", "curate_group_cap",
         "kg_multiturn_triples", "kg_multiturn_query_params",
         "text_lm_score", "events_rolling", "curate_temperature_sample",
-        "text_bpe_pairs",
+        "text_bpe_pairs", "events_outliers",
     }
     missing = r4_rows - window
     assert not missing, f"r4 rows outside the driver window: {sorted(missing)}"
@@ -989,3 +989,27 @@ def test_bpe_apply_merges_greedy_edges(spark):
     assert out["aaa"] == ["aa", "a"]
     assert out["aab"] == ["aab"]  # (a,a) then (aa,b)
     assert out["abab"] == ["a", "b", "a", "b"]  # no (a,b) merge learned
+
+
+def test_events_outliers_integer_cut(spark):
+    """k = n div 100 exactly: groups under 100 rows flag nothing; a
+    200-row group flags exactly its top-2 values with deterministic
+    event_id tie-break."""
+    from kgx import queries as q
+
+    rows = [("big", i, float(i % 50)) for i in range(200)]
+    rows += [("small", 1000 + i, float(i)) for i in range(99)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="kgx_outl_")
+    df.select(
+        F.col("event_id"), F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"), "event_type", "value",
+        F.lit(None).cast("string").alias("props"),
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = q.events_outliers(spark, d).collect()
+    assert all(r.event_type == "big" for r in out)  # small group: k = 0
+    assert len(out) == 2
+    # top value 49.0 appears 4x (ids 49, 99, 149, 199): smallest two ids win
+    assert sorted(r.event_id for r in out) == [49, 99]
