@@ -409,7 +409,42 @@ def main() -> None:
     if scaling:
         payload["scaling"] = scaling
         write_baseline_md(scaling, sf)
-    print(json.dumps(payload))
+    # Full detail (per-pass lists, skew probe, scaling trials) goes to the
+    # BENCH/ file; the FINAL stdout line is a compact headline the driver can
+    # capture whole. Round 4's driver record came back `parsed: null` because
+    # this line carried the full payload and outgrew the driver's 2,000-char
+    # tail capture — the numbers existed only in BENCH/BENCH_local.json.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BENCH_local.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    headline = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(v, 2) for n, v in timings.items()},
+        "sf": sf,
+        "detail": "BENCH/BENCH_local.json",
+    }
+    if scaling:
+        headline["scaling_efficiency"] = scaling.get("scaling_efficiency")
+        headline["triples_per_sec_4n"] = scaling.get("local4N", {}).get(
+            "triples_per_sec"
+        )
+    if skew:
+        headline["skew_flatten_factor"] = skew.get("max_group", {}).get(
+            "flatten_factor"
+        )
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the driver's tail capture no matter what
+        headline.pop("skew_flatten_factor", None)
+        headline["queries"] = {
+            n: round(v, 1) for n, v in sorted(
+                timings.items(), key=lambda kv: -kv[1]
+            )[:30]
+        }
+        headline["queries_truncated_to_slowest"] = 30
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

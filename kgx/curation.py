@@ -320,6 +320,12 @@ def group_cap(
 
     Returns the kept rows as (id_col, group_col, hash_rank, rank).
 
+    NULL groups are EXCLUDED (same contract as temperature_sample's NULL
+    strata): a NULL group value has no meaningful "domain" to cap, and
+    the engines disagree on NULL concatenation (Spark concat_ws skips
+    NULLs, ANSI `||` propagates them), so defining the operator only on
+    non-NULL groups keeps its behavior identical everywhere.
+
     Scale shape: one window shuffle keyed by the group over SLIM
     (id, group, hash) rows — text never moves. Hot groups (the reason the
     cap exists) concentrate rows on one reducer; at 10^12 docs cap the
@@ -330,7 +336,10 @@ def group_cap(
     h = md5_hash60(
         F.concat_ws(":", F.col(group_col), F.col(id_col).cast("string"))
     )
-    slim = docs.select(F.col(id_col), F.col(group_col), h.alias("hash_rank"))
+    slim = (
+        docs.where(F.col(group_col).isNotNull())
+        .select(F.col(id_col), F.col(group_col), h.alias("hash_rank"))
+    )
     w = Window.partitionBy(group_col).orderBy(
         F.col("hash_rank").asc(), F.col(id_col).asc()
     )

@@ -151,9 +151,12 @@ def triple_type_check(
     Emits one row per fact:
       (conv_id, turn_idx, subj_name, subj_type, pred, indicator_uri,
        domain_ok, range_ok, is_valid)
-    domain_ok is NULL for an unruled predicate, range_ok NULL for
-    non-indicator facts; is_valid = coalesce(domain_ok, false) AND
-    coalesce(range_ok, true) — strict on domain, vacuous on absent range.
+    domain_ok is NULL for an unruled predicate; range_ok is NULL only for
+    non-indicator facts — an indicator-backed fact whose indicator_uri is
+    ABSENT from the KB dim is a dangling reference and gets
+    range_ok=false (the left-join miss must not vacuously pass);
+    is_valid = coalesce(domain_ok, false) AND coalesce(range_ok, true) —
+    strict on domain, vacuous only when no range constraint applies.
 
     Scale shape: two broadcast hash joins against O(10)-row dims; the
     fact stream never shuffles. Validation is a map over the extraction
@@ -170,7 +173,9 @@ def triple_type_check(
     domain_ok = F.array_contains("allowed", F.col("entity_type"))
     range_ok = F.when(
         F.col("indicator_uri").isNotNull(),
-        F.col("entity_type") == F.col("object_class"),
+        F.coalesce(
+            F.col("entity_type") == F.col("object_class"), F.lit(False)
+        ),
     )
     return (
         facts.join(F.broadcast(rdf), "pred", "left")

@@ -4425,10 +4425,11 @@ SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.typ AS subj_type,
        f.pred, f.indicator_uri,
        list_contains(r.allowed, f.typ) AS domain_ok,
        CASE WHEN f.indicator_uri IS NULL THEN NULL
-            ELSE f.typ = i.object_class END AS range_ok,
+            ELSE coalesce(f.typ = i.object_class, FALSE) END AS range_ok,
        (coalesce(list_contains(r.allowed, f.typ), FALSE)
         AND coalesce(CASE WHEN f.indicator_uri IS NULL THEN NULL
-                          ELSE f.typ = i.object_class END, TRUE)) AS is_valid
+                          ELSE coalesce(f.typ = i.object_class, FALSE)
+                     END, TRUE)) AS is_valid
 FROM facts f
 LEFT JOIN rules r USING (pred)
 LEFT JOIN inds i USING (indicator_uri)
@@ -4674,6 +4675,7 @@ WITH slim AS (
          CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
               AS BIGINT) AS hash_rank
   FROM documents
+  WHERE source IS NOT NULL
 ),
 r AS (
   SELECT doc_id, source, hash_rank,
@@ -4741,6 +4743,13 @@ def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frame accumulates in engine-chosen order (Spark running-agg vs
     DuckDB segment-tree) and would not hash cross-engine; the exact-sum
     variants live in the decimal groupBy rows.
+
+    GRANULARITY CONTRACT: the frame is ordered by unix_timestamp(ts) —
+    WHOLE SECONDS (the oracle floors epoch identically). Events in the
+    same second are frame peers regardless of sub-second order, and the
+    trailing-hour boundary is second-granular. For microsecond boundaries
+    order by the microsecond epoch (ts.cast("bigint") in Spark /
+    epoch_us in DuckDB) and scale the range to 3_600_000_000.
 
     Scale shape: ONE window shuffle keyed by user_id, frame state bounded
     by events-per-key-per-hour. The sessionize/asof family's time-bucket
