@@ -40,7 +40,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -275,6 +275,204 @@ def make_mp4(duration_ms: int, timescale: int = 48000, v1: bool = False) -> byte
     return ftyp + box(b"moov", box(b"mvhd", mvhd))
 
 
+def make_mp4_with_samples(
+    frame_sizes: list[int],
+    frame_dur_ticks: int,
+    timescale: int = 1000,
+    chunk_frames: int = 1,
+) -> bytes:
+    """A spec-shaped ISO-BMFF file WITH a real sample table: ftyp +
+    moov{mvhd, trak{mdia{mdhd, minf{stbl{stts, stsc, stsz, stco}}}}} +
+    mdat whose payload is exactly sum(frame_sizes) bytes. Chunk offsets in
+    stco are ABSOLUTE file offsets into the mdat payload (chunks laid out
+    contiguously, chunk_frames samples per chunk, remainder in a final
+    short chunk) — the same boxes a demuxer seeks by. Deterministic."""
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    n = len(frame_sizes)
+    duration = n * frame_dur_ticks
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = b"\x00" * 4 + struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80
+    mdhd = b"\x00" * 4 + struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0)
+    stts = b"\x00" * 4 + struct.pack(">III", 1, n, frame_dur_ticks)
+    # sample-to-chunk runs: full chunks of chunk_frames, then the remainder
+    full, rem = divmod(n, chunk_frames)
+    stsc_entries = []
+    if full:
+        stsc_entries.append((1, chunk_frames))
+    if rem:
+        stsc_entries.append((full + 1, rem))
+    stsc = b"\x00" * 4 + struct.pack(">I", len(stsc_entries)) + b"".join(
+        struct.pack(">III", first, spc, 1) for first, spc in stsc_entries
+    )
+    stsz = b"\x00" * 4 + struct.pack(">II", 0, n) + b"".join(
+        struct.pack(">I", s) for s in frame_sizes
+    )
+    n_chunks = full + (1 if rem else 0)
+
+    def build(chunk_offsets: list[int]) -> bytes:
+        stco = b"\x00" * 4 + struct.pack(">I", n_chunks) + b"".join(
+            struct.pack(">I", o) for o in chunk_offsets
+        )
+        stbl = box(b"stbl", box(b"stts", stts) + box(b"stsc", stsc)
+                   + box(b"stsz", stsz) + box(b"stco", stco))
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", box(b"mdhd", mdhd) + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+        return ftyp + moov + box(b"mdat", b"\x00" * sum(frame_sizes))
+
+    # two-pass: stco depends on moov's own length, which is offset-count
+    # dependent but not offset-value dependent — build once with zeros to
+    # measure, then write the real absolute offsets
+    probe = build([0] * n_chunks)
+    mdat_data_start = len(probe) - sum(frame_sizes)
+    offsets, pos, i = [], mdat_data_start, 0
+    for ei, (first, spc) in enumerate(stsc_entries):
+        last_chunk = (stsc_entries[ei + 1][0] - 1
+                      if ei + 1 < len(stsc_entries) else n_chunks)
+        for _c in range(first, last_chunk + 1):
+            offsets.append(pos)
+            for _s in range(spc):
+                pos += frame_sizes[i]
+                i += 1
+    return build(offsets)
+
+
+def parse_mp4_sample_table(
+    payload: bytes | None,
+) -> list[tuple[int, int, int, int]]:
+    """REAL header-only frame index: (frame_idx, ts_ms, byte_offset, size)
+    rows decoded from the first track's sample tables — stts (decode
+    deltas), stsz (sizes), stsc+stco/co64 (chunk layout → absolute byte
+    offsets) under the mdhd media timescale. This is exactly the seek
+    index a demuxer builds before touching any codec: frame SAMPLING
+    becomes real from headers alone, while frame DECODE stays honestly
+    gated on av/ffmpeg (absent here). Empty list for non-BMFF or
+    table-less bytes — corrupt media is data, not an exception.
+
+    Reference analogue: per-document content metadata extraction
+    (DocumentMetaData.java:20-24), extended to the sample level."""
+    if not payload or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return []
+    try:
+        def boxes(buf: bytes, i: int, end: int):
+            while i + 8 <= end:
+                size = struct.unpack(">I", buf[i : i + 4])[0]
+                tag = buf[i + 4 : i + 8]
+                hdr = 8
+                if size == 1:
+                    if i + 16 > end:
+                        return
+                    size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+                    hdr = 16
+                elif size == 0:
+                    size = end - i
+                if size < hdr:
+                    return
+                yield tag, i + hdr, min(i + size, end)
+                i += size
+
+        def find(buf, s, e, tag):
+            for t, s2, e2 in boxes(buf, s, e):
+                if t == tag:
+                    return s2, e2
+            return None
+
+        moov = find(payload, 0, len(payload), b"moov")
+        if not moov:
+            return []
+        trak = find(payload, *moov, b"trak")
+        if not trak:
+            return []
+        mdia = find(payload, *trak, b"mdia")
+        if not mdia:
+            return []
+        mdhd = find(payload, *mdia, b"mdhd")
+        minf = find(payload, *mdia, b"minf")
+        if not mdhd or not minf:
+            return []
+        v = payload[mdhd[0]]
+        timescale = struct.unpack(
+            ">I", payload[mdhd[0] + (20 if v == 1 else 12):][:4]
+        )[0]
+        stbl = find(payload, *minf, b"stbl")
+        if not stbl or not timescale:
+            return []
+        tables: dict[bytes, tuple[int, int]] = {}
+        for t, s2, e2 in boxes(payload, *stbl):
+            tables[t] = (s2, e2)
+        if b"stts" not in tables or b"stsz" not in tables:
+            return []
+
+        def u32s(s, e, off, cnt):
+            return list(struct.unpack(f">{cnt}I", payload[s + off : s + off + 4 * cnt]))
+
+        # stts -> per-sample decode ticks
+        s, e = tables[b"stts"]
+        n_ent = struct.unpack(">I", payload[s + 4 : s + 8])[0]
+        deltas: list[int] = []
+        for i in range(n_ent):
+            cnt, dur = struct.unpack(">II", payload[s + 8 + 8 * i : s + 16 + 8 * i])
+            deltas.extend([dur] * cnt)
+        # stsz -> sizes
+        s, e = tables[b"stsz"]
+        uniform, n_samples = struct.unpack(">II", payload[s + 4 : s + 12])
+        sizes = ([uniform] * n_samples if uniform
+                 else u32s(s, e, 12, n_samples))
+        # stco / co64 -> chunk offsets
+        if b"stco" in tables:
+            s, e = tables[b"stco"]
+            n_chunks = struct.unpack(">I", payload[s + 4 : s + 8])[0]
+            chunk_offs = u32s(s, e, 8, n_chunks)
+        elif b"co64" in tables:
+            s, e = tables[b"co64"]
+            n_chunks = struct.unpack(">I", payload[s + 4 : s + 8])[0]
+            chunk_offs = list(struct.unpack(
+                f">{n_chunks}Q", payload[s + 8 : s + 8 + 8 * n_chunks]
+            ))
+        else:
+            return []
+        # stsc -> samples per chunk runs
+        s, e = tables.get(b"stsc", (None, None))
+        runs: list[tuple[int, int]] = []
+        if s is not None:
+            n_ent = struct.unpack(">I", payload[s + 4 : s + 8])[0]
+            for i in range(n_ent):
+                first, spc, _d = struct.unpack(
+                    ">III", payload[s + 8 + 12 * i : s + 20 + 12 * i]
+                )
+                runs.append((first, spc))
+        if not runs:
+            runs = [(1, 1)]
+
+        rows: list[tuple[int, int, int, int]] = []
+        ticks = 0
+        sample = 0
+        for ri, (first, spc) in enumerate(runs):
+            last = (runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(chunk_offs))
+            for c in range(first, last + 1):
+                if c > len(chunk_offs) or sample >= n_samples:
+                    break
+                off = chunk_offs[c - 1]
+                for _k in range(spc):
+                    if sample >= n_samples:
+                        break
+                    rows.append((
+                        sample,
+                        ticks * 1000 // timescale,
+                        off,
+                        sizes[sample],
+                    ))
+                    off += sizes[sample]
+                    ticks += deltas[sample] if sample < len(deltas) else 0
+                    sample += 1
+        return rows
+    except (struct.error, IndexError):
+        return []
+
+
 def make_wav(sample_rate: int, n_samples: int, channels: int = 1, bits: int = 16) -> bytes:
     """A complete, spec-valid PCM WAV (silence) with the given geometry.
     Deterministic; duration_ms = n_samples*1000 // sample_rate."""
@@ -455,16 +653,70 @@ def video_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+FRAME_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("ts_ms", LongType(), False),
+        StructField("byte_offset", LongType(), False),
+        StructField("size", LongType(), False),
+    ]
+)
+
+
+def video_frame_index(media: DataFrame) -> DataFrame:
+    """REAL header-only frame index: one row per sample
+    (media_id, frame_idx, ts_ms, byte_offset, size) decoded from each
+    video payload's ISO-BMFF sample tables (stts/stsz/stsc/stco) by
+    parse_mp4_sample_table — exactly the seek index a demuxer builds
+    before touching a codec, so frame SAMPLING and byte-range fetch
+    planning are real from headers alone. Frame DECODE (pixels) stays
+    honestly gated on av/ffmpeg, which this environment does not ship.
+
+    Scale shape: payload pruned to this one mapInPandas stage; output is
+    slim fixed-width rows (~40 bytes/frame), no shuffle — a pure map over
+    any corpus size."""
+    pruned = media.filter(F.col("kind") == "video").select("media_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "ts_ms", "byte_offset", "size"]
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else None
+                for fi, ts, off, sz in parse_mp4_sample_table(raw):
+                    rows.append((int(mid), fi, ts, off, sz))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pruned.mapInPandas(batches, FRAME_INDEX_SCHEMA)
+
+
 def sample_video_frames(
     media: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
-    """Frame-sampling plumbing: emits (media_id, frame_idx, ts_ms) rows.
-    Video is the one modality still fully stubbed: frame extraction needs
-    a container demuxer + codec (av/ffmpeg, absent here), and unlike
-    image/audio there is no header-only kernel that yields frames."""
+    """Frame sampling. fake=False (default) is REAL from round 5 on: the
+    header-only sample table (video_frame_index) yields every frame's
+    timestamp and byte range, and one frame per every_ms bucket is kept —
+    the first by frame_idx within each floor(ts_ms/every_ms) bucket, the
+    deterministic nearest-from-above rule — emitting (media_id,
+    frame_idx, ts_ms, byte_offset, size). Pixel decode of the sampled
+    frames stays gated on av/ffmpeg (absent here); the byte ranges are
+    what a decode stage would fetch.
+
+    fake=True keeps the round-3 duration-arithmetic plumbing rows
+    (media_id, frame_idx, ts_ms) for payloads without sample tables.
+
+    Scale shape: map stage + ONE window shuffle keyed by media_id (frame
+    counts per video bound the partition; no text/payload moves)."""
     if not fake:
-        raise NotImplementedError(
-            "video decode requires av/ffmpeg; pass fake=True for plumbing tests"
+        idx = video_frame_index(media)
+        w = Window.partitionBy(
+            "media_id", (F.col("ts_ms") / every_ms).cast("bigint")
+        ).orderBy("frame_idx")
+        return (
+            idx.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
         )
     vids = media.filter(F.col("kind") == "video").select(
         "media_id", F.coalesce("meta_duration_ms", F.lit(0)).alias("dur")

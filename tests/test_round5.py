@@ -287,3 +287,66 @@ def test_group_cap_excludes_null_groups(spark):
     out = curation.group_cap(df, cap=3).collect()
     assert all(r.source is not None for r in out)
     assert len(out) == 3
+
+
+# -------------------------------------------- MP4 sample-table index ----
+
+
+def test_mp4_sample_table_roundtrip_chunk_layouts():
+    """Builder->parser round trip across chunk layouts (1, 2, 3 samples
+    per chunk, remainder chunks): frame order, timestamps under the mdhd
+    timescale, sizes, and ABSOLUTE contiguous byte offsets all recovered
+    from the raw bytes."""
+    from kgx import multimodal as M
+
+    sizes = [64, 72, 80, 88, 96, 104, 112]
+    for cf in (1, 2, 3):
+        b = M.make_mp4_with_samples(sizes, 40, timescale=1000, chunk_frames=cf)
+        rows = M.parse_mp4_sample_table(b)
+        assert [r[0] for r in rows] == list(range(7))
+        assert [r[1] for r in rows] == [i * 40 for i in range(7)]
+        assert [r[3] for r in rows] == sizes
+        offs = [r[2] for r in rows]
+        assert offs == [offs[0] + sum(sizes[:i]) for i in range(7)]
+        # offsets point inside the file's mdat payload
+        assert offs[-1] + sizes[-1] == len(b)
+        # the mvhd tier still parses the same bytes
+        dur, ts, brand = M.parse_mp4_header(b)
+        assert (dur, ts, brand) == (7 * 40, 1000, "isom")
+
+
+def test_mp4_sample_table_timescale_and_garbage():
+    from kgx import multimodal as M
+
+    # 90kHz timescale: ts_ms = ticks*1000//timescale (floor)
+    b = M.make_mp4_with_samples([10] * 4, 3003, timescale=90000)
+    assert [r[1] for r in M.parse_mp4_sample_table(b)] == [0, 33, 66, 100]
+    assert M.parse_mp4_sample_table(None) == []
+    assert M.parse_mp4_sample_table(b"junkjunkjunkjunk") == []
+    # mvhd-only mp4 (no track) -> empty index, not an error
+    assert M.parse_mp4_sample_table(M.make_mp4(5000)) == []
+
+
+def test_video_frame_index_and_sampling_spark(spark):
+    """Spark plumbing: frame index rows per video; sampling keeps the
+    first frame per every_ms bucket."""
+    from kgx import multimodal as M
+
+    rows = [
+        (0, "video", "video/mp4",
+         M.make_mp4_with_samples([50, 60, 70, 80], 100, 1000, 2),
+         None, None, None),
+        (1, "video", "video/mp4", b"\x00" * 32, None, None, None),  # junk
+        (2, "audio", "audio/wav", M.make_wav(8000, 800), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    idx = M.video_frame_index(media).orderBy("media_id", "frame_idx").collect()
+    assert [(r.media_id, r.frame_idx, r.ts_ms, r.size) for r in idx] == [
+        (0, 0, 0, 50), (0, 1, 100, 60), (0, 2, 200, 70), (0, 3, 300, 80)
+    ]
+    base = idx[0].byte_offset
+    assert [r.byte_offset - base for r in idx] == [0, 50, 110, 180]
+    # every_ms=200 buckets: ts 0,100 -> bucket 0 (keep idx0); 200,300 ->
+    # bucket 1 (keep idx2)
+    samp = M.sample_video_frames(media, every_ms=200, fake=False).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in samp) == [(0, 0), (0, 2)]
