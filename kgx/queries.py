@@ -4680,6 +4680,114 @@ GROUP BY 1, 2, 3
 """
 
 
+def kg_multiturn_node_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node property bags over REAL multi-turn conversations (VERDICT r4
+    #6): n_facts / n_convs now aggregate entities mentioned across
+    different turns of the same conversation — pinning that the EAV
+    rollup counts CONVERSATIONS, not turns, once the fold is non-trivial.
+    Shares KG_NODE_PROPS_SQL's tail verbatim (only the fold differs)."""
+    from kgx import materialize
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    return materialize.node_properties(facts)
+
+
+KG_MT_NODE_PROPS_SQL = (
+    _KG_MT_SQL_PROLOGUE + KG_NODE_PROPS_SQL[len(_KG_SQL_PROLOGUE):]
+)
+assert "node_key" in KG_MT_NODE_PROPS_SQL
+
+
+def kg_multiturn_phrase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-evidence edges over REAL multi-turn conversations (VERDICT
+    r4 #6): every edge join (subject / orientation / first-feature /
+    indicator) is keyed (conv_id, turn_idx), and with ten turns per conv
+    the oracle breaks if any branch drops the turn key — character
+    offsets are PER-TURN, and a conv-keyed join would cross-attach
+    phrases from other turns (exactly the regression the single-turn
+    corpus cannot see, where conv == turn)."""
+    from kgx import materialize
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    kb = resources.driver_kb()
+    tr = assemble.admit_turns(_doc_mt_transcripts(spark, sf_dir))
+    wm = mentions.detect_mentions(tr, kb)
+    edges = materialize.phrase_fact_edges(facts, wm, kb)
+    out = edges.select(
+        "conv_id",
+        "turn_idx",
+        "subj_name",
+        "pred",
+        "indicator_uri",
+        F.col("begin").alias("begin_off"),
+        F.col("end").alias("end_off"),
+        "role",
+    )
+    return dedup.propagate_ownership(edges, out)
+
+
+KG_MT_PHRASE_EDGES_SQL = _KG_MT_SQL_PROLOGUE + """
+, tokp AS (
+  SELECT conv_id, turn_idx, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+posn AS (
+  SELECT conv_id, turn_idx, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY idx ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tokp
+),
+subject_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'subject' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+   AND p.tok = lower(f.name)
+   AND p.tok IN ('spark','customer','vector','stream','window')
+),
+orientation_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'orientation' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+   AND p.tok IN ('fast','big','slow','small')
+),
+first_feat AS (
+  SELECT conv_id, turn_idx, min(b) AS b FROM posn
+  WHERE tok = 'value' GROUP BY conv_id, turn_idx
+),
+feature_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(ff.b AS INTEGER) AS begin_off,
+         CAST(ff.b + 5 AS INTEGER) AS end_off,
+         'feature' AS role
+  FROM facts f
+  JOIN first_feat ff ON ff.conv_id = f.conv_id AND ff.turn_idx = f.turn_idx
+  WHERE f.indicator_uri IS NULL
+),
+indicator_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'indicator' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+   AND ((p.tok = 'hash' AND f.indicator_uri = 'http://kgx.example.org/onto#hash_ind')
+     OR (p.tok = 'merge' AND f.indicator_uri = 'http://kgx.example.org/onto#merge_ind'))
+)
+SELECT * FROM subject_e
+UNION ALL SELECT * FROM orientation_e
+UNION ALL SELECT * FROM feature_e
+UNION ALL SELECT * FROM indicator_e
+"""
+
+
 def stream_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING twin of events_scd2 (applyInPandasWithState,
     kgx.streaming.scd2_stream): the same changelog fed through a file
@@ -5064,6 +5172,8 @@ REGISTRY: dict[str, tuple] = {
     "events_outliers": (events_outliers, EVENTS_OUTLIERS_SQL),
     "kg_multiturn_triples": (kg_multiturn_triples, KG_MT_DOCUMENT_SQL),
     "kg_multiturn_query_params": (kg_multiturn_query_params, KG_MT_QUERY_PARAMS_SQL),
+    "kg_multiturn_node_props": (kg_multiturn_node_props, KG_MT_NODE_PROPS_SQL),
+    "kg_multiturn_phrase_edges": (kg_multiturn_phrase_edges, KG_MT_PHRASE_EDGES_SQL),
     # -- (3) green in round 3, unchanged since --
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "j7_dom_binning": (j7_dom_binning, J7_SQL),
