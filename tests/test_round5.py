@@ -350,3 +350,199 @@ def test_video_frame_index_and_sampling_spark(spark):
     # bucket 1 (keep idx2)
     samp = M.sample_video_frames(media, every_ms=200, fake=False).collect()
     assert sorted((r.media_id, r.frame_idx) for r in samp) == [(0, 0), (0, 2)]
+
+
+# ------------------------------- stream kill+resume (VERDICT r4 #8) ----
+
+
+def _write_batches(src: str, frames, times_base: float | None = None):
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(src, exist_ok=True)
+    base = times_base if times_base is not None else _time.time() - 3600
+    for i, f in enumerate(frames):
+        p = f"{src}/b{i}.parquet"
+        if isinstance(f, pa.Table):
+            pq.write_table(f, p)
+        else:
+            f.to_parquet(p, index=False)
+        os.utime(p, (base + i * 60, base + i * 60))
+
+
+def _drain_with_restart(spark, start_fn, ckpt: str, restart: bool):
+    """Run a file-source stream to completion. restart=True: start without
+    availableNow, stop as soon as the FIRST micro-batch commits (keys
+    still buffered in the state store), then restart from the same
+    checkpoint with availableNow and drain — the mid-corpus kill+resume
+    VERDICT r4 #8 asks for."""
+    import time as _time
+
+    if restart:
+        q = start_fn(available_now=False)
+        commits = os.path.join(ckpt, "commits")
+        for _ in range(300):
+            if os.path.isdir(commits) and len(
+                [f for f in os.listdir(commits) if not f.startswith(".")]
+            ) >= 1:
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(60)
+    q2 = start_fn(available_now=True)
+    q2.awaitTermination(180)
+
+
+def _carryover_frames():
+    import pandas as pd
+
+    def t(conv, idx, ts, so):
+        return {"conv_id": conv, "turn_idx": idx,
+                "ts": pd.Timestamp(ts), "so_set": so}
+
+    rows = [
+        # conv A straddles batches, out of order; empty sets carry forward
+        [t("A", 1, "2025-01-01 10:00:30", []),
+         t("B", 0, "2025-01-01 10:05:00", ["vector"])],
+        [t("A", 0, "2025-01-01 10:00:00", ["spark"]),
+         t("A", 2, "2025-01-01 10:01:00", ["window"])],
+        [t("B", 1, "2025-01-01 10:06:00", [])],
+        # sentinels: advance the watermark past A/B timeouts, then fire them
+        [t("__S1", 0, "2025-01-01 12:00:00", ["spark"])],
+        [t("__S2", 0, "2025-01-01 14:00:00", ["spark"])],
+    ]
+    import pyarrow as pa
+
+    # explicit arrow schema: an all-empty so_set batch would otherwise
+    # infer list<int32>/list<null> and break the stream's string schema
+    schema = pa.schema([
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("ts", pa.timestamp("us")),
+        ("so_set", pa.list_(pa.string())),
+    ])
+    frames = []
+    for batch in rows:
+        pdf = pd.DataFrame(batch)
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        frames.append(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False))
+    return frames
+
+
+def _run_carryover(spark, tmp_path, tag: str, restart: bool):
+    from kgx.streaming import carryover_stream
+
+    src = str(tmp_path / f"src_{tag}")
+    out = str(tmp_path / f"out_{tag}")
+    ckpt = str(tmp_path / f"ckpt_{tag}")
+    _write_batches(src, _carryover_frames())
+
+    def start(available_now: bool):
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, ts timestamp, "
+                "so_set array<string>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rows = carryover_stream.carryover_conversations(stream, gap="10 minutes")
+        w = (
+            rows.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    _drain_with_restart(spark, start, ckpt, restart)
+    df = spark.read.parquet(out).where(~F.col("conv_id").startswith("__"))
+    return sorted(map(tuple, df.toPandas().astype(str).values.tolist()))
+
+
+def test_stream_carryover_kill_resume_equals_single_run(spark, tmp_path):
+    """Kill the carryover stream after its first micro-batch commits
+    (buffered turn state only — nothing emitted yet), restart from the
+    checkpoint, drain: the final table equals a never-killed run row for
+    row. State-store durability for the coref-lite operator, matching the
+    SCD2 restart pin (b0abd00)."""
+    single = _run_carryover(spark, tmp_path, "single", restart=False)
+    resumed = _run_carryover(spark, tmp_path, "resumed", restart=True)
+    assert resumed == single
+    # and the corpus is non-trivial: carried rows exist
+    assert any(r[-1] == "True" for r in single), single
+
+
+def _run_dedup(spark, tmp_path, tag: str, restart: bool):
+    import pandas as pd
+
+    from kgx.streaming import dedup_stream
+
+    src = str(tmp_path / f"dsrc_{tag}")
+    out = str(tmp_path / f"dout_{tag}")
+    ckpt = str(tmp_path / f"dckpt_{tag}")
+
+    def d(doc_id, text, ts):
+        return {"doc_id": doc_id, "text": text, "ts": pd.Timestamp(ts)}
+
+    rows = [
+        [d(1, "alpha beta", "2025-01-01 10:00:00"),
+         d(2, "gamma", "2025-01-01 10:01:00")],
+        # duplicate within the watermark -> suppressed; new doc kept
+        [d(3, "ALPHA   beta", "2025-01-01 10:05:00"),
+         d(4, "delta", "2025-01-01 10:06:00")],
+        # advance the watermark past the day-1 keys' eviction horizon; the
+        # watermark a batch uses comes from PREVIOUS batches and eviction
+        # runs at end-of-batch, so the re-post needs TWO batches after the
+        # advancing event (same arrangement as the round-3 eviction test)
+        [d(7, "watermark push", "2025-01-01 12:00:00")],
+        [d(8, "second push", "2025-01-01 12:10:00")],
+        # re-post past the 10-minute delay -> re-emitted (re-crawl rule)
+        [d(5, "alpha beta", "2025-01-02 09:00:00")],
+        [d(9, "sentinel", "2025-01-03 00:00:00")],
+    ]
+    frames = []
+    for batch in rows:
+        pdf = pd.DataFrame(batch)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        frames.append(pdf)
+    _write_batches(src, frames)
+
+    def start(available_now: bool):
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        kept = dedup_stream.dedup_stream_watermarked(stream, delay="10 minutes")
+        w = (
+            kept.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    _drain_with_restart(spark, start, ckpt, restart)
+    df = spark.read.parquet(out).where(~F.col("doc_id").isin(7, 8, 9)).drop("_ck")
+    return sorted(map(tuple, df.toPandas().astype(str).values.tolist()))
+
+
+def test_stream_dedup_kill_resume_equals_single_run(spark, tmp_path):
+    """Kill the watermarked-dedup stream after its first micro-batch
+    commits (dedup keys live in the state store), restart from the
+    checkpoint, drain: final table equals a never-killed run — the seen-set
+    survives restart, so the duplicate in batch 2 stays suppressed and the
+    past-watermark re-post still re-emits."""
+    single = _run_dedup(spark, tmp_path, "single", restart=False)
+    resumed = _run_dedup(spark, tmp_path, "resumed", restart=True)
+    assert resumed == single
+    kept_ids = {r[0] for r in single}
+    assert kept_ids == {"1", "2", "4", "5"}, single
