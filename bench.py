@@ -67,6 +67,9 @@ HEADLINE = [
     "curate_temperature_sample",
     "text_bpe_pairs",
     "events_outliers",
+    # new in round 5
+    "mm_frame_index_real",
+    "kg_multiturn_phrase_edges",
 ]
 
 

@@ -1,0 +1,343 @@
+"""Training-data curation rows: decontamination, packing, PII redaction,
+stratified/temperature sampling, keep-lists, chunking, group caps — plus
+their DuckDB oracle SQL.
+
+Split out of kgx/queries.py in round 5 (VERDICT r4 #7) — bodies moved
+verbatim; kgx.queries re-exports everything and holds the ordered
+REGISTRY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kgx import aggregate as agg_mod
+from kgx import (
+    asof,
+    assemble,
+    dedup,
+    graph,
+    linking,
+    mentions,
+    multimodal,
+    relations,
+    resources,
+    similarity,
+    textops,
+)
+
+from kgx.rows.base import _t  # noqa: E501
+from kgx.rows.dedupann import DEDUP_CANON_SQL, dedup_canonical_docs  # noqa: E501
+from kgx.rows.text import TEXT_QUALITY_SQL, text_quality  # noqa: E501
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+# ---------------------------------------------------------------------------
+# Training-data curation (kgx.curation): decontamination, packing, PII,
+# stratified sampling — the post-dedup "what enters the training mix" stage.
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 8
+_CONTAM_THRESHOLD = 0.10
+def curate_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc_id % 50 == 0 doc plays the
+    held-out benchmark; the rest of the corpus is checked for 8-gram
+    overlap. Benchmark shingle hashes are broadcast (tiny vs corpus), so
+    the corpus text is scanned once, map-only, and only per-doc count
+    longs shuffle."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    out = curation.contamination_flags(
+        corpus, bench, n=_CONTAM_N, threshold=_CONTAM_THRESHOLD
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        "n_overlap",
+        "overlap_ratio",
+        "contaminated",
+    )
+CURATE_CONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {_CONTAM_N} THEN
+           list_distinct([array_to_string(toks[i:i+{_CONTAM_N - 1}], ' ')
+                          FOR i IN range(1, len(toks) - {_CONTAM_N - 2})])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM tok
+),
+shh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS sh_h
+  FROM sh
+),
+bench AS (SELECT DISTINCT sh_h FROM shh WHERE doc_id % 50 = 0),
+corpus AS (SELECT * FROM shh WHERE doc_id % 50 <> 0),
+agg AS (
+  SELECT c.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN b.sh_h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlap
+  FROM corpus c LEFT JOIN bench b USING (sh_h)
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_ratio,
+       (CAST(n_overlap AS DOUBLE) / n_shingles) >= {_CONTAM_THRESHOLD}
+         AS contaminated
+FROM agg
+"""
+_PACK_BUDGET = 120
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit-in-order sequence packing into 120-token bins,
+    parallel per `source` via applyInPandas (per-group running state is the
+    one place the registry legitimately needs keyed Python state)."""
+    from kgx import curation
+
+    return curation.pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=_PACK_BUDGET
+    ).select("source", "doc_id", "n_tokens", "bin_id")
+CURATE_PACK_SQL = f"""
+WITH RECURSIVE t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN w.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN w.bin_id + 1 ELSE w.bin_id END,
+         CASE WHEN w.fill + t.n_tokens > {_PACK_BUDGET}
+              THEN t.n_tokens ELSE w.fill + t.n_tokens END
+  FROM t JOIN walk w ON t.source = w.source AND t.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin_id FROM walk
+"""
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over docs deterministically augmented with PII-shaped
+    spans (the synthetic corpus has none), so counts are non-trivial. All
+    JVM regexps in one codegen stage; the oracle replays the identical
+    Java∩RE2 patterns with DuckDB's 'g' flag."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ref "),
+            (F.lit(100000000) + F.col("doc_id") * 37).cast("string"),
+        ),
+    )
+    return curation.pii_redact(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_digits", "redacted_md5"
+    )
+CURATE_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7 ref '
+              || CAST(100000000 + doc_id * 37 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+         AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS BIGINT)
+         AS n_digits,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+         '\b[0-9]{9,}\b', '<NUM>', 'g')) AS redacted_md5
+FROM aug
+"""
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.25}
+_SAMPLE_DEFAULT = 0.1
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling (training-mix weights:
+    en 50%, de/zh 25%, everything else 10%). Map-only, additive, no RNG
+    state — the md5 bucket makes resamples stable as the corpus grows."""
+    from kgx import curation
+
+    return curation.stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang", "bucket")
+CURATE_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                         WHEN 'de' THEN 2500
+                         WHEN 'zh' THEN 2500
+                         ELSE 1000 END
+"""
+def curate_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL, composed end-to-end: each doc gets the first
+    matching status in a fixed precedence —
+      benchmark     held-out eval doc (doc_id % 50 == 0), never trainable
+      contaminated  8-gram overlap with the benchmark >= threshold
+      near_dup      n-gram-Jaccard cluster member that is not its keeper
+      low_quality   quality_flag != 'ok' (textops heuristics)
+      not_sampled   dropped by the per-language training-mix rates
+      kept          enters the training mix
+    Every stage is an already-oracle-checked operator; this row checks
+    their COMPOSITION (joins + precedence) cross-engine. All four side
+    tables are tiny relative to the corpus at scale: flags/keeper/quality
+    rows are (id, small) pairs, so the joins stay narrow even at 10^10
+    docs, and the only text scans are the ones inside the component ops."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    contam = curate_contamination(spark, sf_dir).select("doc_id", "contaminated")
+    # keep the RAW return: .select() builds a new DataFrame object and would
+    # strip the _kgx_persisted ownership list (a silent cache leak)
+    canon_raw = dedup_canonical_docs(spark, sf_dir)
+    canon = canon_raw.select("doc_id", "keep_id")
+    quality = text_quality(spark, sf_dir).select("doc_id", "quality_flag")
+    samp = (
+        curate_stratified_sample(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("sampled", F.lit(1))
+    )
+    status = (
+        F.when(F.col("doc_id") % 50 == 0, F.lit("benchmark"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(
+            F.col("keep_id").isNotNull() & (F.col("keep_id") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .when(F.col("quality_flag") != "ok", F.lit("low_quality"))
+        .when(F.col("sampled").isNull(), F.lit("not_sampled"))
+        .otherwise(F.lit("kept"))
+    )
+    out = (
+        docs.join(contam, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(quality, "doc_id", "left")
+        .join(samp, "doc_id", "left")
+        .select("doc_id", "lang", status.alias("status"))
+    )
+    return dedup.propagate_ownership(canon_raw, out)
+CURATE_KEEP_SQL = f"""
+WITH contam AS ({CURATE_CONTAM_SQL}),
+canon AS ({DEDUP_CANON_SQL}),
+quality AS ({TEXT_QUALITY_SQL}),
+samp AS ({CURATE_SAMPLE_SQL})
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.doc_id % 50 = 0 THEN 'benchmark'
+            WHEN c.contaminated THEN 'contaminated'
+            WHEN k.keep_id IS NOT NULL AND k.keep_id <> d.doc_id
+                 THEN 'near_dup'
+            WHEN q.quality_flag <> 'ok' THEN 'low_quality'
+            WHEN s.doc_id IS NULL THEN 'not_sampled'
+            ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN contam c ON c.doc_id = d.doc_id
+LEFT JOIN canon k ON k.doc_id = d.doc_id
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN samp s ON s.doc_id = d.doc_id
+"""
+def curate_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (curation.chunk_documents): 32-token
+    chunks, 8-token overlap, tail kept — one row per chunk, map-only."""
+    from kgx import curation
+
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+CURATE_CHUNK_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+c AS (
+  SELECT doc_id,
+         [{idx: i, s: i * 24} FOR i IN
+          range(0, ((greatest(len(toks) - 32, 0) + 23) // 24) + 1)] AS ch,
+         toks
+  FROM tok
+),
+u AS (SELECT doc_id, toks, unnest(ch) AS cc FROM c)
+SELECT doc_id,
+       CAST(cc.idx AS BIGINT) AS chunk_idx,
+       CAST(cc.s AS BIGINT) AS start_tok,
+       CAST(len(toks[cc.s + 1 : cc.s + 32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[cc.s + 1 : cc.s + 32], ' ') AS chunk_text
+FROM u
+"""
+def curate_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (curation.group_cap): keep the 15
+    smallest-hash docs per source — the per-domain share bound; sources
+    hold 25 docs each at sf0.01, so the cap genuinely prunes (15/25)."""
+    from kgx import curation
+
+    return curation.group_cap(_t(spark, sf_dir, "documents"), cap=15)
+CURATE_GROUP_CAP_SQL = """
+WITH slim AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hash_rank
+  FROM documents
+  WHERE source IS NOT NULL
+),
+r AS (
+  SELECT doc_id, source, hash_rank,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY hash_rank ASC, doc_id ASC) AS BIGINT) AS rank
+  FROM slim
+)
+SELECT doc_id, source, hash_rank, rank FROM r WHERE rank <= 15
+"""
+def curate_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) mixture sampling over languages
+    (curation.temperature_sample): en (218 docs at sf0.01) downsamples to
+    ~sqrt(64*218) while fr (the smallest stratum) keeps everything —
+    derived rates, unlike curate_stratified_sample's user-given ones."""
+    from kgx import curation
+
+    return curation.temperature_sample(_t(spark, sf_dir, "documents"), "lang")
+CURATE_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+nm AS (SELECT CAST(min(n_stratum) AS BIGINT) AS n_min FROM counts),
+b AS (
+  SELECT d.doc_id, d.lang,
+         CAST(('0x' || substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100000000 AS bucket,
+         c.n_stratum, nm.n_min
+  FROM documents d JOIN counts c USING (lang), nm
+  WHERE d.lang IS NOT NULL
+)
+SELECT doc_id, lang, n_stratum, n_min, bucket
+FROM b
+WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 100000000.0)
+"""

@@ -1,0 +1,716 @@
+"""Relational/analytics rows over events + TPC-H tables: pivots, set ops,
+as-of/range joins, stats profiles, graph analytics, funnel/rolling/SCD2/
+outliers — plus their DuckDB oracle SQL.
+
+Split out of kgx/queries.py in round 5 (VERDICT r4 #7) — bodies moved
+verbatim; kgx.queries re-exports everything and holds the ordered
+REGISTRY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kgx import aggregate as agg_mod
+from kgx import (
+    asof,
+    assemble,
+    dedup,
+    graph,
+    linking,
+    mentions,
+    multimodal,
+    relations,
+    resources,
+    similarity,
+    textops,
+)
+
+from kgx.rows.base import _t  # noqa: E501
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational sanity (scan/agg/join pushdown showcases)
+# ---------------------------------------------------------------------------
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal accumulation (exact, row-order independent) cast to
+            # double only at the very end → identical across engines
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)"))
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+def tpch_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style local-supplier revenue: 6-table join (region → nation →
+    customer/supplier → orders → lineitem) with the customer and supplier
+    in the SAME nation; dims broadcast, facts join on keys. Decimal
+    accumulation for cross-engine exactness."""
+    # deterministic region choice without data peeking: smallest key
+    region = _t(spark, sf_dir, "region").orderBy("r_regionkey").limit(1)
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    nr = nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    out = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .filter(cust["c_nationkey"] == supp["s_nationkey"])
+        .join(F.broadcast(nr), supp["s_nationkey"] == nr["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+TPCH_Q5_SQL = """
+WITH r AS (SELECT * FROM region ORDER BY r_regionkey LIMIT 1)
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN r        ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+def tpch_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function showcase: top-2 parts per brand by retail price
+    (row_number over a composite deterministic order) — the per-group
+    LIMIT pattern (§2.6) as a single window, no per-group scans."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice", F.col("rk").cast("bigint").alias("rk"))
+    )
+def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation: order revenue by ROLLUP(nation, order
+    priority) — subtotals and a grand total in one pass (Spark expands
+    grouping sets map-side; each level still gets partial aggregation).
+    Decimal accumulation keeps the cross-row sums order-independent."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).join(
+        F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("n_name", "o_orderpriority", "n_orders", "revenue")
+    )
+TPCH_ROLLUP_SQL = """
+SELECT n_name, o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, o_orderpriority)
+"""
+def tpch_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus): all four grouping sets in
+    one shuffle. GROUPING() bits disambiguate a real NULL group key from a
+    subtotal row — without them a cube over nullable keys is ambiguous
+    (both engines emit the same grouping ids, so the row set is
+    hash-comparable)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n_items", "sum_qty")
+    )
+TPCH_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format per-user activity matrix via pivot with an EXPLICIT
+    value list (an open-ended pivot would need a distinct-scan job and
+    yields nondeterministic column sets on drifting data)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+"""
+def setop_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 set operators as set operators (not join rewrites): users
+    active in BOTH halves of the month (INTERSECT) vs. first-half users
+    who churned (EXCEPT). Both inputs are distinct projections, so
+    intersect/exceptAll are exact set semantics; Catalyst plans them as
+    aggregated joins (semi/anti) without hand-rolling either."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    h1 = ev.filter(F.col("ts") < cut).select("user_id").distinct()
+    h2 = ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+    return h1.intersect(h2).withColumn("status", F.lit("retained")).unionByName(
+        h1.exceptAll(h2).withColumn("status", F.lit("churned"))
+    )
+SETOP_RETENTION_SQL = """
+WITH h1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+     h2 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-16')
+SELECT user_id, 'retained' AS status FROM (SELECT user_id FROM h1 INTERSECT SELECT user_id FROM h2)
+UNION ALL
+SELECT user_id, 'churned' AS status FROM (SELECT user_id FROM h1 EXCEPT SELECT user_id FROM h2)
+"""
+TPCH_TOPK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+  FROM part
+)
+WHERE rk <= 2
+"""
+# ---------------------------------------------------------------------------
+# time-series joins: as-of + interval (kgx/asof.py)
+# ---------------------------------------------------------------------------
+
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event picks up the latest purchase at or
+    before it for the same user (union-tag + single-shuffle window — see
+    kgx/asof.py). Oracle = DuckDB's NATIVE ASOF JOIN, an independent
+    algorithm (build-side (user_id, ts) is unique in this corpus, so the
+    native join is deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    build = ev.filter(F.col("event_type") == "purchase")
+    out = asof.asof_join(
+        probe, build, on="user_id", payload=["value"], tiebreak="event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "prior_ts", "prior_value")
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, p.ts AS prior_ts, p.value AS prior_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via time-bin bucketing (kgx/asof.py):
+    error events land in the 30-min-gap session of the user's OTHER
+    activity whose [first, last] interval contains them. Physical plan is
+    a hash equi-join on (user_id, hour-bin) + exact BETWEEN filter — no
+    range join, no cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.filter(F.col("event_type") != "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    sess = (
+        act.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_id",
+            F.sum("new_sess")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("start_ts"),
+            # the session's open window: last activity + the 30-min gap
+            (F.max("ts") + F.expr("INTERVAL 1800 SECOND")).alias("end_ts"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof.interval_join(
+        errors, sess, on="user_id", point_ts="ts", bin_seconds=3600
+    )
+    return joined.select("event_id", "user_id", "ts", "session_id")
+RANGE_JOIN_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE event_type <> 'error'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+         ts
+  FROM g
+),
+iv AS (
+  SELECT user_id, session_id, min(ts) AS start_ts,
+         max(ts) + INTERVAL 1800 SECOND AS end_ts
+  FROM s GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, iv.session_id
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id AND e.ts BETWEEN iv.start_ts AND iv.end_ts
+WHERE e.event_type = 'error'
+"""
+def stats_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profile per event_type (kgx/stats.py): exact grouped
+    quantiles + extremes + counts; the approx_percentile sketch variant is
+    the same shape for unbounded groups (pytest asserts it brackets the
+    exact answer)."""
+    from kgx import stats
+
+    return stats.profile_numeric(_t(spark, sf_dir, "events"))
+STATS_PROFILE_SQL = """
+SELECT event_type,
+       count(value) AS n,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+def stats_hist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH profile (kgx/stats.profile_numeric_hist): fixed-width
+    histogram quantiles with bounded, mergeable per-group state — unlike
+    the exact variant's full value buffer, and unlike approx_percentile's
+    sketch it is bit-reproducible cross-engine, so the driver hash-checks
+    the scale path itself."""
+    from kgx import stats
+
+    return stats.profile_numeric_hist(_t(spark, sf_dir, "events"))
+STATS_HIST_SQL = """
+WITH r AS (
+  SELECT event_type, count(value) AS n, min(value) AS vmin, max(value) AS vmax
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+b AS (
+  SELECT e.event_type,
+         CASE WHEN r.vmax > r.vmin THEN
+           least(255, CAST(floor((e.value - r.vmin) / (r.vmax - r.vmin) * 256.0) AS INT))
+         ELSE 0 END AS bin
+  FROM events e JOIN r USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+h AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM h
+),
+q AS (
+  SELECT c.event_type,
+         min(CASE WHEN cum >= ceil(0.5 * r.n)  THEN bin END) AS b50,
+         min(CASE WHEN cum >= ceil(0.9 * r.n)  THEN bin END) AS b90,
+         min(CASE WHEN cum >= ceil(0.99 * r.n) THEN bin END) AS b99
+  FROM c JOIN r USING (event_type) GROUP BY 1
+)
+SELECT r.event_type, r.n, r.vmin, r.vmax,
+       CASE WHEN r.vmax > r.vmin
+            THEN r.vmin + (q.b50 + 1) * ((r.vmax - r.vmin) / 256.0)
+            ELSE r.vmin END AS p50,
+       CASE WHEN r.vmax > r.vmin
+            THEN r.vmin + (q.b90 + 1) * ((r.vmax - r.vmin) / 256.0)
+            ELSE r.vmin END AS p90,
+       CASE WHEN r.vmax > r.vmin
+            THEN r.vmin + (q.b99 + 1) * ((r.vmax - r.vmin) / 256.0)
+            ELSE r.vmin END AS p99
+FROM r JOIN q USING (event_type)
+"""
+# ---------------------------------------------------------------------------
+# graph analytics (kgx/graph.py) over the customer—supplier bipartite graph
+# ---------------------------------------------------------------------------
+
+def _cust_supp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+    )
+    return graph.undirected_edges(pairs, "o_custkey", "l_suppkey")
+_GRAPH_EDGE_CTE = """
+e0 AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+und AS (
+  SELECT c AS src, s AS dst FROM e0
+  UNION ALL
+  SELECT s AS src, c AS dst FROM e0
+)
+"""
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer—supplier graph (graph.degree_histogram)."""
+    return graph.degree_histogram(_cust_supp_edges(spark, sf_dir))
+GRAPH_DEGREE_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src)
+SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_nodes FROM deg GROUP BY deg
+"""
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer PageRank, 3 iterations (graph.pagerank_int): integral
+    `div` arithmetic makes the iterative fixpoint bit-identical across
+    engines — the oracle unrolls the same three iterations as CTEs."""
+    return graph.pagerank_int(_cust_supp_edges(spark, sf_dir), iters=3)
+_PR_ITER = """
+s{i} AS (
+  SELECT e.dst AS node, sum(r{j}.r // r{j}.deg) AS s
+  FROM und e JOIN r{j} ON e.src = r{j}.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.src, CAST(150000000000 + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r,
+         d.deg
+  FROM deg d LEFT JOIN s{i} ON d.src = s{i}.node
+)"""
+GRAPH_PAGERANK_SQL = (
+    f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+r0 AS (SELECT src, CAST(1000000000000 AS BIGINT) AS r, deg FROM deg),"""
+    + ",".join(_PR_ITER.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+SELECT src AS node, r AS rank FROM r3
+"""
+)
+def graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood sizes for a 1%-sample source set
+    (graph.two_hop_counts): customers reachable through a shared supplier."""
+    edges = _cust_supp_edges(spark, sf_dir)
+    sources = edges.select("src").filter(
+        F.col("src").startswith("c")
+        & (F.substring("src", 2, 100).cast("long") % 100 == 1)
+    ).distinct().withColumnRenamed("src", "node")
+    return graph.two_hop_counts(edges, sources)
+GRAPH_TWO_HOP_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+sources AS (
+  SELECT DISTINCT src AS origin FROM und
+  WHERE src LIKE 'c%' AND CAST(substr(src, 2) AS BIGINT) % 100 = 1
+),
+hop1 AS (
+  SELECT s.origin, e.dst AS mid FROM sources s JOIN und e ON e.src = s.origin
+),
+hop2 AS (
+  SELECT h.origin, e.dst AS nbr2 FROM hop1 h JOIN und e ON e.src = h.mid
+  WHERE e.dst <> h.origin
+)
+SELECT origin, count(DISTINCT nbr2) AS n_two_hop FROM hop2 GROUP BY origin
+"""
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the supplier co-purchase
+    projection (suppliers linked iff they co-serve >= 2 customers),
+    via degree-ordered orientation (graph.triangle_counts) — each
+    triangle enumerated once from its lowest-degree corner, the wedge
+    join bounded by the small endpoint's degree (O(E^1.5), hub-safe at
+    10^9 edges). The oracle counts the same triangles with a plain
+    u<v<w 3-way join — orientation changes cost, never the result."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", "l_suppkey")
+    )
+    edges = graph.copurchase_edges(pairs, "o_custkey", "l_suppkey", min_support=2)
+    counts = graph.triangle_counts(edges)
+    res = counts.select(F.col("node").cast("bigint").alias("suppkey"), "n_triangles")
+    # propagate cache ownership through the projection so the consumer
+    # (bench/driver loop) can release the persisted edge/orientation frames
+    return dedup.propagate_ownership(counts, res)
+GRAPH_TRIANGLES_SQL = """
+WITH m AS (
+  SELECT DISTINCT o_custkey AS k, l_suppkey AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+e AS (
+  SELECT a.n AS u, b.n AS v
+  FROM m a JOIN m b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT CAST(node AS BIGINT) AS suppkey, count(*) AS n_triangles
+FROM corners GROUP BY 1
+"""
+_FUNNEL_STEPS = ("view", "click", "purchase")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel per user (view -> click -> purchase),
+    greedy earliest-completion semantics: step i+1 matches the first
+    qualifying event strictly after step i's (ts, event_id). Emits every
+    user with the stage reached and the matched event ids.
+
+    Shape: one groupBy(user) builds the time-sorted event array
+    (event_type + ids only — slim), then an IN-ROW left fold walks the
+    funnel state machine; no window self-joins, one shuffle. Per-user
+    state is the user's own history — the same bounded-by-key contract as
+    sessionization (document users with 10^6 events via pre-bucketing).
+    Deterministic: array_sort orders by (ts, event_id) [event_id unique],
+    the fold is sequential by construction."""
+    ev = _t(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    grouped = ev.groupBy("user_id").agg(arr.alias("evs"))
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("stage"),
+        F.lit(None).cast("bigint").alias("e1"),
+        F.lit(None).cast("bigint").alias("e2"),
+        F.lit(None).cast("bigint").alias("e3"),
+    )
+
+    def step(acc, x):
+        adv1 = (acc["stage"] == 0) & (x["event_type"] == _FUNNEL_STEPS[0])
+        adv2 = (acc["stage"] == 1) & (x["event_type"] == _FUNNEL_STEPS[1])
+        adv3 = (acc["stage"] == 2) & (x["event_type"] == _FUNNEL_STEPS[2])
+        return F.struct(
+            F.when(adv1, F.lit(1))
+            .when(adv2, F.lit(2))
+            .when(adv3, F.lit(3))
+            .otherwise(acc["stage"])
+            .cast("int")
+            .alias("stage"),
+            F.when(adv1, x["event_id"]).otherwise(acc["e1"]).alias("e1"),
+            F.when(adv2, x["event_id"]).otherwise(acc["e2"]).alias("e2"),
+            F.when(adv3, x["event_id"]).otherwise(acc["e3"]).alias("e3"),
+        )
+
+    state = F.aggregate(F.col("evs"), init, step)
+    return grouped.select(
+        "user_id",
+        state["stage"].alias("funnel_stage"),
+        state["e1"].alias("view_event_id"),
+        state["e2"].alias("click_event_id"),
+        state["e3"].alias("purchase_event_id"),
+    )
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts AS t1, event_id AS e1 FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'view'
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT user_id, ts AS t2, event_id AS e2 FROM (
+    SELECT e.user_id, e.ts, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (s1.t1, s1.e1)
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT user_id, event_id AS e3 FROM (
+    SELECT e.user_id, e.event_id,
+           row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (s2.t2, s2.e2)
+  ) WHERE rn = 1
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.e3 IS NOT NULL THEN 3
+                 WHEN s2.e2 IS NOT NULL THEN 2
+                 WHEN s1.e1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_stage,
+       s1.e1 AS view_event_id,
+       s2.e2 AS click_event_id,
+       s3.e3 AS purchase_event_id
+FROM u LEFT JOIN s1 USING (user_id)
+       LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 compaction of the events changelog (asof.scd2_intervals):
+    per-user validity intervals for `value`, event_id tie-break, one
+    window shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return asof.scd2_intervals(
+        ev.select("user_id", "event_id", "ts", "value"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        order_tiebreak=["event_id"],
+    )
+EVENTS_SCD2_SQL = """
+SELECT user_id, event_id, ts, value,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL AS is_current
+FROM events
+"""
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour rolling profile per user over the event stream — the
+    RANGE-frame window (rangeBetween on event-time seconds), the last
+    window-frame shape the registry lacked. Aggregates are
+    ORDER-INDEPENDENT (count/min/max) on purpose: a float sum over a
+    window frame accumulates in engine-chosen order (Spark running-agg vs
+    DuckDB segment-tree) and would not hash cross-engine; the exact-sum
+    variants live in the decimal groupBy rows.
+
+    GRANULARITY CONTRACT: the frame is ordered by unix_timestamp(ts) —
+    WHOLE SECONDS (the oracle floors epoch identically). Events in the
+    same second are frame peers regardless of sub-second order, and the
+    trailing-hour boundary is second-granular. For microsecond boundaries
+    order by the microsecond epoch (ts.cast("bigint") in Spark /
+    epoch_us in DuckDB) and scale the range to 3_600_000_000.
+
+    Scale shape: ONE window shuffle keyed by user_id, frame state bounded
+    by events-per-key-per-hour. The sessionize/asof family's time-bucket
+    notes apply unchanged at 10^12 rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_trailing_1h"),
+        F.min("value").over(w).alias("min_value_1h"),
+        F.max("value").over(w).alias("max_value_1h"),
+    )
+EVENTS_ROLLING_SQL = """
+SELECT user_id, event_id, ts, value,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       min(value) OVER w AS min_value_1h,
+       max(value) OVER w AS max_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+def events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-based outlier flagging per event_type: the top 1% of
+    events by value (k = (n * 1) div 100, PURE INTEGER — a float
+    0.01*n would floor differently from exact arithmetic for some n, and
+    moment-based z-scores need float sums whose accumulation order is
+    engine-chosen; exact order statistics sidestep both). The
+    winsorization/trim prep of a curation pipeline: one window shuffle
+    keyed by the group, slim (group, value, id) rows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("bigint").alias("value_rank"),
+            n.cast("bigint").alias("n_group"),
+        )
+        .withColumn("k_cut", F.expr("n_group div 100").cast("bigint"))
+        .where(F.col("value_rank") <= F.col("k_cut"))
+    )
+EVENTS_OUTLIERS_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id ASC) AS BIGINT)
+           AS value_rank,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_group
+  FROM events
+)
+SELECT event_type, event_id, value, value_rank, n_group,
+       CAST(n_group // 100 AS BIGINT) AS k_cut
+FROM r WHERE value_rank <= n_group // 100
+"""

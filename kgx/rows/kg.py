@@ -1,0 +1,1394 @@
+"""KG-pipeline rows (SURVEY §2 S/P/J/A/W ops): extraction trio, window/
+ordering, aggregations, linking, dims, node/edge materialization,
+connected components, multi-turn twins — plus their DuckDB oracle SQL.
+
+Split out of kgx/queries.py in round 5 (VERDICT r4 #7) — bodies moved
+verbatim; kgx.queries re-exports everything and holds the ordered
+REGISTRY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from kgx import aggregate as agg_mod
+from kgx import (
+    asof,
+    assemble,
+    dedup,
+    graph,
+    linking,
+    mentions,
+    multimodal,
+    relations,
+    resources,
+    similarity,
+    textops,
+)
+
+from kgx.rows.base import NS, P_PRICE, P_REP, P_VOL, _session_alive, _t  # noqa: E501
+
+# ---------------------------------------------------------------------------
+# KG pipeline over documents-as-transcripts (oracle-checked end to end)
+# ---------------------------------------------------------------------------
+
+def _doc_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → single-turn transcripts (conv ↔ doc, SURVEY.md §1.1)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+_KG_CACHE: dict = {}
+def _kg_run(spark: SparkSession, sf_dir: str):
+    """Extraction stages shared by the three kg_* queries; cached per
+    (session, sf_dir) so the trio doesn't re-run the Arrow-UDF stage.
+
+    The cache value carries a strong reference to the owning SparkSession
+    and hits require identity (`is`) plus a liveness probe — a stale id()
+    reused by CPython for a new session can never alias a dead entry."""
+    key = (id(spark), sf_dir)
+    hit = _KG_CACHE.get(key)
+    if hit is not None and hit[0] is spark and _session_alive(spark):
+        return hit[1], hit[2]
+    kb = resources.driver_kb()
+    turns = assemble.assemble_turns(_doc_transcripts(spark, sf_dir), num_partitions=32)
+    facts, tf = relations.extract_facts(turns, kb)
+    facts = facts.persist()
+    _KG_CACHE[key] = (spark, facts, tf)
+    return facts, tf
+_KG_COLS = [
+    "conv_id",
+    "turn_idx",
+    "level",
+    "subj_name",
+    "subj_uri",
+    "subj_type",
+    "pred",
+    "obj_polarity",
+    "score",
+    "classifier",
+    "dom_label",
+    "indicator_uri",
+]
+def kg_sentence_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts, _tf = _kg_run(spark, sf_dir)
+    out = agg_mod.sentence_triples(facts)
+    return out.select(*_KG_COLS).withColumn("score", F.col("score").cast("double"))
+def kg_document_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    facts, _tf = _kg_run(spark, sf_dir)
+    out = agg_mod.document_triples(facts, with_fuzzy=True)
+    return out.select(*_KG_COLS).withColumn("score", F.col("score").cast("double"))
+def kg_fallback_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _facts, tf = _kg_run(spark, sf_dir)
+    out = agg_mod.fallback_triples(tf)
+    return out.select(*_KG_COLS).withColumn("score", F.col("score").cast("double"))
+# shared oracle CTE prologue: tokenized docs + counts + entity/indicator
+# presence + the fact union (direct + indirect), mirroring the documented
+# extraction contract exactly
+_KG_SQL_PROLOGUE = f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT conv_id, turn_idx, toks,
+         len(list_filter(toks, x -> x IN ('fast','big'))) AS pos,
+         len(list_filter(toks, x -> x IN ('slow','small'))) AS neg,
+         list_contains(toks, 'value') AS has_value,
+         list_contains(toks, 'hash') AS has_hash,
+         list_contains(toks, 'merge') AS has_merge
+  FROM t
+),
+s AS (
+  SELECT *, CASE WHEN pos > neg THEN 1 WHEN pos < neg THEN -1 ELSE 0 END AS sc
+  FROM cnt
+),
+gaz(surface, name, uri, typ) AS (VALUES
+  ('spark',    'spark',    '{NS}spark',    'Company'),
+  ('customer', 'customer', '{NS}customer', 'Company'),
+  ('vector',   'vector',   '{NS}vector',   'Topic'),
+  ('stream',   'stream',   '{NS}stream',   'Topic'),
+  ('window',   'window',   '{NS}window',   'Topic')
+),
+ents AS (
+  SELECT s.conv_id, s.turn_idx, s.sc, s.has_value, s.has_hash, s.has_merge,
+         g.name, g.uri, g.typ
+  FROM s JOIN gaz g ON list_contains(s.toks, g.surface)
+),
+direct AS (
+  SELECT conv_id, turn_idx, name, uri, typ,
+         CASE WHEN has_value THEN '{P_PRICE}' ELSE '{P_REP}' END AS pred,
+         sc AS sci, CAST(NULL AS VARCHAR) AS indicator_uri
+  FROM ents
+),
+ind_hash AS (
+  SELECT s.conv_id, s.turn_idx,
+         coalesce(e.name, 'Company') AS name,
+         coalesce(e.uri, '{NS}Company') AS uri,
+         coalesce(e.typ, 'Company') AS typ,
+         '{P_PRICE}' AS pred,
+         s.sc * -1 AS sci, '{NS}hash_ind' AS indicator_uri
+  FROM s LEFT JOIN (SELECT * FROM ents WHERE typ = 'Company') e
+    ON s.conv_id = e.conv_id AND s.turn_idx = e.turn_idx
+  WHERE s.has_hash
+),
+ind_merge AS (
+  SELECT s.conv_id, s.turn_idx,
+         coalesce(e.name, 'Topic') AS name,
+         coalesce(e.uri, '{NS}Topic') AS uri,
+         coalesce(e.typ, 'Topic') AS typ,
+         '{P_VOL}' AS pred,
+         s.sc * 1 AS sci, '{NS}merge_ind' AS indicator_uri
+  FROM s LEFT JOIN (SELECT * FROM ents WHERE typ = 'Topic') e
+    ON s.conv_id = e.conv_id AND s.turn_idx = e.turn_idx
+  WHERE s.has_merge
+),
+facts AS (
+  SELECT * FROM direct UNION ALL SELECT * FROM ind_hash UNION ALL SELECT * FROM ind_merge
+)
+"""
+KG_SENTENCE_SQL = _KG_SQL_PROLOGUE + f"""
+SELECT conv_id, turn_idx, 'sentence' AS level,
+       name AS subj_name, uri AS subj_uri, typ AS subj_type, pred,
+       CASE WHEN sci > 0 THEN 'positive' WHEN sci < 0 THEN 'negative'
+            ELSE 'neutral' END AS obj_polarity,
+       CAST(sci AS DOUBLE) AS score,
+       'Knowledge-Based/CRISP' AS classifier,
+       CAST(NULL AS VARCHAR) AS dom_label,
+       indicator_uri
+FROM facts
+"""
+KG_DOCUMENT_SQL = _KG_SQL_PROLOGUE + f"""
+, grp AS (
+  SELECT conv_id, name, pred, min(uri) AS uri, min(typ) AS typ,
+         sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS pos_n,
+         sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS neg_n
+  FROM facts GROUP BY conv_id, name, pred
+),
+doc AS (
+  SELECT conv_id, name, pred, uri, typ,
+         CAST(pos_n - neg_n AS DOUBLE) / (pos_n + neg_n) AS dscore
+  FROM grp WHERE pos_n + neg_n > 0
+),
+labeled AS (
+  SELECT conv_id, CAST(NULL AS INTEGER) AS turn_idx, 'document' AS level,
+         name AS subj_name, uri AS subj_uri, typ AS subj_type, pred,
+         CASE WHEN dscore > 0 THEN 'positive' ELSE 'negative' END AS obj_polarity,
+         -- mirror aggregate._decimal_score: bround(x,16) -> DECIMAL(18,16)
+         -- -> double. Single-turn corpora only produce exactly-representable
+         -- ratios so this is a no-op there; the multi-turn fold hits e.g.
+         -- -1/11, where the raw IEEE ratio differs in the 17th digit.
+         round(dscore, 16) AS score,
+         CASE WHEN abs(dscore) >= 0.8 THEN 'maximum amount'
+              WHEN abs(dscore) >= 0.6 THEN 'large amount'
+              WHEN abs(dscore) >= 0.4 THEN 'moderate amount'
+              WHEN abs(dscore) >= 0.2 THEN 'small amount'
+              ELSE 'no amount' END AS dom,
+         CAST(NULL AS VARCHAR) AS indicator_uri
+  FROM doc
+)
+SELECT conv_id, turn_idx, level, subj_name, subj_uri, subj_type, pred,
+       obj_polarity, score, 'Knowledge-Based/CRISP' AS classifier,
+       CAST(NULL AS VARCHAR) AS dom_label, indicator_uri
+FROM labeled
+UNION ALL
+SELECT conv_id, turn_idx, level, subj_name, subj_uri, subj_type, pred,
+       obj_polarity, score, 'Hybrid/FUZZY' AS classifier,
+       dom AS dom_label, indicator_uri
+FROM labeled
+"""
+def agg_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot entities (north rule;
+    aggregate.salted_doc_rollup): partial pos/neg counts per
+    (group, salt-of-row) then a final rollup over the 16 salt buckets —
+    the reduce-side state for a hot key ('EUR' in 1% of 10^12 turns) is
+    bounded by buckets, not corpus size. Salting must NOT change the
+    answer: the oracle is the plain one-phase GROUP BY."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    out = agg_mod.salted_doc_rollup(facts, salt_buckets=16)
+    return out.select(
+        "conv_id",
+        "name_lc",
+        "pred",
+        "pos",
+        "neg",
+        F.col("subj.entity_name").alias("subj_name"),
+    )
+AGG_SALTED_SQL = _KG_SQL_PROLOGUE + """
+SELECT conv_id, lower(name) AS name_lc, pred,
+       CAST(sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       CAST(sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+       min(name) AS subj_name
+FROM facts GROUP BY 1, 2, 3
+"""
+KG_FALLBACK_SQL = _KG_SQL_PROLOGUE + f"""
+, no_so AS (
+  SELECT s.conv_id, s.pos, s.neg
+  FROM s
+  WHERE NOT EXISTS (SELECT 1 FROM ents e WHERE e.conv_id = s.conv_id)
+),
+conv AS (
+  SELECT conv_id, sum(pos) AS pos, sum(neg) AS neg
+  FROM no_so GROUP BY conv_id
+)
+SELECT conv_id, CAST(NULL AS INTEGER) AS turn_idx, 'document' AS level,
+       conv_id AS subj_name, CAST(NULL AS VARCHAR) AS subj_uri,
+       'Document' AS subj_type, '{P_REP}' AS pred,
+       CASE WHEN pos > neg THEN 'positive' WHEN pos < neg THEN 'negative'
+            ELSE 'neutral' END AS obj_polarity,
+       CAST(pos - neg AS DOUBLE) / (pos + neg) AS score,
+       'PosNegWordRatio/CRISP' AS classifier,
+       CAST(NULL AS VARCHAR) AS dom_label, CAST(NULL AS VARCHAR) AS indicator_uri
+FROM conv WHERE pos + neg > 0
+"""
+def kg_entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-importance rollup over the extracted fact stream (the KG
+    read-side degree profile): per linked entity, how many conversations,
+    facts, polarized facts and distinct predicates reference it. One
+    keyed aggregation over the already-persisted facts — the first thing
+    a KG consumer asks of the output graph."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    return facts.groupBy(
+        F.col("entity_name").alias("subj_name"),
+        F.col("entity_uri").alias("subj_uri"),
+    ).agg(
+        F.countDistinct("conv_id").alias("n_convs"),
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(F.when(F.col("score_i") > 0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(F.col("score_i") < 0, 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.countDistinct("pred").alias("n_preds"),
+    )
+KG_ENTITY_DEGREES_SQL = _KG_SQL_PROLOGUE + """
+SELECT name AS subj_name, uri AS subj_uri,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_facts,
+       CAST(sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       count(DISTINCT pred) AS n_preds
+FROM facts GROUP BY 1, 2
+"""
+def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges of the output KG: entity pairs linked in
+    the same conversation, weighted by conversation count. The self-join
+    runs on the conv_id key AFTER deduplicating to distinct
+    (conv_id, entity) rows, so its fan-out is bounded by
+    (entities-per-conversation)² — single digits here, never deg(entity)²
+    across the corpus."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    ce = facts.select("conv_id", F.col("entity_uri").alias("uri")).distinct()
+    return (
+        ce.alias("a")
+        .join(
+            ce.alias("b"),
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.uri") < F.col("b.uri")),
+        )
+        .groupBy(F.col("a.uri").alias("uri_a"), F.col("b.uri").alias("uri_b"))
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )
+KG_COOCCURRENCE_SQL = _KG_SQL_PROLOGUE + """
+, ce AS (SELECT DISTINCT conv_id, uri FROM facts)
+SELECT a.uri AS uri_a, b.uri AS uri_b, count(*) AS n_convs
+FROM ce a JOIN ce b ON a.conv_id = b.conv_id AND a.uri < b.uri
+GROUP BY 1, 2
+"""
+# ---------------------------------------------------------------------------
+# window / ordering (W1, W2) and sessionization
+# ---------------------------------------------------------------------------
+
+def w1_turn_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: stable per-conversation ordering (events: user ↔ conv)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).cast("bigint").alias("turn_rank")
+    )
+W1_SQL = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_rank
+FROM events
+"""
+def w2_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first-id-wins dedup (ORDER BY id ASC, take first —
+    DatabaseFacade.java:448,994)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.min("p_partkey").alias("first_id"),
+        F.min_by("p_name", "p_partkey").alias("first_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+W2_SQL = """
+SELECT p_brand, min(p_partkey) AS first_id,
+       arg_min(p_name, p_partkey) AS first_name,
+       count(*) AS n_rows
+FROM part GROUP BY p_brand
+"""
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session assignment: gap > 30 min starts a new session (stateful
+    window op — the batch analogue of the streaming session stage)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint").alias("session_id"),
+    )
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g
+"""
+# ---------------------------------------------------------------------------
+# aggregations (A1, A3, A4) and binning (J7)
+# ---------------------------------------------------------------------------
+
+def a1_posneg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: PosNegWordRatio with NaN guard (WorkerThread.java:118-240)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pos = F.size(F.filter(toks, lambda t: t.isin("fast", "big"))).cast("bigint")
+    neg = F.size(F.filter(toks, lambda t: t.isin("slow", "small"))).cast("bigint")
+    return (
+        d.select("doc_id", pos.alias("pos"), neg.alias("neg"))
+        .filter((F.col("pos") + F.col("neg")) > 0)
+        .withColumn(
+            "score",
+            (F.col("pos") - F.col("neg")).cast("double") / (F.col("pos") + F.col("neg")),
+        )
+        .withColumn(
+            "polarity",
+            F.when(F.col("score") > 0, "positive")
+            .when(F.col("score") < 0, "negative")
+            .otherwise("neutral"),
+        )
+    )
+A1_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), x -> x IN ('fast','big'))) AS pos,
+         len(list_filter(string_split(text,' '), x -> x IN ('slow','small'))) AS neg
+  FROM documents
+)
+SELECT doc_id, pos, neg,
+       CAST(pos - neg AS DOUBLE) / (pos + neg) AS score,
+       CASE WHEN pos > neg THEN 'positive' WHEN pos < neg THEN 'negative'
+            ELSE 'neutral' END AS polarity
+FROM c WHERE pos + neg > 0
+"""
+def a3_group_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-group (pos−neg)/(pos+neg) with zero-polarity rows excluded
+    from BOTH numerator and denominator
+    (NewArticleAssessmentClassificator.java:72-82)."""
+    ev = _t(spark, sf_dir, "events")
+    pol = (
+        F.when(F.col("value") > 200, 1).when(F.col("value") < 20, -1).otherwise(0)
+    )
+    return (
+        ev.withColumn("pol", pol)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.when(F.col("pol") > 0, 1).otherwise(0)).cast("bigint").alias("pos"),
+            F.sum(F.when(F.col("pol") < 0, 1).otherwise(0)).cast("bigint").alias("neg"),
+        )
+        .filter((F.col("pos") + F.col("neg")) > 0)
+        .withColumn(
+            "score",
+            (F.col("pos") - F.col("neg")).cast("double") / (F.col("pos") + F.col("neg")),
+        )
+    )
+A3_SQL = """
+WITH p AS (
+  SELECT user_id, event_type,
+         CASE WHEN value > 200 THEN 1 WHEN value < 20 THEN -1 ELSE 0 END AS pol
+  FROM events
+)
+SELECT user_id, event_type,
+       CAST(sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       CAST(sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg,
+       CAST(sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END)
+          - sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / (sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END)) AS score
+FROM p GROUP BY user_id, event_type
+HAVING sum(CASE WHEN pol > 0 THEN 1 ELSE 0 END)
+     + sum(CASE WHEN pol < 0 THEN 1 ELSE 0 END) > 0
+"""
+def a4_sign_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: polarity → {−1, 0, +1} (SentimentClassification.java:641-653)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 200, 1)
+        .when(F.col("value") < 20, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("score_i"),
+    )
+A4_SQL = """
+SELECT event_id,
+       CAST(CASE WHEN value > 200 THEN 1 WHEN value < 20 THEN -1 ELSE 0 END AS INTEGER) AS score_i
+FROM events
+"""
+def j7_dom_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: degree-of-membership range binning
+    (DatabaseFacade.java:1152-1177)."""
+    ev = _t(spark, sf_dir, "events")
+    norm = F.col("value") / (F.col("value") + F.lit(100.0))
+    # clamp the LABEL argument at 0: the ladder's bins all require
+    # norm >= 0 and fall through to 'n/a' on a negative norm, while the
+    # oracle's CASE ends in ELSE 'no amount' — a corpus with negative
+    # values (-100 < value < 0) would diverge cross-engine without this
+    return ev.select("event_id", norm.alias("norm")).withColumn(
+        "dom_label", agg_mod.dom_label_expr(F.greatest(F.col("norm"), F.lit(0.0)))
+    )
+J7_SQL = """
+SELECT event_id, value / (value + 100.0) AS norm,
+       CASE WHEN value / (value + 100.0) >= 0.8 THEN 'maximum amount'
+            WHEN value / (value + 100.0) >= 0.6 THEN 'large amount'
+            WHEN value / (value + 100.0) >= 0.4 THEN 'moderate amount'
+            WHEN value / (value + 100.0) >= 0.2 THEN 'small amount'
+            ELSE 'no amount' END AS dom_label
+FROM events
+"""
+# ---------------------------------------------------------------------------
+# linking (J1) and routing (P1)
+# ---------------------------------------------------------------------------
+
+def j1_entity_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: mention → gazetteer broadcast join with deterministic ids
+    (md5 here for cross-engine checkability; the pipeline uses xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    kb = resources.driver_kb()
+    gaz = spark.createDataFrame(
+        [(s, n, u, t) for (u, n, t, s) in kb.gazetteer],
+        "surface string, entity_name string, entity_uri string, entity_type string",
+    )
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.join(F.broadcast(gaz), toks["tok"] == gaz["surface"])
+        .groupBy("entity_name", "entity_uri", "entity_type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .withColumn("entity_key", F.md5(F.concat_ws("|", "entity_name", "entity_uri")))
+    )
+J1_SQL = f"""
+WITH gaz(surface, entity_name, entity_uri, entity_type) AS (VALUES
+  ('spark',    'spark',    '{NS}spark',    'Company'),
+  ('customer', 'customer', '{NS}customer', 'Company'),
+  ('vector',   'vector',   '{NS}vector',   'Topic'),
+  ('stream',   'stream',   '{NS}stream',   'Topic'),
+  ('window',   'window',   '{NS}window',   'Topic')
+),
+toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+SELECT entity_name, entity_uri, entity_type, count(*) AS n_mentions,
+       md5(entity_name || '|' || entity_uri) AS entity_key
+FROM toks JOIN gaz ON tok = surface
+GROUP BY entity_name, entity_uri, entity_type
+"""
+def p1_routing_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: route each doc down one of two classifier branches, reunite via
+    unionByName (CompletePipelineWorker.java:194-219)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    has_so = F.array_contains(toks, "spark") | F.array_contains(toks, "customer")
+    kb = d.filter(has_so).select(
+        "doc_id",
+        F.lit("kb").alias("branch"),
+        F.size(F.filter(toks, lambda t: t.isin("spark", "customer"))).cast("bigint").alias("metric"),
+    )
+    ratio = d.filter(~has_so).select(
+        "doc_id",
+        F.lit("ratio").alias("branch"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin("fast", "big")))
+            - F.size(F.filter(toks, lambda t: t.isin("slow", "small")))
+        ).cast("bigint").alias("metric"),
+    )
+    return kb.unionByName(ratio)
+P1_SQL = """
+WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+flag AS (
+  SELECT doc_id, toks,
+         list_contains(toks,'spark') OR list_contains(toks,'customer') AS has_so
+  FROM t
+)
+SELECT doc_id, 'kb' AS branch,
+       len(list_filter(toks, x -> x IN ('spark','customer'))) AS metric
+FROM flag WHERE has_so
+UNION ALL
+SELECT doc_id, 'ratio' AS branch,
+       len(list_filter(toks, x -> x IN ('fast','big')))
+     - len(list_filter(toks, x -> x IN ('slow','small'))) AS metric
+FROM flag WHERE NOT has_so
+"""
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def a7_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: word/char counts (DocumentMetaData numberOfWords)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+A7_SQL = """
+SELECT doc_id, len(string_split(text,' ')) AS n_words, length(text) AS n_chars
+FROM documents
+"""
+# ---------------------------------------------------------------------------
+# remaining window/grouping parity ops (W3 offsets, A2 case-insensitive)
+# ---------------------------------------------------------------------------
+
+def w3_char_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: cumulative char offsets — each doc's start offset within its
+    source stream = running sum of (n_chars + 1) over preceding docs
+    (per-turn offset computation, SURVEY.md §2.5/W3)."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("n_chars") + 1).over(w) - (F.col("n_chars") + 1)
+    return d.select(
+        "doc_id", "source", cum.cast("bigint").alias("begin_offset"),
+        (cum + F.col("n_chars")).cast("bigint").alias("end_offset"),
+    )
+W3_SQL = """
+WITH c AS (
+  SELECT doc_id, source,
+         sum(n_chars + 1) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - (n_chars + 1) AS b,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, source, CAST(b AS BIGINT) AS begin_offset,
+       CAST(b + n_chars AS BIGINT) AS end_offset
+FROM c
+"""
+def a2_group_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: case-insensitive grouping with first-seen original casing
+    preserved (ClassifiedDocument.java:99-123 equalsIgnoreCase + W2
+    first-wins). Mixed-case keys are derived deterministically so the
+    group-by-lower vs keep-first-casing distinction is actually exercised."""
+    d = _t(spark, sf_dir, "documents")
+    mixed = F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    return (
+        d.select("doc_id", mixed.alias("key_raw"))
+        .groupBy(F.lower("key_raw").alias("key_ci"))
+        .agg(
+            F.min_by("key_raw", "doc_id").alias("first_seen_casing"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+A2_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS key_raw
+  FROM documents
+)
+SELECT lower(key_raw) AS key_ci,
+       arg_min(key_raw, doc_id) AS first_seen_casing,
+       count(*) AS n_rows
+FROM m GROUP BY lower(key_raw)
+"""
+def kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standoff mention spans from the Arrow-UDF detector (kgx.mentions)
+    over documents-as-transcripts. The oracle recomputes every span's char
+    offsets in SQL via token-length prefix sums — single-word surfaces over
+    single-space text make regex word-boundary matching ≡ token equality,
+    so begin/end arithmetic is checked exactly."""
+    tr = _doc_transcripts(spark, sf_dir)
+    kb = resources.driver_kb()
+    m = mentions.detect_mentions(tr, kb)
+    ex = m.select("conv_id", F.explode("mentions").alias("mn"))
+    return ex.select(
+        "conv_id",
+        F.col("mn.begin").alias("begin_off"),
+        F.col("mn.end").alias("end_off"),
+        F.col("mn.kind").alias("kind"),
+        F.col("mn.surface").alias("surface"),
+        F.col("mn.polarity").alias("polarity"),
+    )
+KG_MENTIONS_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+pos AS (
+  SELECT conv_id, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tok
+)
+SELECT conv_id,
+       CAST(b AS INTEGER) AS begin_off,
+       CAST(b + length(tok) AS INTEGER) AS end_off,
+       CASE WHEN tok IN ('spark','customer','vector','stream','window') THEN 'SO'
+            WHEN tok IN ('hash','merge') THEN 'Indicator'
+            WHEN tok = 'value' THEN 'Feature'
+            ELSE 'OrientationTerm' END AS kind,
+       tok AS surface,
+       CASE WHEN tok IN ('fast','big') THEN 'positive'
+            WHEN tok IN ('slow','small') THEN 'negative' END AS polarity
+FROM pos
+WHERE tok IN ('spark','customer','vector','stream','window',
+              'hash','merge','value','fast','big','slow','small')
+"""
+KG_STREAM_SQL = f"""
+SELECT * FROM ({KG_SENTENCE_SQL})
+UNION ALL
+SELECT * FROM ({KG_DOCUMENT_SQL})
+UNION ALL
+SELECT * FROM ({KG_FALLBACK_SQL})
+"""
+def kg_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHRASE-table evidence rows (db_schema.sql:360-374 analogue) via
+    materialize.mention_evidence: mention kinds map to the reference's
+    PHRASE_TYPE vocabulary (insertAllConstantTypes.sql), and each row
+    carries the reference PHRASE score columns (sentiment_score_i,
+    dist_to_so) — the oracle recomputes both from token positions."""
+    from kgx import materialize
+
+    tr = assemble.admit_turns(_doc_transcripts(spark, sf_dir))
+    kb = resources.driver_kb()
+    ev = materialize.mention_evidence(mentions.detect_mentions(tr, kb))
+    return ev.select(
+        "conv_id",
+        F.col("begin").alias("begin_off"),
+        F.col("end").alias("end_off"),
+        F.col("text").alias("surface"),
+        "phrase_type",
+        "sentiment_score_i",
+        "dist_to_so",
+    )
+KG_PHRASES_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+cnt AS (
+  SELECT conv_id,
+         CASE WHEN len(list_filter(toks, x -> x IN ('fast','big')))
+                 > len(list_filter(toks, x -> x IN ('slow','small'))) THEN 1
+              WHEN len(list_filter(toks, x -> x IN ('fast','big')))
+                 < len(list_filter(toks, x -> x IN ('slow','small'))) THEN -1
+              ELSE 0 END AS tscore
+  FROM t
+),
+tok AS (
+  SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+pos AS (
+  SELECT conv_id, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tok
+),
+so_pos AS (
+  SELECT conv_id, list(b) AS sob FROM pos
+  WHERE tok IN ('spark','customer','vector','stream','window')
+  GROUP BY conv_id
+)
+SELECT p.conv_id,
+       CAST(b AS INTEGER) AS begin_off,
+       CAST(b + length(tok) AS INTEGER) AS end_off,
+       tok AS surface,
+       CASE WHEN tok IN ('spark','customer','vector','stream','window')
+                 THEN 'sentimentObjectPhrase'
+            WHEN tok IN ('hash','merge') THEN 'indicatorPhrase'
+            WHEN tok = 'value' THEN 'featurePhrase'
+            ELSE 'orientationPhrase' END AS phrase_type,
+       CAST(CASE WHEN tok IN ('fast','big') THEN 1
+                 WHEN tok IN ('slow','small') THEN -1
+                 ELSE c.tscore END AS INTEGER) AS sentiment_score_i,
+       CAST(list_aggregate(list_transform(s.sob, x -> abs(b - x)), 'min')
+            AS INTEGER) AS dist_to_so
+FROM pos p
+JOIN cnt c ON c.conv_id = p.conv_id
+LEFT JOIN so_pos s ON s.conv_id = p.conv_id
+WHERE tok IN ('spark','customer','vector','stream','window',
+              'hash','merge','value','fast','big','slow','small')
+"""
+def kg_phrase_fact_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTIMENT_PHRASE_RELATION analogue (db_schema.sql:462-468,
+    SentimentSentence.java:383-414): n:m edges between the sentence facts
+    and their evidence phrases, via materialize.phrase_fact_edges."""
+    from kgx import materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    kb = resources.driver_kb()
+    tr = assemble.admit_turns(_doc_transcripts(spark, sf_dir))
+    wm = mentions.detect_mentions(tr, kb)
+    edges = materialize.phrase_fact_edges(facts, wm, kb)
+    out = edges.select(
+        "conv_id",
+        "turn_idx",
+        "subj_name",
+        "pred",
+        "indicator_uri",
+        F.col("begin").alias("begin_off"),
+        F.col("end").alias("end_off"),
+        "role",
+    )
+    return dedup.propagate_ownership(edges, out)
+KG_PHRASE_EDGES_SQL = _KG_SQL_PROLOGUE + """
+, tokp AS (
+  SELECT conv_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+posn AS (
+  SELECT conv_id, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tokp
+),
+subject_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'subject' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.tok = lower(f.name)
+   AND p.tok IN ('spark','customer','vector','stream','window')
+),
+orientation_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'orientation' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id
+   AND p.tok IN ('fast','big','slow','small')
+),
+first_feat AS (
+  SELECT conv_id, min(b) AS b FROM posn WHERE tok = 'value' GROUP BY conv_id
+),
+feature_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(ff.b AS INTEGER) AS begin_off,
+         CAST(ff.b + 5 AS INTEGER) AS end_off,
+         'feature' AS role
+  FROM facts f
+  JOIN first_feat ff ON ff.conv_id = f.conv_id
+  WHERE f.indicator_uri IS NULL
+),
+indicator_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'indicator' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id
+   AND ((p.tok = 'hash' AND f.indicator_uri = 'http://kgx.example.org/onto#hash_ind')
+     OR (p.tok = 'merge' AND f.indicator_uri = 'http://kgx.example.org/onto#merge_ind'))
+)
+SELECT * FROM subject_e
+UNION ALL SELECT * FROM orientation_e
+UNION ALL SELECT * FROM feature_e
+UNION ALL SELECT * FROM indicator_e
+"""
+def kg_indicator_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTIMENT_INDICATOR dimension analogue (db_schema.sql:309-322,
+    DatabaseFacade.java:1104-1143): indicator nodes with KB attributes +
+    usage aggregates from the indirect facts."""
+    from kgx import linking, materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    kb = resources.driver_kb()
+    ind_dim = linking.indicators_dim(spark, kb)
+    return materialize.indicator_nodes(facts, ind_dim)
+KG_INDICATOR_NODES_SQL = _KG_SQL_PROLOGUE + f"""
+, dim(indicator_uri, indicator_name, ind_type, correlation, object_class, feature_uri) AS (VALUES
+  ('{NS}hash_ind',  'hash',  'Technical', -1, 'Company', '{P_PRICE}'),
+  ('{NS}merge_ind', 'merge', 'Technical',  1, 'Topic',   '{P_VOL}')
+)
+SELECT f.indicator_uri, count(*) AS n_facts,
+       CAST(sum(f.sci) AS BIGINT) AS sum_score,
+       d.indicator_name, d.ind_type, CAST(d.correlation AS INTEGER) AS correlation,
+       d.object_class, d.feature_uri
+FROM facts f JOIN dim d ON d.indicator_uri = f.indicator_uri
+GROUP BY f.indicator_uri, d.indicator_name, d.ind_type, d.correlation,
+         d.object_class, d.feature_uri
+"""
+def _doc_transcripts_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.col("text"),
+        F.col("source"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+def kg_document_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT_META_DATA provenance rows (db_schema.sql:333-349) via
+    materialize.document_meta: per-conversation counts + retrieval date +
+    source. website_key is an md5 rendering for the cross-engine check;
+    the operator's long website_id (xxhash64) is pytest-covered."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    return meta.select(
+        "conv_id", "n_words", "n_chars", "n_turns",
+        F.col("retrieval_date").cast("string").alias("retrieval_date"),
+        "source",
+    ).withColumn("website_key", F.md5(F.lower("source")))
+KG_DOC_META_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       len(string_split(text, ' ')) AS n_words,
+       length(text) AS n_chars,
+       CAST(1 AS BIGINT) AS n_turns,
+       '2025-01-01' AS retrieval_date,
+       source,
+       md5(lower(source)) AS website_key
+FROM documents
+"""
+def kg_corpus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS_META_DATA rollup (db_schema.sql:114-127) via
+    materialize.corpus_meta over the per-document provenance rows."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    out = materialize.corpus_meta(meta)
+    return out.select(
+        "corpus", "n_docs", "n_words", "n_chars",
+        F.col("first_retrieval").cast("string").alias("first_retrieval"),
+        F.col("last_retrieval").cast("string").alias("last_retrieval"),
+    )
+KG_CORPUS_META_SQL = """
+SELECT lower(source) AS corpus,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       '2025-01-01' AS first_retrieval,
+       '2025-01-01' AS last_retrieval
+FROM documents GROUP BY 1
+"""
+def kg_website_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBSITE dimension (db_schema.sql:229-265) via materialize.website_dim
+    — distinct sources with usage counts; md5 key for the oracle check."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    dim = materialize.website_dim(meta)
+    return dim.select("website", "n_docs").withColumn(
+        "website_key", F.md5("website")
+    )
+KG_WEBSITE_SQL = """
+SELECT lower(source) AS website, count(*) AS n_docs,
+       md5(lower(source)) AS website_key
+FROM documents GROUP BY lower(source)
+"""
+def kg_url_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance rows (db_schema.sql:249-260, one row per document
+    version written by DatabaseFacade.createDocumentVersion:236-260) via
+    materialize.url_dim: per (conversation, pipeline stage) location of
+    that stage's output — protocol/host/path/version_info."""
+    from kgx import materialize
+
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    return materialize.url_dim(meta)
+KG_URL_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+       st.stage AS version_info,
+       'file' AS protocol,
+       coalesce(lower(source), 'local') AS host,
+       st.stage || '/ts_day=2025-01-01/conv_id=' || CAST(doc_id AS VARCHAR)
+         AS path
+FROM documents, (VALUES ('txt'), ('classified'), ('ontology')) AS st(stage)
+"""
+def kg_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_PARAMETER provenance (db_schema.sql:62-80) via
+    materialize.query_parameters: the reconstructed crawl query per
+    (site, date, subject entity) with usage counts."""
+    from kgx import materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    meta = materialize.document_meta(_doc_transcripts_with_source(spark, sf_dir))
+    out = materialize.query_parameters(meta, facts)
+    return out.withColumn("query_date", F.col("query_date").cast("string"))
+KG_QUERY_PARAMS_SQL = _KG_SQL_PROLOGUE + """
+, first_so AS (
+  -- min(name) coincides with materialize.query_parameters' first-subject-
+  -- in-TURN-ORDER rule only because this oracle corpus is single-turn
+  -- (turn_idx=0 everywhere). The turn-order rule is pinned cross-engine
+  -- by kg_multiturn_query_params (turn-ordered arg-min over the folded
+  -- multi-turn corpus, where it DIFFERS from min(name) in 28/50 convs)
+  -- and by the multi-turn unit test (tests/test_round3.py).
+  SELECT conv_id, min(name) AS query_sentiment_object FROM facts GROUP BY conv_id
+)
+SELECT lower(d.source) AS query_site,
+       '2025-01-01' AS query_date,
+       f.query_sentiment_object,
+       count(*) AS n_docs,
+       lower(d.source) || ' ' || f.query_sentiment_object AS query_string
+FROM documents d JOIN first_so f ON CAST(d.doc_id AS VARCHAR) = f.conv_id
+GROUP BY 1, 2, 3
+"""
+def a6_model_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6's pluggable-scorer variant (NewApproachHybridFuzzy.java:162-271):
+    Hybrid/FUZZY rows from a broadcast linear model scored in Arrow
+    batches (kgx.fuzzy_model) instead of the expression ladder. The oracle
+    is the LADDER — the row being green is the cross-engine proof that the
+    model reproduces the ladder's labels exactly."""
+    from kgx import fuzzy_model
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    return fuzzy_model.model_fuzzy_triples(facts)
+A6_MODEL_FUZZY_SQL = _KG_SQL_PROLOGUE + """
+, grp AS (
+  SELECT conv_id, lower(name) AS subj_name, pred,
+         sum(CASE WHEN sci > 0 THEN 1 ELSE 0 END) AS pos_n,
+         sum(CASE WHEN sci < 0 THEN 1 ELSE 0 END) AS neg_n
+  FROM facts GROUP BY 1, 2, 3
+),
+doc AS (
+  SELECT conv_id, subj_name, pred,
+         CAST(pos_n - neg_n AS DOUBLE) / (pos_n + neg_n) AS dscore
+  FROM grp WHERE pos_n + neg_n > 0
+)
+SELECT conv_id, subj_name, pred,
+       CASE WHEN dscore > 0 THEN 'positive' ELSE 'negative' END AS obj_polarity,
+       dscore AS score,
+       'Hybrid/FUZZY' AS classifier,
+       CASE WHEN abs(dscore) >= 0.8 THEN 'maximum amount'
+            WHEN abs(dscore) >= 0.6 THEN 'large amount'
+            WHEN abs(dscore) >= 0.4 THEN 'moderate amount'
+            WHEN abs(dscore) >= 0.2 THEN 'small amount'
+            ELSE 'no amount' END AS dom_label
+FROM doc
+"""
+def kg_node_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SENTIMENT_OBJECT_PROPERTY(_RELATION) property bags
+    (db_schema.sql:266-278, :383-396) via materialize.node_properties:
+    EAV (node_key, prop_key, prop_value) rows per entity node — static
+    attributes unpivoted map-side, usage properties from one keyed agg."""
+    from kgx import materialize
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    return materialize.node_properties(facts)
+KG_NODE_PROPS_SQL = _KG_SQL_PROLOGUE + """
+, nodes AS (
+  SELECT lower(name) AS name, uri, min(typ) AS entity_type,
+         count(*) AS n_facts, count(DISTINCT conv_id) AS n_convs
+  FROM facts GROUP BY 1, 2
+),
+-- parts hashed before the join: raw name||'|'||uri is delimiter-injectable
+-- and a null uri must not null the whole key (mirrors materialize.node_properties)
+keyed AS (SELECT *, md5(md5(name) || '|' || md5(coalesce(uri, ''))) AS node_key FROM nodes)
+SELECT node_key, 'name' AS prop_key, name AS prop_value FROM keyed
+UNION ALL SELECT node_key, 'uri', uri FROM keyed
+UNION ALL SELECT node_key, 'type', entity_type FROM keyed
+UNION ALL SELECT node_key, 'n_facts', CAST(n_facts AS VARCHAR) FROM keyed
+UNION ALL SELECT node_key, 'n_convs', CAST(n_convs AS VARCHAR) FROM keyed
+"""
+def kg_result_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 nested-result marshal (ClassifiedDocument JAXB tree,
+    CompletePipelineWorker.java:244-262) via materialize.result_docs: one
+    row per conversation; the nested sentiments array is verified through
+    its order-canonical digest (md5 over sorted formatted lines — the
+    driver's canonicalizer can't hash raw nested arrays)."""
+    from kgx import materialize
+
+    facts, tf = _kg_run(spark, sf_dir)
+    triples = agg_mod.all_triples(facts, tf)
+    rd = materialize.result_docs(triples)
+    return rd.select("conv_id", "n_triples", "digest")
+KG_RESULT_DOCS_SQL = f"""
+WITH allt AS ({KG_STREAM_SQL}),
+fmt AS (
+  SELECT conv_id,
+         level || '|' || subj_name || '|' || pred || '||' || obj_polarity
+           || '|' || classifier || '|' || coalesce(dom_label, '')
+           || '|' || coalesce(indicator_uri, '')
+           || '|' || CAST(coalesce(turn_idx, -1) AS VARCHAR) AS line
+  FROM allt
+)
+SELECT conv_id, count(*) AS n_triples,
+       md5(string_agg(line, chr(10) ORDER BY line)) AS digest
+FROM fmt GROUP BY conv_id
+"""
+# ---------------------------------------------------------------------------
+# canonicalization: connected components (north-rule stage 5)
+# ---------------------------------------------------------------------------
+
+def cc_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity canonicalization via connected components (kgx.canonical):
+    nodes merge when they share lower(name) or a non-null uri; canonical id
+    = component minimum (the order-independent rendering of the reference's
+    first-writer-wins get-or-create, DatabaseFacade.java:987-1018). Node
+    table derived deterministically from `part` so the DuckDB recursive-CTE
+    oracle reproduces the exact same components.
+
+    Graph shape: clustered duplicates — name blocks of 8 ids, every
+    block's first member carrying a uri shared across 10 blocks → ~250
+    components of 80 nodes each. That is the shape real entity-resolution
+    blocking produces (many small clusters; a giant half-catalog component
+    means the blocking keys are broken — see the dedup DF-cap discussion);
+    the adversarial chain-diameter case is covered by pytest
+    (test_connected_components_merges) rather than the timing benchmark."""
+    from kgx import canonical
+
+    p = _t(spark, sf_dir, "part")
+    nodes = p.select(
+        F.col("p_partkey").cast("long").alias("entity_id"),
+        F.concat(F.lit("n"), F.floor(F.col("p_partkey") / 8).cast("long").cast("string")).alias("name"),
+        F.when(
+            F.col("p_partkey") % 8 == 0,
+            F.concat(F.lit("u"), F.floor(F.col("p_partkey") / 80).cast("long").cast("string")),
+        ).alias("uri"),
+        F.lit("Entity").alias("entity_type"),
+    )
+    mem = canonical.block_memberships(nodes)
+    cc = canonical.connected_components_blocks(nodes, mem)
+    return cc.select("entity_id", "canonical_id", "name", "uri")
+CC_SQL = """
+WITH RECURSIVE
+n AS (
+  SELECT CAST(p_partkey AS BIGINT) AS entity_id,
+         'n' || CAST(CAST(floor(p_partkey / 8) AS BIGINT) AS VARCHAR) AS name,
+         CASE WHEN p_partkey % 8 = 0
+              THEN 'u' || CAST(CAST(floor(p_partkey / 80) AS BIGINT) AS VARCHAR) END AS uri
+  FROM part
+),
+by_name AS (
+  SELECT entity_id AS src,
+         min(entity_id) OVER (PARTITION BY lower(name)) AS dst
+  FROM n WHERE name IS NOT NULL
+),
+by_uri AS (
+  SELECT entity_id AS src,
+         min(entity_id) OVER (PARTITION BY uri) AS dst
+  FROM n WHERE uri IS NOT NULL
+),
+e0 AS (
+  SELECT src, dst FROM by_name WHERE src <> dst
+  UNION
+  SELECT src, dst FROM by_uri WHERE src <> dst
+),
+sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+walk(v, comp) AS (
+  SELECT entity_id, entity_id FROM n
+  UNION
+  SELECT s.src, w.comp FROM sym s JOIN walk w ON s.dst = w.v
+)
+SELECT n.entity_id, c.canonical_id, n.name, n.uri
+FROM n JOIN (SELECT v AS entity_id, min(comp) AS canonical_id
+             FROM walk GROUP BY v) c USING (entity_id)
+"""
+def kg_entity_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-level entity continuity (coref-lite): turns that mention
+    no SO entity inherit the most recent prior turn's SO set within the
+    conversation — the carry rule a KG builder applies to multi-turn agent
+    transcripts where later turns say "it"/"that one" (reference analogue:
+    per-document annotation scope, CompletePipelineWorker.java:158-236,
+    widened here to conversation scope). Documents fold into 50
+    deterministic multi-turn conversations (conv = doc_id % 50,
+    turn = doc_id // 50), so the rule is exercised on REAL multi-turn
+    input — closing the single-turn-oracle gap ADVICE r3 flagged.
+
+    Shape: Arrow-UDF mention detection (map-only), per-turn distinct SO
+    set in-row, then ONE narrow shuffle on conv_id for the
+    last-non-null-carry window; emitted rows are slim (conv, turn,
+    entity, src)."""
+    docs = _t(spark, sf_dir, "documents")
+    tr = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return mentions.entity_carryover(tr, resources.driver_kb())
+KG_CARRYOVER_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+tok AS (SELECT conv_id, turn_idx, unnest(toks) AS tok FROM t),
+so AS (
+  SELECT DISTINCT conv_id, turn_idx, tok AS entity
+  FROM tok WHERE tok IN ('spark','customer','vector','stream','window')
+),
+turn_src AS (
+  SELECT tt.conv_id, tt.turn_idx,
+         max(CASE WHEN s.turn_idx IS NOT NULL THEN tt.turn_idx END)
+             OVER (PARTITION BY tt.conv_id ORDER BY tt.turn_idx) AS src_turn_idx
+  FROM (SELECT DISTINCT conv_id, turn_idx FROM t) tt
+  LEFT JOIN (SELECT DISTINCT conv_id, turn_idx FROM so) s
+    ON s.conv_id = tt.conv_id AND s.turn_idx = tt.turn_idx
+)
+SELECT ts.conv_id, ts.turn_idx, so.entity,
+       CAST(ts.src_turn_idx AS INTEGER) AS src_turn_idx,
+       ts.src_turn_idx <> ts.turn_idx AS carried
+FROM turn_src ts
+JOIN so ON so.conv_id = ts.conv_id AND so.turn_idx = ts.src_turn_idx
+"""
+def kg_triple_type_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite domain/range validation of every extracted fact
+    (linking.triple_type_check): domain = subject type allowed for the
+    predicate (resources.DOMAIN_RULES), range = indicator object_class
+    match. The sf0.01 corpus yields both valid rows and domain
+    violations (Topic subjects under reputation/price predicates)."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    return linking.triple_type_check(spark, facts, resources.driver_kb())
+KG_TYPE_CHECK_SQL = _KG_SQL_PROLOGUE + f"""
+, rules(pred, allowed) AS (VALUES
+  ('{P_REP}',   ['Company']),
+  ('{P_PRICE}', ['Company', 'Stock', 'Currency']),
+  ('{P_VOL}',   ['Company', 'Stock', 'Currency', 'Topic'])
+),
+inds(indicator_uri, object_class) AS (VALUES
+  ('{NS}hash_ind',  'Company'),
+  ('{NS}merge_ind', 'Topic')
+)
+SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.typ AS subj_type,
+       f.pred, f.indicator_uri,
+       list_contains(r.allowed, f.typ) AS domain_ok,
+       CASE WHEN f.indicator_uri IS NULL THEN NULL
+            ELSE coalesce(f.typ = i.object_class, FALSE) END AS range_ok,
+       (coalesce(list_contains(r.allowed, f.typ), FALSE)
+        AND coalesce(CASE WHEN f.indicator_uri IS NULL THEN NULL
+                          ELSE coalesce(f.typ = i.object_class, FALSE)
+                     END, TRUE)) AS is_valid
+FROM facts f
+LEFT JOIN rules r USING (pred)
+LEFT JOIN inds i USING (indicator_uri)
+"""
+# ---------------------------------------------------------------------------
+# multi-turn KG oracle rows: the same extraction semantics over folded
+# 50-conversation x 10-turn transcripts, so the TURN-ORDERED rules (W1/W2
+# first-seen, query-param arg-min) are pinned cross-engine — the gap
+# ADVICE r3 flagged (single-turn corpora make min(name) coincide with the
+# turn-order rule, hiding regressions from the oracle).
+# ---------------------------------------------------------------------------
+
+
+def _doc_mt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multi-turn transcripts: conv = doc_id % 50,
+    turn = doc_id // 50 (the same deterministic fold as the carryover
+    rows, so one mental model covers every multi-turn oracle)."""
+    return _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+def _kg_mt_run(spark: SparkSession, sf_dir: str):
+    """Extraction stages over the multi-turn fold, cached like _kg_run."""
+    key = (id(spark), sf_dir, "mt")
+    hit = _KG_CACHE.get(key)
+    if hit is not None and hit[0] is spark and _session_alive(spark):
+        return hit[1], hit[2]
+    kb = resources.driver_kb()
+    turns = assemble.assemble_turns(
+        _doc_mt_transcripts(spark, sf_dir), num_partitions=32
+    )
+    facts, tf = relations.extract_facts(turns, kb)
+    facts = facts.persist()
+    _KG_CACHE[key] = (spark, facts, tf)
+    return facts, tf
+# multi-turn prologue: IDENTICAL fact semantics, only the conv/turn fold
+# differs — derived by substitution so the two prologues cannot drift
+_KG_MT_SQL_PROLOGUE = _KG_SQL_PROLOGUE.replace(
+    "SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,",
+    "SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,\n"
+    "         CAST(doc_id // 50 AS INTEGER) AS turn_idx,",
+)
+assert _KG_MT_SQL_PROLOGUE != _KG_SQL_PROLOGUE
+def kg_multiturn_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level triples over REAL multi-turn conversations: the
+    per-(conv, entity, pred) rollup now aggregates pos/neg evidence
+    ACROSS ten turns and the W2 first-seen identity resolves by turn
+    order. Shares the single-turn row's SQL tail (only the fold differs)
+    except the score RENDERING: multi-turn groups produce ratios like
+    -1/7 whose IEEE double's shortest repr ends in an exact '5' at digit
+    17 — Java's BigDecimal(shortest-repr) HALF_EVEN and a
+    multiply-based SQL round() legitimately disagree there by one ulp of
+    the 16th digit, so the row compares bround(score, 12) on both sides
+    (ties at digit 13 are unreachable for small-denominator ratios; the
+    full decimal(18,16) semantics stay pinned by the single-turn row and
+    the pytest ladder). Same rendering-for-checkability precedent as
+    kg_website_dim's md5 keys."""
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    out = agg_mod.document_triples(facts, with_fuzzy=True)
+    return (
+        out.select(*_KG_COLS)
+        .withColumn("score", F.bround(F.col("score").cast("double"), 12))
+    )
+KG_MT_DOCUMENT_SQL = (
+    _KG_MT_SQL_PROLOGUE + KG_DOCUMENT_SQL[len(_KG_SQL_PROLOGUE):]
+).replace("round(dscore, 16) AS score", "round(dscore, 12) AS score")
+assert "round(dscore, 12)" in KG_MT_DOCUMENT_SQL
+def kg_multiturn_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY_PARAMETER's first-subject-in-TURN-ORDER rule
+    (materialize.query_parameters min_by((turn_idx, name))) on input
+    where it DIFFERS from min(name): later turns introduce
+    alphabetically-smaller entities, so a regression to min(name) — the
+    exact hazard noted in KG_QUERY_PARAMS_SQL — flips rows and fails the
+    hash."""
+    from kgx import materialize
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    meta = (
+        _doc_mt_transcripts(spark, sf_dir)
+        .select("conv_id")
+        .distinct()
+        .withColumn("source", F.lit("corpus"))
+        .withColumn("retrieval_date", F.lit("2025-01-01"))
+    )
+    return materialize.query_parameters(meta, facts)
+KG_MT_QUERY_PARAMS_SQL = _KG_MT_SQL_PROLOGUE + """
+, first_so AS (
+  SELECT conv_id, name AS query_sentiment_object FROM (
+    SELECT conv_id, name,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY turn_idx ASC, name ASC) AS rn
+    FROM facts
+  ) WHERE rn = 1
+)
+SELECT 'corpus' AS query_site,
+       '2025-01-01' AS query_date,
+       query_sentiment_object,
+       count(*) AS n_docs,
+       'corpus ' || query_sentiment_object AS query_string
+FROM first_so
+GROUP BY 1, 2, 3
+"""
+def kg_multiturn_node_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node property bags over REAL multi-turn conversations (VERDICT r4
+    #6): n_facts / n_convs now aggregate entities mentioned across
+    different turns of the same conversation — pinning that the EAV
+    rollup counts CONVERSATIONS, not turns, once the fold is non-trivial.
+    Shares KG_NODE_PROPS_SQL's tail verbatim (only the fold differs)."""
+    from kgx import materialize
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    return materialize.node_properties(facts)
+KG_MT_NODE_PROPS_SQL = (
+    _KG_MT_SQL_PROLOGUE + KG_NODE_PROPS_SQL[len(_KG_SQL_PROLOGUE):]
+)
+assert "node_key" in KG_MT_NODE_PROPS_SQL
+def kg_multiturn_phrase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-evidence edges over REAL multi-turn conversations (VERDICT
+    r4 #6): every edge join (subject / orientation / first-feature /
+    indicator) is keyed (conv_id, turn_idx), and with ten turns per conv
+    the oracle breaks if any branch drops the turn key — character
+    offsets are PER-TURN, and a conv-keyed join would cross-attach
+    phrases from other turns (exactly the regression the single-turn
+    corpus cannot see, where conv == turn)."""
+    from kgx import materialize
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    kb = resources.driver_kb()
+    tr = assemble.admit_turns(_doc_mt_transcripts(spark, sf_dir))
+    wm = mentions.detect_mentions(tr, kb)
+    edges = materialize.phrase_fact_edges(facts, wm, kb)
+    out = edges.select(
+        "conv_id",
+        "turn_idx",
+        "subj_name",
+        "pred",
+        "indicator_uri",
+        F.col("begin").alias("begin_off"),
+        F.col("end").alias("end_off"),
+        "role",
+    )
+    return dedup.propagate_ownership(edges, out)
+KG_MT_PHRASE_EDGES_SQL = _KG_MT_SQL_PROLOGUE + """
+, tokp AS (
+  SELECT conv_id, turn_idx, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+posn AS (
+  SELECT conv_id, turn_idx, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id, turn_idx
+                                    ORDER BY idx ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tokp
+),
+subject_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'subject' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+   AND p.tok = lower(f.name)
+   AND p.tok IN ('spark','customer','vector','stream','window')
+),
+orientation_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'orientation' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+   AND p.tok IN ('fast','big','slow','small')
+),
+first_feat AS (
+  SELECT conv_id, turn_idx, min(b) AS b FROM posn
+  WHERE tok = 'value' GROUP BY conv_id, turn_idx
+),
+feature_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(ff.b AS INTEGER) AS begin_off,
+         CAST(ff.b + 5 AS INTEGER) AS end_off,
+         'feature' AS role
+  FROM facts f
+  JOIN first_feat ff ON ff.conv_id = f.conv_id AND ff.turn_idx = f.turn_idx
+  WHERE f.indicator_uri IS NULL
+),
+indicator_e AS (
+  SELECT f.conv_id, f.turn_idx, f.name AS subj_name, f.pred, f.indicator_uri,
+         CAST(p.b AS INTEGER) AS begin_off,
+         CAST(p.b + length(p.tok) AS INTEGER) AS end_off,
+         'indicator' AS role
+  FROM facts f
+  JOIN posn p ON p.conv_id = f.conv_id AND p.turn_idx = f.turn_idx
+   AND ((p.tok = 'hash' AND f.indicator_uri = 'http://kgx.example.org/onto#hash_ind')
+     OR (p.tok = 'merge' AND f.indicator_uri = 'http://kgx.example.org/onto#merge_ind'))
+)
+SELECT * FROM subject_e
+UNION ALL SELECT * FROM orientation_e
+UNION ALL SELECT * FROM feature_e
+UNION ALL SELECT * FROM indicator_e
+"""
