@@ -175,6 +175,72 @@ SCALE_TRIALS_N = int(os.environ.get("BENCH_SCALE_TRIALS_N", "4"))
 SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "4"))
 
 
+def _spin(q, dur: float) -> None:
+    t_end = time.monotonic() + dur
+    n = 0
+    while time.monotonic() < t_end:
+        for _ in range(10000):
+            pass
+        n += 10000
+    q.put(n)
+
+
+def _effective_cores(nproc: int, dur: float = 1.5) -> float:
+    """Measured parallel speedup of nproc pure-CPU spin processes over one:
+    a direct, Spark-independent read of how many physical cores the
+    hypervisor is ACTUALLY backing right now. On this box loadavg cannot
+    see co-tenant pressure (it counts our runnable tasks only): during one
+    round-5 degraded window the 8-core KG trial ran 65-125s vs its 35s
+    healthy wall while loadavg looked normal — this probe is what
+    distinguishes those windows (it read 7.65/8 minutes after the window
+    passed)."""
+    import multiprocessing as mp
+
+    def rate(k: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=_spin, args=(q, dur)) for _ in range(k)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot / dur
+
+    base = rate(1)
+    return round(rate(nproc) / base, 2) if base else 0.0
+
+
+GATE_MIN_FRAC = float(os.environ.get("BENCH_GATE_MIN_FRAC", "0.75"))
+GATE_MAX_WAIT = float(os.environ.get("BENCH_GATE_MAX_WAIT", "600"))
+
+
+def _capacity_gate(need_cores: int) -> dict:
+    """Pre-trial host-health gate: before each scaling PAIR, require the
+    host to demonstrably deliver >= GATE_MIN_FRAC * need_cores effective
+    cores to a raw spin probe, waiting (bounded, 45s steps) for a degraded
+    co-tenant window to pass. Honest by construction: the gate runs BEFORE
+    the pair, never discards a completed trial, and every check — including
+    a gave_up=True timeout after which the pair runs anyway — is published
+    in the scaling record."""
+    t0 = time.monotonic()
+    checks: list[float] = []
+    while True:
+        eff = _effective_cores(need_cores)
+        checks.append(eff)
+        if eff >= GATE_MIN_FRAC * need_cores:
+            return {"effective_cores": eff, "checks": checks,
+                    "waited_s": round(time.monotonic() - t0, 1),
+                    "gave_up": False}
+        if time.monotonic() - t0 > GATE_MAX_WAIT:
+            return {"effective_cores": eff, "checks": checks,
+                    "waited_s": round(time.monotonic() - t0, 1),
+                    "gave_up": True}
+        print(f"    capacity gate: {eff}/{need_cores} effective cores, "
+              f"waiting 45s for the degraded window to pass ...",
+              file=sys.stderr)
+        time.sleep(45)
+
+
 def _gen_corpus(inp: str) -> None:
     from kgx import benchgen, session
 
@@ -222,8 +288,16 @@ def run_scaling() -> dict | None:
         pairs = min(SCALE_TRIALS_N, SCALE_TRIALS_4N)
         walls: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: []}
         loads: dict[int, list[float]] = {SCALE_N: [], SCALE_4N: []}
+        gates: list[dict] = []
         last: dict[int, dict] = {}
+        need = SCALE_4N * (SCALE_EXEC_CORES if mode == "executors" else 1)
         for t in range(pairs):
+            gate = _capacity_gate(need)
+            gates.append(gate)
+            print(f"    pair {t} capacity gate: {gate['effective_cores']}"
+                  f"/{need} effective cores (waited {gate['waited_s']}s"
+                  f"{', GAVE UP' if gate['gave_up'] else ''})",
+                  file=sys.stderr)
             for n in (SCALE_N, SCALE_4N):
                 if mode == "executors":
                     args = ["--executors", str(n),
@@ -251,6 +325,11 @@ def run_scaling() -> dict | None:
                 last[n] = r
                 print(f"    pair {t} {desc}: {r['wall_sec']}s "
                       f"(load {r.get('trial_loadavg')})", file=sys.stderr)
+            # post-pair capacity reading: a degraded window can ARRIVE
+            # mid-pair after the gate passed; publishing capacity on both
+            # edges of the pair makes that visible per-pair instead of
+            # silently folding it into the efficiency median
+            gate["post_pair_effective_cores"] = _effective_cores(need)
 
         results = {}
         for n in (SCALE_N, SCALE_4N):
@@ -282,6 +361,7 @@ def run_scaling() -> dict | None:
             "n_cores": SCALE_N,
             "n4_cores": SCALE_4N,
             "interleaved_pairs": pairs,
+            "pair_capacity_gates": gates,
             "localN": results[SCALE_N],
             "local4N": results[SCALE_4N],
             "pair_efficiencies": pair_effs,
@@ -342,6 +422,18 @@ drift — this VM's 1N walls ranged 126-198s across one otherwise-idle
 hour with flat loadavg, i.e. hypervisor-level variance — hits both
 sides of the ratio and cancels, while a ratio of config medians mixes
 fast-window N walls with slow-window 4N walls.
+
+Each pair is preceded by a CAPACITY GATE (round-5 methodology fix): a raw
+multiprocess spin probe must demonstrate the host can actually deliver
+the 4N trial's core demand (>= 75% effective) before the pair starts,
+waiting out degraded co-tenant windows in bounded 45s steps (<= 600s,
+then the pair runs anyway with gave_up=true published). Round 5 measured
+why this is necessary: in one degraded window the 8-core trial walls were
+65-125s vs the 35s healthy wall while 1N walls moved <15% and loadavg
+stayed normal — co-tenant physical-core pressure is invisible to loadavg
+and asymmetric, so it reads as a scaling collapse. The gate is pre-trial
+(never discards a completed measurement) and every check is published:
+pair gates this run = {json.dumps(scaling.get("pair_capacity_gates"))}.
 
 Default probe mode is EXECUTORS: local-cluster[N,2,3072] runs N real
 executor JVMs — each with its own 3 GB heap and its own Arrow
