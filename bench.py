@@ -210,6 +210,37 @@ def _effective_cores(nproc: int, dur: float = 1.5) -> float:
     return round(rate(nproc) / base, 2) if base else 0.0
 
 
+def _mem_bw_gbs(nproc: int = 8, dur: float = 1.0) -> float:
+    """Aggregate memory-streaming throughput (GB/s) of nproc processes each
+    repeatedly summing a 64 MB float64 array. RECORDED, not thresholded:
+    round 5 observed a second kind of degraded window the spin gate cannot
+    see — 2-core Spark trials slowed 40% while spin capacity read 7-8/8
+    effective cores, i.e. co-tenant MEMORY-BANDWIDTH pressure (the spin
+    loop barely touches memory; Spark is bandwidth-hungry). Publishing this
+    number per gate lets a reader classify such windows in the record."""
+    import multiprocessing as mp
+
+    def stream(q, dur):
+        import numpy as np
+
+        a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MB
+        t_end = time.monotonic() + dur
+        n = 0
+        while time.monotonic() < t_end:
+            a.sum()
+            n += 1
+        q.put(n * a.nbytes)
+
+    q = mp.Queue()
+    ps = [mp.Process(target=stream, args=(q, dur)) for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    tot = sum(q.get() for _ in ps)
+    for p in ps:
+        p.join()
+    return round(tot / dur / 1e9, 1)
+
+
 GATE_MIN_FRAC = float(os.environ.get("BENCH_GATE_MIN_FRAC", "0.75"))
 GATE_MAX_WAIT = float(os.environ.get("BENCH_GATE_MAX_WAIT", "600"))
 
@@ -229,10 +260,12 @@ def _capacity_gate(need_cores: int) -> dict:
         checks.append(eff)
         if eff >= GATE_MIN_FRAC * need_cores:
             return {"effective_cores": eff, "checks": checks,
+                    "mem_bw_gbs": _mem_bw_gbs(need_cores),
                     "waited_s": round(time.monotonic() - t0, 1),
                     "gave_up": False}
         if time.monotonic() - t0 > GATE_MAX_WAIT:
             return {"effective_cores": eff, "checks": checks,
+                    "mem_bw_gbs": _mem_bw_gbs(need_cores),
                     "waited_s": round(time.monotonic() - t0, 1),
                     "gave_up": True}
         print(f"    capacity gate: {eff}/{need_cores} effective cores, "
@@ -330,6 +363,7 @@ def run_scaling() -> dict | None:
             # edges of the pair makes that visible per-pair instead of
             # silently folding it into the efficiency median
             gate["post_pair_effective_cores"] = _effective_cores(need)
+            gate["post_pair_mem_bw_gbs"] = _mem_bw_gbs(need)
 
         results = {}
         for n in (SCALE_N, SCALE_4N):
@@ -431,9 +465,14 @@ then the pair runs anyway with gave_up=true published). Round 5 measured
 why this is necessary: in one degraded window the 8-core trial walls were
 65-125s vs the 35s healthy wall while 1N walls moved <15% and loadavg
 stayed normal — co-tenant physical-core pressure is invisible to loadavg
-and asymmetric, so it reads as a scaling collapse. The gate is pre-trial
-(never discards a completed measurement) and every check is published:
-pair gates this run = {json.dumps(scaling.get("pair_capacity_gates"))}.
+and asymmetric, so it reads as a scaling collapse. A SECOND window kind
+slows even 2-core trials ~40% while spin capacity reads healthy —
+co-tenant memory-bandwidth pressure — so each gate also RECORDS an
+aggregate memory-streaming throughput (mem_bw_gbs; healthy box ~84 GB/s
+at 8 procs, recorded 2026-08-19) without thresholding on it. The gate is
+pre-trial (never discards a completed measurement) and every check is
+published: pair gates this run =
+{json.dumps(scaling.get("pair_capacity_gates"))}.
 
 Default probe mode is EXECUTORS: local-cluster[N,2,3072] runs N real
 executor JVMs — each with its own 3 GB heap and its own Arrow
