@@ -70,6 +70,8 @@ HEADLINE = [
     # new in round 5
     "mm_frame_index_real",
     "kg_multiturn_phrase_edges",
+    "graph_negative_samples",
+    "kg_mention_contexts",
 ]
 
 

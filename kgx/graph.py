@@ -23,7 +23,7 @@ kgx/canonical.py; this module covers the read-side analytics.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 R0 = 10**12  # integer rank mass per node (exact across engines)
 
@@ -208,4 +208,83 @@ def triangle_counts(edges_uv: DataFrame) -> DataFrame:
     # semi-check); the persist barrier computes it once. Caller owns the
     # unpersist, same contract as relations.sentence_facts.
     out._kgx_persisted = [edges_uv, oriented]
+    return out
+
+
+def negative_samples(
+    pos: DataFrame,
+    entities: DataFrame,
+    left: str,
+    right: str,
+    k: int = 3,
+) -> DataFrame:
+    """Link-prediction training negatives: for every positive (left, right)
+    edge, k corrupted candidates replacing the RIGHT endpoint with a
+    deterministically hash-picked entity, filtered against the true edge
+    set (the standard TransE/DistMult negative-sampling recipe — Bordes
+    et al. 2013 — as a batch Spark op; the reference has no trainer, this
+    is the training-data surface its KG output feeds).
+
+    Corruption is pure expression arithmetic: candidate rank =
+    1 + md5_60bit(left:right:i) mod |entities| over a rank-indexed entity
+    dim, so the sample is reproducible run-to-run and engine-to-engine
+    (no RNG state, no Spark-specific hash). False negatives — corrupted
+    pairs that happen to be true edges, including i landing on the
+    original right endpoint — are removed by an anti-join against the
+    positives, the filtered variant shown to beat unfiltered sampling.
+
+    Shuffle shape at 10^9+ edges: the candidate explode is map-side (k
+    literal rows per edge); the entity dim is O(|V|) and broadcast (its
+    global row_number is one O(|V|) single-partition window — fine for a
+    dimension, and replaceable by zipWithIndex-style ranking if the
+    entity set ever outgrows one partition); the anti-join shuffles on
+    the same (left, right) key as the positive dedup, so AQE coalesces
+    the exchanges. Output rows: (left, right, label, neg_idx) with
+    label 1 / neg_idx 0 for positives, label 0 / neg_idx in 1..k for
+    surviving negatives.
+    """
+    from kgx.dedup import md5_hash60
+
+    pos = pos.select(left, right).distinct().persist()
+    ranks = entities.select(
+        F.col(right),
+        F.row_number().over(Window.orderBy(right)).alias("rnk"),
+    )
+    n = entities.agg(F.count("*").alias("n_ent"))
+    cand = (
+        pos.crossJoin(F.broadcast(n))
+        .select(
+            left,
+            F.col(right).alias("_orig"),
+            "n_ent",
+            F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])).alias("neg_idx"),
+        )
+        .withColumn(
+            "rnk",
+            (
+                md5_hash60(
+                    F.concat_ws(
+                        ":",
+                        F.col(left).cast("string"),
+                        F.col("_orig").cast("string"),
+                        F.col("neg_idx").cast("string"),
+                    )
+                )
+                % F.col("n_ent")
+                + 1
+            ).cast("int"),
+        )
+    )
+    neg = (
+        cand.join(F.broadcast(ranks), "rnk")
+        .select(left, right, "neg_idx")
+        .join(pos, [left, right], "left_anti")
+    )
+    out = pos.select(
+        F.col(left),
+        F.col(right),
+        F.lit(1).alias("label"),
+        F.lit(0).alias("neg_idx"),
+    ).unionByName(neg.withColumn("label", F.lit(0)).select(left, right, "label", "neg_idx"))
+    out._kgx_persisted = [pos]
     return out

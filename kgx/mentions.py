@@ -481,3 +481,40 @@ def extract_turn_features(turns: DataFrame, kb: KnowledgeBase) -> DataFrame:
         F.col("s.ind_mentions").alias("ind_mentions"),
         (F.size("s.so_mentions") > 0).alias("has_so"),
     )
+
+
+def mention_contexts(
+    turns_with_mentions: DataFrame, window: int = 24
+) -> DataFrame:
+    """NER / relation-extraction training windows: one row per detected
+    mention with `window` chars of left and right context around the span
+    (the standard span-classification example shape — surface + local
+    context — the reference's annotated GATE documents encode the same
+    standoff evidence, AnnotationImpl begin/end offsets).
+
+    Pure in-row expression work over the Arrow-detected `mentions` array:
+    the explode multiplies only mention rows (bounded by matcher hits per
+    turn, not text length) and the substring arithmetic never leaves the
+    executor — map-only after the detection stage, so it inherits the
+    turn partitioning and adds zero shuffles at any corpus size.
+
+    Offsets are 0-based with exclusive end (schema.MENTIONS_COL);
+    substring() is 1-based in both Spark and DuckDB, and both truncate
+    out-of-range windows, so the oracle reproduces the clipping exactly.
+    """
+    ex = turns_with_mentions.select(
+        "conv_id", "turn_idx", "text", F.explode("mentions").alias("mn")
+    )
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.col("mn.begin").alias("begin_off"),
+        F.col("mn.end").alias("end_off"),
+        F.col("mn.kind").alias("kind"),
+        F.col("mn.surface").alias("surface"),
+        F.expr(
+            f"substring(text, greatest(mn.begin - {window}, 0) + 1, "
+            f"mn.begin - greatest(mn.begin - {window}, 0))"
+        ).alias("left_ctx"),
+        F.expr(f"substring(text, mn.end + 1, {window})").alias("right_ctx"),
+    )

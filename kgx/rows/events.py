@@ -714,3 +714,48 @@ SELECT event_type, event_id, value, value_rank, n_group,
        CAST(n_group // 100 AS BIGINT) AS k_cut
 FROM r WHERE value_rank <= n_group // 100
 """
+def graph_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction training negatives over the customer—supplier edge
+    set (graph.negative_samples): k=3 hash-corrupted supplier endpoints
+    per positive edge, rank-picked from the supplier dim by a 60-bit md5
+    so both engines draw the identical sample, false negatives (corrupted
+    pairs that are true edges) anti-joined away."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+    )
+    ents = _t(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("suppkey"))
+    return graph.negative_samples(pairs, ents, "custkey", "suppkey", k=3)
+GRAPH_NEGSAMPLE_SQL = """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS custkey, l_suppkey AS suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ranks AS (
+  SELECT s_suppkey AS suppkey, row_number() OVER (ORDER BY s_suppkey) AS rnk
+  FROM supplier
+),
+n AS (SELECT count(*) AS n_ent FROM supplier),
+cand AS (
+  SELECT p.custkey, i.neg_idx,
+         CAST(CAST(('0x' || substr(md5(CAST(p.custkey AS VARCHAR) || ':' ||
+                                       CAST(p.suppkey AS VARCHAR) || ':' ||
+                                       CAST(i.neg_idx AS VARCHAR)), 1, 15))
+                   AS BIGINT) % n.n_ent + 1 AS INTEGER) AS rnk
+  FROM pos p CROSS JOIN n
+       CROSS JOIN (SELECT unnest([1, 2, 3]) AS neg_idx) i
+),
+neg AS (
+  SELECT c.custkey, r.suppkey, c.neg_idx
+  FROM cand c JOIN ranks r USING (rnk)
+  WHERE NOT EXISTS (SELECT 1 FROM pos p
+                    WHERE p.custkey = c.custkey AND p.suppkey = r.suppkey)
+)
+SELECT custkey, suppkey, 1 AS label, 0 AS neg_idx FROM pos
+UNION ALL
+SELECT custkey, suppkey, 0 AS label, neg_idx FROM neg
+"""

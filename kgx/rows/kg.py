@@ -1392,3 +1392,48 @@ UNION ALL SELECT * FROM orientation_e
 UNION ALL SELECT * FROM feature_e
 UNION ALL SELECT * FROM indicator_e
 """
+def kg_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER/RE training context windows (mentions.mention_contexts): every
+    detected mention with 24 chars of left/right context — the span-
+    classification example shape the reference's annotated GATE documents
+    encode as standoff offsets (AnnotationImpl begin/end). Map-only after
+    the Arrow detection stage; the oracle recomputes spans via the same
+    token-prefix-sum arithmetic as KG_MENTIONS_SQL and reproduces the
+    window clipping with 1-based substr on both engines."""
+    tr = _doc_transcripts(spark, sf_dir)
+    kb = resources.driver_kb()
+    m = mentions.detect_mentions(tr, kb)
+    return mentions.mention_contexts(m, window=24)
+KG_MENTION_CONTEXTS_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, text,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT conv_id, text, unnest(toks) AS tok, generate_subscripts(toks, 1) AS idx
+  FROM t
+),
+pos AS (
+  SELECT conv_id, text, tok, idx,
+         sum(length(tok) + 1) OVER (PARTITION BY conv_id ORDER BY idx
+                                    ROWS UNBOUNDED PRECEDING)
+           - (length(tok) + 1) AS b
+  FROM tok
+)
+SELECT conv_id,
+       0 AS turn_idx,
+       CAST(b AS INTEGER) AS begin_off,
+       CAST(b + length(tok) AS INTEGER) AS end_off,
+       CASE WHEN tok IN ('spark','customer','vector','stream','window') THEN 'SO'
+            WHEN tok IN ('hash','merge') THEN 'Indicator'
+            WHEN tok = 'value' THEN 'Feature'
+            ELSE 'OrientationTerm' END AS kind,
+       tok AS surface,
+       substr(text, CAST(greatest(b - 24, 0) + 1 AS INTEGER),
+              CAST(b - greatest(b - 24, 0) AS INTEGER)) AS left_ctx,
+       substr(text, CAST(b + length(tok) + 1 AS INTEGER), 24) AS right_ctx
+FROM pos
+WHERE tok IN ('spark','customer','vector','stream','window',
+              'hash','merge','value','fast','big','slow','small')
+"""

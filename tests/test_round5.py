@@ -546,3 +546,62 @@ def test_stream_dedup_kill_resume_equals_single_run(spark, tmp_path):
     assert resumed == single
     kept_ids = {r[0] for r in single}
     assert kept_ids == {"1", "2", "4", "5"}, single
+
+
+# ------------------------------------ negative sampling / mention ctx ----
+
+
+def test_negative_samples_properties(spark):
+    """No negative row may be a true edge; every positive appears exactly
+    once with label 1; negatives are <= k per positive and deterministic
+    across two runs (hash-picked, no RNG state)."""
+    from kgx import graph
+
+    pos = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (3, 30)], ["custkey", "suppkey"]
+    )
+    ents = spark.createDataFrame([(s,) for s in (10, 20, 30, 40)], ["suppkey"])
+    out = graph.negative_samples(pos, ents, "custkey", "suppkey", k=3)
+    rows = {(r.custkey, r.suppkey, r.label, r.neg_idx) for r in out.collect()}
+    pos_rows = {(c, s) for c, s, l, i in rows if l == 1}
+    assert pos_rows == {(1, 10), (1, 20), (2, 10), (3, 30)}
+    assert all(i == 0 for c, s, l, i in rows if l == 1)
+    neg_rows = {(c, s) for c, s, l, i in rows if l == 0}
+    assert not (neg_rows & pos_rows), "a negative sample is a true edge"
+    # per-positive bound: k=3 corruptions max (collisions/anti-join shrink)
+    from collections import Counter
+
+    per_pos = Counter((c,) for c, s, l, i in rows if l == 0)
+    assert all(v <= 3 * 2 for v in per_pos.values())  # cust 1 has 2 positives
+    rows2 = {(r.custkey, r.suppkey, r.label, r.neg_idx)
+             for r in graph.negative_samples(
+                 pos, ents, "custkey", "suppkey", k=3).collect()}
+    assert rows == rows2
+    for f in getattr(out, "_kgx_persisted", []):
+        f.unpersist()
+
+
+def test_mention_contexts_window_clipping(spark):
+    """Context windows clip at text boundaries: a mention at offset 0 has
+    empty left_ctx; a trailing mention has a short right_ctx; interior
+    mentions carry exactly `window` chars each side."""
+    from kgx import mentions, resources
+
+    kb = resources.driver_kb()
+    text = "spark " + "x" * 60 + " value " + "y" * 60 + " merge"
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", text)], ["conv_id", "turn_idx", "role", "text"]
+    )
+    m = mentions.detect_mentions(tr, kb)
+    got = {
+        r.surface: r for r in mentions.mention_contexts(m, window=24).collect()
+    }
+    assert got["spark"].left_ctx == ""
+    assert got["spark"].right_ctx == text[5 : 5 + 24]
+    v = got["value"]
+    assert len(v.left_ctx) == 24 and len(v.right_ctx) == 24
+    assert text[v.begin_off : v.end_off] == "value"
+    assert v.left_ctx == text[v.begin_off - 24 : v.begin_off]
+    assert v.right_ctx == text[v.end_off : v.end_off + 24]
+    mg = got["merge"]
+    assert mg.right_ctx == "" and mg.end_off == len(text)
