@@ -72,6 +72,8 @@ HEADLINE = [
     "kg_multiturn_phrase_edges",
     "graph_negative_samples",
     "kg_mention_contexts",
+    "graph_random_walks",
+    "text_mlm_mask",
 ]
 
 

@@ -288,3 +288,75 @@ def negative_samples(
     ).unionByName(neg.withColumn("label", F.lit(0)).select(left, right, "label", "neg_idx"))
     out._kgx_persisted = [pos]
     return out
+
+
+def random_walks(
+    edges: DataFrame, walk_len: int = 4, walks_per_node: int = 2
+) -> DataFrame:
+    """DeepWalk-style walk corpus (Perozzi et al. 2014) as a batch Spark
+    op: `walks_per_node` truncated walks of `walk_len` nodes from every
+    node, emitted LONG-format as (start, walk_id, step, node) — the
+    skip-gram training-data surface a KG-embedding trainer consumes over
+    the graph kgx materializes (the reference stops at the KG; this is
+    the table its output feeds).
+
+    The next-hop choice is pure expression arithmetic, not RNG: at step
+    s the walk picks neighbor rank md5_60bit(start:walk_id:s) mod deg
+    from the per-source rank-indexed adjacency, so the corpus is
+    reproducible run-to-run and engine-to-engine and the DuckDB oracle
+    unrolls the identical picks as CTEs (same scheme as pagerank_int's
+    integer fixpoint).
+
+    Shuffle shape at 10^9 edges: the adjacency frame pays one per-source
+    window (rank + degree share the partitioning) and is persisted once;
+    each of the walk_len-1 steps is ONE shuffle join of the frontier
+    against it on the current node — the canonical iterative-graph shape,
+    with frontier size fixed at |V|·walks_per_node rows of 3 short
+    columns. Every frontier is persisted so the step-k join executes
+    once, not (walk_len-k) times across the union branches — at a
+    production walk_len of 40 the difference is O(L) vs O(L²) joins.
+    No driver-side state; walk_len is a literal loop bound.
+    """
+    from kgx.dedup import md5_hash60
+
+    per_src = Window.partitionBy("src")
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            (F.row_number().over(per_src.orderBy("dst")) - 1).alias("nbr"),
+            F.count("*").over(per_src).alias("deg"),
+        )
+        .persist()
+    )
+    cur = (
+        adj.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("start"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, walks_per_node + 1)])
+            ).alias("walk_id"),
+        )
+        .withColumn("node", F.col("start"))
+    )
+    out = cur.withColumn("step", F.lit(0))
+    persisted = [adj]
+    for step in range(1, walk_len):
+        pick = md5_hash60(
+            F.concat_ws(
+                ":", F.col("start"), F.col("walk_id").cast("string"), F.lit(str(step))
+            )
+        )
+        cur = (
+            cur.join(adj, cur["node"] == adj["src"])
+            .where(F.col("nbr") == pick % F.col("deg"))
+            .select("start", "walk_id", F.col("dst").alias("node"))
+            .persist()
+        )
+        persisted.append(cur)
+        out = out.unionByName(cur.withColumn("step", F.lit(step)))
+    out._kgx_persisted = persisted
+    return out

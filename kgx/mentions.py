@@ -501,10 +501,17 @@ def mention_contexts(
     Offsets are 0-based with exclusive end (schema.MENTIONS_COL);
     substring() is 1-based in both Spark and DuckDB, and both truncate
     out-of-range windows, so the oracle reproduces the clipping exactly.
+
+    explode_outer + null-filter, not explode: Catalyst infers a
+    size(mentions)>0 filter under a plain explode whose generator holds
+    the Arrow UDF, which stacks a SECOND same-signature ArrowEvalPython
+    node under the Generate (the detector runs twice per row). The outer
+    variant skips the inferred filter; dropping the NULL rows afterward
+    is the same row set with one UDF execution — plan-audited.
     """
     ex = turns_with_mentions.select(
-        "conv_id", "turn_idx", "text", F.explode("mentions").alias("mn")
-    )
+        "conv_id", "turn_idx", "text", F.explode_outer("mentions").alias("mn")
+    ).where(F.col("mn").isNotNull())
     return ex.select(
         "conv_id",
         "turn_idx",

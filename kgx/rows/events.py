@@ -759,3 +759,41 @@ SELECT custkey, suppkey, 1 AS label, 0 AS neg_idx FROM pos
 UNION ALL
 SELECT custkey, suppkey, 0 AS label, neg_idx FROM neg
 """
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus over the customer—supplier graph
+    (graph.random_walks): 2 walks of 4 nodes per node, next hop =
+    md5-hash-picked neighbor rank, so the oracle unrolls the identical
+    walks as CTEs (the same cross-engine scheme as pagerank_int)."""
+    return graph.random_walks(
+        _cust_supp_edges(spark, sf_dir), walk_len=4, walks_per_node=2
+    )
+_WALK_STEP = """
+w{i} AS (
+  SELECT w.start, w.walk_id, a.dst AS node
+  FROM w{j} w JOIN adj a ON a.src = w.node
+   AND a.nbr = CAST(('0x' || substr(md5(w.start || ':' ||
+                     CAST(w.walk_id AS VARCHAR) || ':{i}'), 1, 15))
+                    AS BIGINT) % a.deg
+)"""
+GRAPH_WALKS_SQL = (
+    f"""
+WITH {_GRAPH_EDGE_CTE},
+adj AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS nbr,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM und
+),
+w0 AS (
+  SELECT s.src AS start, i.walk_id, s.src AS node
+  FROM (SELECT DISTINCT src FROM adj) s
+  CROSS JOIN (SELECT unnest([1, 2]) AS walk_id) i
+),"""
+    + ",".join(_WALK_STEP.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+SELECT start, walk_id, 0 AS step, node FROM w0
+UNION ALL SELECT start, walk_id, 1 AS step, node FROM w1
+UNION ALL SELECT start, walk_id, 2 AS step, node FROM w2
+UNION ALL SELECT start, walk_id, 3 AS step, node FROM w3
+"""
+)

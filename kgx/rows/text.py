@@ -418,3 +418,47 @@ r AS (
 )
 SELECT sym_a, sym_b, cnt, rank FROM r WHERE rank <= 30
 """
+def text_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM example rows (textops.mlm_mask): 15% of tokens
+    selected by hash draw, 80/10/10 mask/random/keep split, random
+    replacements rank-picked from the corpus vocabulary — every draw is
+    md5 arithmetic so the oracle reproduces the corpus bit-for-bit."""
+    return textops.mlm_mask(_t(spark, sf_dir, "documents"))
+TEXT_MLM_SQL = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+),
+ex AS (
+  SELECT id, generate_subscripts(toks, 1) - 1 AS tok_idx,
+         unnest(toks) AS original
+  FROM t
+),
+vocab AS (SELECT DISTINCT original AS vtok FROM ex),
+ranks AS (SELECT vtok, row_number() OVER (ORDER BY vtok) AS rnk FROM vocab),
+n AS (SELECT count(*) AS n_vocab FROM vocab),
+sel AS (
+  SELECT id, tok_idx, original,
+         CAST(('0x' || substr(md5(id || ':' || CAST(tok_idx AS VARCHAR) || ':a'),
+                              1, 15)) AS BIGINT) % 10 AS draw2,
+         CAST(('0x' || substr(md5(id || ':' || CAST(tok_idx AS VARCHAR) || ':r'),
+                              1, 15)) AS BIGINT) % n.n_vocab + 1 AS rrnk
+  FROM ex CROSS JOIN n
+  WHERE CAST(('0x' || substr(md5(id || ':' || CAST(tok_idx AS VARCHAR)),
+                             1, 15)) AS BIGINT) % 100 < 15
+),
+act AS (
+  SELECT id, tok_idx, original,
+         CASE WHEN draw2 < 8 THEN 'mask'
+              WHEN draw2 = 8 THEN 'random'
+              ELSE 'keep' END AS action,
+         CASE WHEN draw2 = 8 THEN rrnk END AS rrnk
+  FROM sel
+)
+SELECT a.id, a.tok_idx, a.original, a.action,
+       CASE WHEN a.action = 'mask' THEN '[MASK]'
+            WHEN a.action = 'random' THEN r.vtok
+            ELSE a.original END AS model_input
+FROM act a LEFT JOIN ranks r ON a.rrnk = r.rnk
+"""

@@ -681,3 +681,80 @@ def bpe_train(
     if stats is not None:
         stats["recount_jobs"] = jobs
     return merges
+
+
+def mlm_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+) -> DataFrame:
+    """BERT-style MLM example generation (Devlin et al. 2018 §3.1): select
+    `mask_pct`% of whitespace tokens, then the 80/10/10 action split —
+    80% replaced by [MASK], 10% by a random vocabulary token, 10% kept —
+    emitted LONG-format as (id, tok_idx, original, action, model_input),
+    the per-position label/input pairs an MLM trainer consumes.
+
+    Every draw is hash arithmetic, not RNG: selection is
+    md5_60bit(id:idx) mod 100 < mask_pct, the action split is a second
+    salted draw mod 10, and the random replacement is rank-picked from
+    the corpus vocabulary by a third draw — the same rank-indexed-dim
+    recipe as graph.negative_samples, so the corpus is identical
+    run-to-run and engine-to-engine and a SQL oracle reproduces it
+    bit-for-bit.
+
+    Shuffle shape at 10^10 tokens: the token explode and both extra
+    draws are map-side; the vocabulary dim is one distinct-shuffle +
+    one O(|vocab|) single-partition rank window (dimension-sized, same
+    caveat as negative_samples), persisted so its count and the
+    replacement join share one derivation, and broadcast to that join,
+    which only the ~1.5% random-action rows enter. Unselected positions
+    never leave the map stage.
+    """
+    from kgx.dedup import md5_hash60
+
+    ex = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("tok_idx", "original"),
+    )
+    ranks = (
+        ex.select(F.col("original").alias("vtok"))
+        .distinct()
+        .select("vtok", F.row_number().over(Window.orderBy("vtok")).alias("rnk"))
+        .persist()
+    )
+    n = ranks.agg(F.count("*").alias("n_vocab"))
+    key = F.concat_ws(":", F.col("id"), F.col("tok_idx").cast("string"))
+    sel = (
+        ex.where(md5_hash60(key) % 100 < mask_pct)
+        .crossJoin(F.broadcast(n))
+        .withColumn("draw2", md5_hash60(F.concat_ws(":", key, F.lit("a"))) % 10)
+        .withColumn(
+            "action",
+            F.when(F.col("draw2") < 8, F.lit("mask"))
+            .when(F.col("draw2") == 8, F.lit("random"))
+            .otherwise(F.lit("keep")),
+        )
+        .withColumn(
+            "rnk",
+            F.when(
+                F.col("action") == "random",
+                (
+                    md5_hash60(F.concat_ws(":", key, F.lit("r"))) % F.col("n_vocab")
+                    + 1
+                ).cast("int"),
+            ),
+        )
+    )
+    out = sel.join(F.broadcast(ranks), "rnk", "left").select(
+        "id",
+        "tok_idx",
+        "original",
+        "action",
+        F.when(F.col("action") == "mask", F.lit("[MASK]"))
+        .when(F.col("action") == "random", F.col("vtok"))
+        .otherwise(F.col("original"))
+        .alias("model_input"),
+    )
+    out._kgx_persisted = [ranks]
+    return out

@@ -605,3 +605,62 @@ def test_mention_contexts_window_clipping(spark):
     assert v.right_ctx == text[v.end_off : v.end_off + 24]
     mg = got["merge"]
     assert mg.right_ctx == "" and mg.end_off == len(text)
+
+
+def test_random_walks_are_valid_paths(spark):
+    """Every consecutive (step, step+1) pair in a walk must be a real
+    edge; every node gets exactly walks_per_node walks of walk_len
+    steps; two runs produce the identical corpus (hash-picked hops)."""
+    from kgx import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 30), (3, 20)], ["c", "s"]
+    )
+    edges = graph.undirected_edges(pairs, "c", "s")
+    out = graph.random_walks(edges, walk_len=4, walks_per_node=2)
+    rows = [(r.start, r.walk_id, r.step, r.node) for r in out.collect()]
+    edge_set = {(r.src, r.dst) for r in edges.distinct().collect()}
+    n_nodes = len({s for s, _ in edge_set})
+    assert len(rows) == n_nodes * 2 * 4
+    walks = {}
+    for start, wid, step, node in rows:
+        walks.setdefault((start, wid), {})[step] = node
+    for (start, wid), path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == start
+        for s in range(3):
+            assert (path[s], path[s + 1]) in edge_set, (start, wid, path)
+    rows2 = [(r.start, r.walk_id, r.step, r.node)
+             for r in graph.random_walks(edges, walk_len=4, walks_per_node=2).collect()]
+    assert sorted(rows) == sorted(rows2)
+    for f in getattr(out, "_kgx_persisted", []):
+        f.unpersist()
+
+
+def test_mlm_mask_action_split_and_inputs(spark):
+    """Masked rows carry [MASK], keep rows carry the original, random
+    rows carry a token from the corpus vocabulary; selection rate is
+    ~15% of tokens; the corpus is deterministic across runs."""
+    from kgx import textops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 37 + j) % 97}" for j in range(50)))
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = textops.mlm_mask(docs).collect()
+    vocab = {f"w{k}" for k in range(97)}
+    n_total = 40 * 50
+    assert 0.10 * n_total < len(out) < 0.20 * n_total
+    acts = {"mask": 0, "random": 0, "keep": 0}
+    for r in out:
+        acts[r.action] += 1
+        if r.action == "mask":
+            assert r.model_input == "[MASK]"
+        elif r.action == "keep":
+            assert r.model_input == r.original
+        else:
+            assert r.model_input in vocab
+    assert acts["mask"] > acts["random"] > 0 and acts["keep"] > 0
+    out2 = textops.mlm_mask(docs).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
