@@ -74,6 +74,8 @@ HEADLINE = [
     "kg_mention_contexts",
     "graph_random_walks",
     "text_mlm_mask",
+    "graph_skipgram_pairs",
+    "kg_sft_pairs",
 ]
 
 

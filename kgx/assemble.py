@@ -107,3 +107,37 @@ def conversation_docs(turns: DataFrame) -> DataFrame:
         )
         .drop("ordered")
     )
+
+
+def sft_pairs(transcripts: DataFrame) -> DataFrame:
+    """Instruction-tuning pair extraction: each user turn paired with the
+    immediately following assistant turn of the same conversation —
+    (conv_id, turn_idx, prompt, completion) rows, the supervised
+    fine-tuning example shape a chat corpus is distilled into (the same
+    role/turn contract as SURVEY.md §1.1's transcript table; the
+    reference processes documents one conversation at a time, GATE
+    corpus iteration, and this is the training-data surface downstream).
+
+    One window function partitioned by conv_id — the same shuffle key as
+    every other per-conversation stage, so AQE reuses the exchange when
+    composed with them. Turns are per-conversation bounded (admission
+    caps upstream), so the sort inside each partition group is bounded;
+    no joins, no driver state. Pairs where the next turn is missing or
+    not an assistant turn (tool call, consecutive user turns) are
+    dropped — the standard strict-alternation filter.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            F.col("text").alias("prompt"),
+            F.lead("role").over(w).alias("next_role"),
+            F.lead("text").over(w).alias("completion"),
+        )
+        .where((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+        .select("conv_id", "turn_idx", "prompt", "completion")
+    )

@@ -360,3 +360,35 @@ def random_walks(
         out = out.unionByName(cur.withColumn("step", F.lit(step)))
     out._kgx_persisted = persisted
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts over a long-format
+    walk corpus — the word2vec-style input a DeepWalk/node2vec trainer
+    consumes downstream of random_walks (Perozzi et al. 2014 §4.2;
+    Mikolov et al. 2013): every ordered pair of nodes within `window`
+    steps of each other inside the same walk, counted corpus-wide.
+
+    Shape at 10^9 walk rows: a self-join keyed on (start, walk_id) —
+    every key group is exactly walk_len rows, so the join is shuffle-even
+    by construction (no skew possible) and the |Δstep| band is a residual
+    predicate on top of the equi key; the count rollup shuffles once on
+    (center, context) with map-side partial aggregation. No driver state.
+    """
+    a = walks.select(
+        F.col("start"), F.col("walk_id"),
+        F.col("step").alias("s1"), F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("start"), F.col("walk_id"),
+        F.col("step").alias("s2"), F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, ["start", "walk_id"])
+        .where(
+            (F.abs(F.col("s1") - F.col("s2")) <= window)
+            & (F.col("s1") != F.col("s2"))
+        )
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -775,9 +775,8 @@ w{i} AS (
                      CAST(w.walk_id AS VARCHAR) || ':{i}'), 1, 15))
                     AS BIGINT) % a.deg
 )"""
-GRAPH_WALKS_SQL = (
-    f"""
-WITH {_GRAPH_EDGE_CTE},
+_WALK_CTES = (
+    f"""{_GRAPH_EDGE_CTE},
 adj AS (
   SELECT src, dst,
          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS nbr,
@@ -790,10 +789,35 @@ w0 AS (
   CROSS JOIN (SELECT unnest([1, 2]) AS walk_id) i
 ),"""
     + ",".join(_WALK_STEP.format(i=i, j=i - 1) for i in (1, 2, 3))
-    + """
-SELECT start, walk_id, 0 AS step, node FROM w0
-UNION ALL SELECT start, walk_id, 1 AS step, node FROM w1
-UNION ALL SELECT start, walk_id, 2 AS step, node FROM w2
-UNION ALL SELECT start, walk_id, 3 AS step, node FROM w3
-"""
+    + """,
+corpus AS (
+  SELECT start, walk_id, 0 AS step, node FROM w0
+  UNION ALL SELECT start, walk_id, 1 AS step, node FROM w1
+  UNION ALL SELECT start, walk_id, 2 AS step, node FROM w2
+  UNION ALL SELECT start, walk_id, 3 AS step, node FROM w3
+)"""
 )
+GRAPH_WALKS_SQL = f"""
+WITH {_WALK_CTES}
+SELECT start, walk_id, step, node FROM corpus
+"""
+def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) counts over the walk corpus
+    (graph.skipgram_pairs ∘ graph.random_walks): every ordered node pair
+    within 2 steps inside a walk, counted corpus-wide — the word2vec
+    input a DeepWalk trainer consumes. The oracle reuses the unrolled
+    walk CTEs verbatim and self-joins them."""
+    walks = graph.random_walks(
+        _cust_supp_edges(spark, sf_dir), walk_len=4, walks_per_node=2
+    )
+    return dedup.propagate_ownership(
+        walks, graph.skipgram_pairs(walks, window=2)
+    )
+GRAPH_SKIPGRAM_SQL = f"""
+WITH {_WALK_CTES}
+SELECT a.node AS center, b.node AS context, count(*) AS cnt
+FROM corpus a JOIN corpus b
+  ON a.start = b.start AND a.walk_id = b.walk_id
+ AND abs(a.step - b.step) <= 2 AND a.step <> b.step
+GROUP BY 1, 2
+"""

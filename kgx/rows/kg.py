@@ -1437,3 +1437,36 @@ FROM pos
 WHERE tok IN ('spark','customer','vector','stream','window',
               'hash','merge','value','fast','big','slow','small')
 """
+def kg_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pairs (assemble.sft_pairs) over the multi-turn
+    fold with alternating roles (even turn = user, odd = assistant): each
+    user turn paired with the immediately following assistant turn via
+    one per-conversation lead() window — the SFT example shape a chat
+    corpus distills into. The oracle applies the identical fold + window
+    in SQL."""
+    tr = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.when(F.floor(F.col("doc_id") / 50) % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+    )
+    return assemble.sft_pairs(tr)
+KG_SFT_PAIRS_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+         CASE WHEN (doc_id // 50) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text
+  FROM documents
+),
+led AS (
+  SELECT conv_id, turn_idx, role, text AS prompt,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS completion
+  FROM t
+)
+SELECT conv_id, turn_idx, prompt, completion
+FROM led WHERE role = 'user' AND next_role = 'assistant'
+"""

@@ -664,3 +664,49 @@ def test_mlm_mask_action_split_and_inputs(spark):
     assert acts["mask"] > acts["random"] > 0 and acts["keep"] > 0
     out2 = textops.mlm_mask(docs).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_skipgram_pairs_window_and_symmetry(spark):
+    """Pairs are exactly the |Δstep|<=window, Δ≠0 co-occurrences; the
+    relation is symmetric in count total (every (a,b) has a (b,a) mate
+    from the mirrored Δ); counts match a brute-force recount."""
+    from kgx import graph
+
+    walks = spark.createDataFrame(
+        [("n1", 1, 0, "a"), ("n1", 1, 1, "b"), ("n1", 1, 2, "c"),
+         ("n1", 1, 3, "d"), ("n2", 1, 0, "b"), ("n2", 1, 1, "a")],
+        ["start", "walk_id", "step", "node"],
+    )
+    got = {(r.center, r.context): r.cnt
+           for r in graph.skipgram_pairs(walks, window=2).collect()}
+    expect = {}
+    corpus = [[("a", 0), ("b", 1), ("c", 2), ("d", 3)], [("b", 0), ("a", 1)]]
+    for walk in corpus:
+        for u, su in walk:
+            for v, sv in walk:
+                if u == v and su == sv:
+                    continue
+                if abs(su - sv) <= 2 and su != sv:
+                    expect[(u, v)] = expect.get((u, v), 0) + 1
+    assert got == expect
+    assert sum(got.values()) % 2 == 0
+
+
+def test_sft_pairs_strict_alternation(spark):
+    """Only user→assistant adjacencies become pairs: trailing user turns,
+    consecutive user turns, and assistant-led turns are dropped."""
+    from kgx import assemble
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "user", "q1"), ("c1", 1, "assistant", "a1"),
+         ("c1", 2, "user", "q2"), ("c1", 3, "user", "q3"),
+         ("c1", 4, "assistant", "a3"), ("c1", 5, "user", "dangling"),
+         ("c2", 0, "assistant", "unprompted"), ("c2", 1, "user", "q")],
+        ["conv_id", "turn_idx", "role", "text"],
+    )
+    got = {(r.conv_id, r.turn_idx): (r.prompt, r.completion)
+           for r in assemble.sft_pairs(tr).collect()}
+    assert got == {
+        ("c1", 0): ("q1", "a1"),
+        ("c1", 3): ("q3", "a3"),
+    }
