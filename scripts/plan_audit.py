@@ -56,6 +56,13 @@ AUDIT = [
     "curate_temperature_sample",
     "text_bpe_pairs",
     "events_outliers",
+    # round-5 training-data surface
+    "kg_mention_contexts",
+    "graph_negative_samples",
+    "graph_random_walks",
+    "text_mlm_mask",
+    "graph_skipgram_pairs",
+    "kg_sft_pairs",
 ]
 
 
