@@ -765,7 +765,8 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-hash-picked neighbor rank, so the oracle unrolls the identical
     walks as CTEs (the same cross-engine scheme as pagerank_int)."""
     return graph.random_walks(
-        _cust_supp_edges(spark, sf_dir), walk_len=4, walks_per_node=2
+        _cust_supp_edges(spark, sf_dir), walk_len=4, walks_per_node=2,
+        edges_unique=True,
     )
 _WALK_STEP = """
 w{i} AS (
@@ -808,7 +809,8 @@ def graph_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     input a DeepWalk trainer consumes. The oracle reuses the unrolled
     walk CTEs verbatim and self-joins them."""
     walks = graph.random_walks(
-        _cust_supp_edges(spark, sf_dir), walk_len=4, walks_per_node=2
+        _cust_supp_edges(spark, sf_dir), walk_len=4, walks_per_node=2,
+        edges_unique=True,
     )
     return dedup.propagate_ownership(
         walks, graph.skipgram_pairs(walks, window=2)
