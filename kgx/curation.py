@@ -30,6 +30,13 @@ Operators:
     with overlap, map-only, pure-integer boundary arithmetic.
   * temperature_sample — alpha=0.5 mixture flattening with rates DERIVED
     from stratum sizes (sqrt keeps it bit-exact cross-engine).
+  * dpo_pairs — preference-pair construction (DPO / reward-model training
+    data): per prompt group, (chosen, rejected) = the best- and
+    worst-scoring candidate completions under a deterministic total order,
+    kept only when the score gap clears a margin. One shuffle on the
+    group key; max_by/min_by keep O(1) partial state per group (map-side
+    combine), so a prompt with millions of candidate completions never
+    materializes a list.
 
 Reference parity note: the reference engine has no curation stage (it is a
 per-document extraction service); these operators are the large-scale
@@ -408,4 +415,63 @@ def temperature_sample(
         .join(F.broadcast(nmin))
         .where(F.col("bucket") < thresh)
         .select(id_col, stratum_col, "n_stratum", "n_min", "bucket")
+    )
+
+
+def dpo_pairs(
+    candidates: DataFrame,
+    group_col: str = "prompt_id",
+    prompt_col: str = "prompt",
+    completion_col: str = "completion",
+    score_col: str = "score",
+    margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction for DPO / reward-model training data:
+    per prompt group, chosen = the candidate completion that is maximal
+    under the total order (score, md5(completion)), rejected = the minimal
+    one; a pair is emitted only when the group has >= 2 candidates and
+    chosen_score - rejected_score >= margin (use margin > 0 — it also
+    guarantees chosen != rejected; at margin = 0 an all-tied group would
+    pair a completion against itself).
+
+    The md5 tie-break makes the pick deterministic and cross-engine
+    reproducible on tied scores (the same first-by-total-order contract as
+    canonical.first_id_wins); production swaps the heuristic score column
+    for an RM score behind the same contract.
+
+    Scale shape: ONE shuffle on the group key, and max_by/min_by are
+    declarative aggregates with O(1) partial state per group (map-side
+    combine) — a viral prompt with millions of candidate completions costs
+    one row of reducer state, never a collect_list. Completion text rides
+    inside the agg structs, i.e. each group moves exactly two texts plus
+    its own candidates once; nothing is re-scanned.
+
+    Reference parity note: no counterpart in the reference (per-document
+    extraction service, semanticinformationextraction); this is part of
+    the training-data surface the build brief adds on top of SURVEY §2.
+    """
+    tie = F.md5(F.col(completion_col))
+    order = F.struct(F.col(score_col).alias("s"), tie.alias("t"))
+    cand = F.struct(
+        F.col(completion_col).alias("c"), F.col(score_col).alias("s")
+    )
+    agg = candidates.groupBy(group_col).agg(
+        F.min(prompt_col).alias(prompt_col),
+        F.max_by(cand, order).alias("_hi"),
+        F.min_by(cand, order).alias("_lo"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        agg.where(
+            (F.col("_n") >= 2)
+            & (F.col("_hi.s") - F.col("_lo.s") >= F.lit(float(margin)))
+        )
+        .select(
+            group_col,
+            prompt_col,
+            F.col("_hi.c").alias("chosen"),
+            F.col("_lo.c").alias("rejected"),
+            F.col("_hi.s").alias("score_chosen"),
+            F.col("_lo.s").alias("score_rejected"),
+        )
     )

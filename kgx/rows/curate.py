@@ -341,3 +341,47 @@ SELECT doc_id, lang, n_stratum, n_min, bucket
 FROM b
 WHERE bucket < floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_stratum AS DOUBLE)) * 100000000.0)
 """
+_DPO_MARGIN = 3.0
+def curate_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference pairs (curation.dpo_pairs): docs folded into 200
+    prompt groups, score = length(text) % 50 (deterministic stand-in for
+    an RM score, with deliberate collisions so the md5 tie-break is
+    exercised), margin 3.0. chosen/rejected = max/min under the total
+    order (score, md5(completion)); one max_by/min_by groupBy, no
+    candidate lists."""
+    from kgx import curation
+
+    cand = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 200).cast("string").alias("prompt_id"),
+        F.concat(F.lit("prompt-"), (F.col("doc_id") % 200).cast("string")).alias(
+            "prompt"
+        ),
+        F.col("text").alias("completion"),
+        (F.length("text") % 50).cast("double").alias("score"),
+    )
+    return curation.dpo_pairs(cand, margin=_DPO_MARGIN)
+CURATE_DPO_SQL = f"""
+WITH cand AS (
+  SELECT CAST(doc_id % 200 AS VARCHAR) AS prompt_id,
+         'prompt-' || CAST(doc_id % 200 AS VARCHAR) AS prompt,
+         text AS completion,
+         CAST(length(text) % 50 AS DOUBLE) AS score,
+         md5(text) AS tie
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score DESC, tie DESC) AS rk_hi,
+         row_number() OVER (PARTITION BY prompt_id
+                            ORDER BY score ASC, tie ASC) AS rk_lo,
+         count(*) OVER (PARTITION BY prompt_id) AS n_cand
+  FROM cand
+)
+SELECT h.prompt_id, h.prompt,
+       h.completion AS chosen, l.completion AS rejected,
+       h.score AS score_chosen, l.score AS score_rejected
+FROM (SELECT * FROM ranked WHERE rk_hi = 1) h
+JOIN (SELECT * FROM ranked WHERE rk_lo = 1) l USING (prompt_id)
+WHERE h.n_cand >= 2 AND h.score - l.score >= {_DPO_MARGIN}
+"""

@@ -710,3 +710,69 @@ def test_sft_pairs_strict_alternation(spark):
         ("c1", 0): ("q1", "a1"),
         ("c1", 3): ("q3", "a3"),
     }
+
+# ------------------------------------------------ DPO preference pairs ----
+
+
+def test_dpo_pairs_margin_and_tiebreak(spark):
+    """dpo_pairs picks max/min under (score, md5(completion)), drops
+    groups under the margin or with a single candidate, and resolves tied
+    scores deterministically by the md5 tie-break."""
+    import hashlib
+
+    from kgx import curation
+
+    rows = [
+        # group g1: clear winner/loser, gap 9 >= margin
+        ("g1", "p1", "best answer", 10.0),
+        ("g1", "p1", "mid answer", 5.0),
+        ("g1", "p1", "worst answer", 1.0),
+        # group g2: gap 1 < margin -> dropped
+        ("g2", "p2", "a", 5.0),
+        ("g2", "p2", "b", 4.0),
+        # group g3: single candidate -> dropped
+        ("g3", "p3", "only", 9.0),
+        # group g4: all scores tied at the extremes -> md5 tie-break,
+        # gap 5 >= margin
+        ("g4", "p4", "tie-x", 7.0),
+        ("g4", "p4", "tie-y", 7.0),
+        ("g4", "p4", "low", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id string, prompt string, completion string, score double"
+    )
+    out = {
+        r.prompt_id: r
+        for r in curation.dpo_pairs(df, margin=3.0).collect()
+    }
+    assert set(out) == {"g1", "g4"}
+    assert out["g1"].chosen == "best answer"
+    assert out["g1"].rejected == "worst answer"
+    assert (out["g1"].score_chosen, out["g1"].score_rejected) == (10.0, 1.0)
+    # tie at score 7.0: chosen = greater md5 hex digest, exactly as the
+    # DuckDB oracle's ORDER BY score DESC, tie DESC
+    exp = max("tie-x", "tie-y", key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert out["g4"].chosen == exp
+    assert out["g4"].rejected == "low"
+
+
+def test_dpo_pairs_plan_is_single_partial_agg(spark):
+    """The plan must be ONE hash aggregate pair (partial + final) over the
+    group key with NO collect_list / sort / window — the O(1)-state-per-
+    group contract that survives a viral prompt with millions of
+    candidates."""
+    from kgx import curation
+
+    df = spark.createDataFrame(
+        [("g", "p", f"c{i}", float(i)) for i in range(10)],
+        "prompt_id string, prompt string, completion string, score double",
+    )
+    plan = (
+        curation.dpo_pairs(df, margin=1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "collect_list" not in plan
+    assert "Window" not in plan
+    # exactly one exchange: the group-key shuffle between partial and
+    # final aggregation
+    assert plan.count("Exchange") == 1
