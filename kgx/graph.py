@@ -120,6 +120,75 @@ def two_hop_counts(edges: DataFrame, sources: DataFrame) -> DataFrame:
     )
 
 
+def jaccard_similarity(
+    edges: DataFrame,
+    max_middle_degree: int = 60,
+    min_common: int = 2,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity between node pairs — the classic
+    link-prediction feature (Liben-Nowell & Kleinberg 2003): for pairs
+    (a, b) sharing >= min_common common neighbors,
+    jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|.
+
+    Input: symmetric string-keyed edge list (src, dst), e.g. from
+    undirected_edges.
+
+    Scale shape: common neighbors are enumerated as wedges a—m—b through
+    MIDDLE nodes m; an unrestricted wedge join fans out deg(m)² per
+    middle, so middles with degree > max_middle_degree are EXCLUDED from
+    wedge enumeration (a hub connected to everything co-occurs with
+    everything — its wedges carry no similarity signal yet would dominate
+    the join at 10^9 edges; the same deterministic hot-key cap as the
+    dedup bucket caps, and the oracle reproduces it). Degrees in the
+    denominator stay EXACT, so for pairs that also share capped hubs the
+    score is a documented lower bound. One wedge groupBy with map-side
+    partial counts; degree table is O(|V|) and broadcast.
+
+    Returns (a, b, n_common, deg_a, deg_b, jaccard) with a < b; jaccard
+    is one correctly-rounded double division (deterministic cross-engine).
+
+    RELEASE OBLIGATION: carries persisted intermediates on
+    ``result._kgx_persisted``; the caller unpersists after consuming.
+    """
+    edges = edges.persist()
+    deg = degrees(edges)
+    mid = deg.where(F.col("deg") <= max_middle_degree).select("src")
+    # wedge legs restricted to capped middles; persisted because the
+    # self-join reads it twice
+    nbr = edges.join(F.broadcast(mid), "src").persist()
+    wedges = (
+        nbr.select(F.col("src"), F.col("dst").alias("a"))
+        .join(nbr.select(F.col("src"), F.col("dst").alias("b")), "src")
+        .where(F.col("a") < F.col("b"))
+    )
+    common = (
+        wedges.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("deg_b"))
+    out = (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    out._kgx_persisted = [edges, nbr]
+    return out
+
+
 def copurchase_edges(pairs: DataFrame, key: str, node: str, min_support: int = 2) -> DataFrame:
     """Project a bipartite (key, node) membership table onto node—node
     edges: two nodes are linked iff they share >= min_support keys

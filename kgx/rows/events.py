@@ -490,6 +490,40 @@ hop2 AS (
 )
 SELECT origin, count(DISTINCT nbr2) AS n_two_hop FROM hop2 GROUP BY origin
 """
+_JACC_CAP = 60
+_JACC_MIN_COMMON = 3
+def graph_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard link-prediction scores
+    (graph.jaccard_similarity) over the customer--supplier graph:
+    supplier pairs scored by shared-customer overlap. Middle nodes with
+    degree > 60 are excluded from wedge enumeration (every supplier hub,
+    deg 443+ at sf0.01 -- the deterministic hot-key cap the oracle
+    reproduces); degrees stay exact, min_common = 3 (a support floor — at
+    these corpus sizes every supplier pair clears it; the filter itself
+    is pinned by the unit test's small graph). One wedge groupBy
+    (map-side partials), broadcast degree joins, one double division."""
+    return graph.jaccard_similarity(
+        _cust_supp_edges(spark, sf_dir),
+        max_middle_degree=_JACC_CAP,
+        min_common=_JACC_MIN_COMMON,
+    )
+GRAPH_JACCARD_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+mid AS (SELECT src FROM deg WHERE deg <= {_JACC_CAP}),
+nbr AS (SELECT u.src, u.dst FROM und u JOIN mid m ON u.src = m.src),
+common AS (
+  SELECT l.dst AS a, r.dst AS b, count(*) AS n_common
+  FROM nbr l JOIN nbr r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY 1, 2
+  HAVING count(*) >= {_JACC_MIN_COMMON}
+)
+SELECT c.a, c.b, c.n_common, da.deg AS deg_a, db.deg AS deg_b,
+       CAST(c.n_common AS DOUBLE) / (da.deg + db.deg - c.n_common) AS jaccard
+FROM common c
+JOIN deg da ON c.a = da.src
+JOIN deg db ON c.b = db.src
+"""
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over the supplier co-purchase
     projection (suppliers linked iff they co-serve >= 2 customers),

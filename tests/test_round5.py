@@ -776,3 +776,44 @@ def test_dpo_pairs_plan_is_single_partial_agg(spark):
     # exactly one exchange: the group-key shuffle between partial and
     # final aggregation
     assert plan.count("Exchange") == 1
+
+
+# ------------------------------------------- neighbor-Jaccard similarity ----
+
+
+def test_jaccard_similarity_hub_cap_and_exact_scores(spark):
+    """graph.jaccard_similarity: exact scores on a small graph, and the
+    max_middle_degree cap excludes hub-mediated wedges while keeping
+    denominators exact (documented lower bound for hub-sharing pairs)."""
+    from kgx import graph
+
+    # K: hub middle connected to a,b,c ; m: degree-2 middle for (a,b)
+    pairs = [("K", x) for x in ("a", "b", "c")] + [("m", "a"), ("m", "b")]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    out = graph.jaccard_similarity(sym, max_middle_degree=2, min_common=1)
+    rows = {(r.a, r.b): r for r in out.collect()}
+    for cached in out._kgx_persisted:
+        cached.unpersist()
+    # K (deg 3) is over the cap, so its wedges (a,b),(a,c),(b,c) vanish;
+    # surviving middles: m -> (a,b), and a/b (deg 2 each) -> (K,m) twice
+    assert set(rows) == {("a", "b"), ("K", "m")}
+    r = rows[("a", "b")]
+    # capped lower bound: common counted through m only (1), degrees
+    # exact (2,2) -> jaccard = 1/(2+2-1)
+    assert (r.n_common, r.deg_a, r.deg_b) == (1, 2, 2)
+    assert r.jaccard == 1.0 / 3.0
+    k = rows[("K", "m")]
+    assert (k.n_common, k.deg_a, k.deg_b) == (2, 3, 2)
+    assert k.jaccard == 2.0 / 3.0
+
+    # without the cap (a,b) scores the true 2/(2+2-2) = 1.0 and K's
+    # wedges reappear
+    out2 = graph.jaccard_similarity(sym, max_middle_degree=10, min_common=1)
+    rows2 = {(r.a, r.b): r.jaccard for r in out2.collect()}
+    for cached in out2._kgx_persisted:
+        cached.unpersist()
+    assert rows2[("a", "b")] == 1.0
+    assert rows2[("a", "c")] == 0.5 and rows2[("b", "c")] == 0.5
+    assert set(rows2) == {("a", "b"), ("a", "c"), ("b", "c"), ("K", "m")}
