@@ -471,3 +471,117 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("center", "context")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    max_middle_degree: int = 60,
+    min_common: int = 2,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Resource-Allocation link-prediction index (Zhou, Lü & Zhang 2009):
+    ra(a, b) = Σ_{m ∈ N(a)∩N(b)} 1/deg(m) — the middle-degree-weighted
+    refinement of common-neighbor counting (low-degree shared neighbors
+    carry more signal than hubs).
+
+    Determinism: the per-middle contribution is integer-scaled as
+    `scale div deg(m)` (integral division), so the cross-row sum is exact
+    BIGINT arithmetic — associative in any aggregation order and engine —
+    and `ra` is ONE final IEEE division by `scale` (the same log-free
+    fixed-point recipe as pagerank_int; a float Σ 1/deg would be row-order
+    dependent and unhashable cross-engine).
+
+    Scale shape: identical wedge enumeration to jaccard_similarity —
+    middles above max_middle_degree are excluded (their contribution
+    1/deg is also the smallest, so the cap cuts the quadratic fan-out
+    exactly where the signal is weakest); one wedge groupBy with map-side
+    partial sums; the degree dim is O(|V|) and broadcast.
+
+    Returns (a, b, n_common, ra_scaled, ra) with a < b.
+
+    RELEASE OBLIGATION: carries persisted intermediates on
+    ``result._kgx_persisted``; the caller unpersists after consuming.
+    """
+    edges = edges.persist()
+    deg = degrees(edges)
+    mid = deg.where(F.col("deg") <= max_middle_degree).withColumn(
+        "contrib", F.expr(f"CAST({scale} AS BIGINT) div deg")
+    ).select("src", "contrib")
+    # wedge legs restricted to capped middles, each leg carrying the
+    # middle's own 1/deg contribution; persisted — the self-join reads
+    # it twice
+    nbr = edges.join(F.broadcast(mid), "src").persist()
+    wedges = (
+        nbr.select("src", F.col("dst").alias("a"), "contrib")
+        .join(nbr.select("src", F.col("dst").alias("b")), "src")
+        .where(F.col("a") < F.col("b"))
+    )
+    out = (
+        wedges.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("contrib").alias("ra_scaled"),
+        )
+        .where(F.col("n_common") >= min_common)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "ra_scaled",
+            (F.col("ra_scaled").cast("double") / F.lit(float(scale))).alias("ra"),
+        )
+    )
+    out._kgx_persisted = [edges, nbr]
+    return out
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_depth: int = 16,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Min-depth transitive closure of a DAG edge list (src, dst) — e.g.
+    an ontology's rdfs:subClassOf hierarchy (child, parent) expanded to
+    every (descendant, ancestor, min_depth) pair, the precomputed
+    subsumption table a KG type-checker or inference join consumes.
+
+    Path doubling, not frontier expansion: after k rounds the closure
+    holds every pair reachable in <= 2^k hops, so covering `max_depth`
+    costs ceil(log2(max_depth)) self-joins instead of max_depth chained
+    joins — the same O(log d) trick as canonical.pointer-jumping CC. Per
+    round: one self-join of the closure on (dst = src) + one
+    groupBy(src, dst).min(depth) dedupe — two exchanges on node keys.
+    min() over exact integer depths is order-independent, so the result
+    is engine-exact and a WITH RECURSIVE SQL oracle reproduces it.
+
+    Ontology hierarchies are dimension-sized (10^2–10^5 classes) so every
+    round is broadcast-cheap; the same plan holds for large instance DAGs
+    (10^9 edges) where the joins become shuffles on node keys. Each round
+    localCheckpoints (when `checkpoint`) to truncate the doubling lineage
+    — without it round k's plan nests 2^k scans.
+
+    Input rows must be a DAG (cycles make min_depth undefined); depth
+    counts edges (direct parent = 1). Returns (src, dst, depth).
+    """
+    closure = edges.select("src", "dst", F.lit(1).cast("int").alias("depth"))
+    rounds = max(1, (max_depth - 1).bit_length())
+    for _ in range(rounds):
+        hop = (
+            closure.alias("l")
+            .join(
+                closure.alias("r"), F.col("l.dst") == F.col("r.src"), "inner"
+            )
+            .select(
+                F.col("l.src").alias("src"),
+                F.col("r.dst").alias("dst"),
+                (F.col("l.depth") + F.col("r.depth")).alias("depth"),
+            )
+        )
+        closure = (
+            closure.unionByName(hop)
+            .groupBy("src", "dst")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if checkpoint:
+            closure = closure.localCheckpoint(eager=False)
+    return closure

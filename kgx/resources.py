@@ -82,6 +82,41 @@ DOM_BOUNDS: list[tuple[str, float | None, float | None, float | None]] = [
 
 _NS = "http://kgx.example.org/onto#"
 
+# rdfs:subClassOf hierarchy (child, parent) — the reference ontology declares
+# its class tree in RDF/XML (FIRSTOntology.owl owl:Class/rdfs:subClassOf
+# chains, loaded via WeblogTag.java:83-116); this is an ORIGINAL synthetic
+# hierarchy with the same shape (max depth 5) whose leaves are the gazetteer
+# entity types. graph.transitive_closure expands it to the (descendant,
+# ancestor, min_depth) subsumption dim a type-checker joins against.
+CLASS_HIERARCHY: list[tuple[str, str]] = [
+    ("SentimentObject", "Thing"),
+    ("Organization", "SentimentObject"),
+    ("FinancialInstrument", "SentimentObject"),
+    ("Place", "SentimentObject"),
+    ("Topic", "SentimentObject"),
+    ("Company", "Organization"),
+    ("PublicCompany", "Company"),
+    ("PrivateCompany", "Company"),
+    ("Equity", "FinancialInstrument"),
+    ("Currency", "FinancialInstrument"),
+    ("Stock", "Equity"),
+    ("CommonStock", "Stock"),
+    ("PreferredStock", "Stock"),
+    ("ReserveCurrency", "Currency"),
+    ("Region", "Place"),
+    ("EconomicZone", "Region"),
+    ("MacroTopic", "Topic"),
+    ("SectorTopic", "Topic"),
+]
+
+
+def class_hierarchy_df(spark: SparkSession) -> DataFrame:
+    """CLASS_HIERARCHY as a (src=child URI, dst=parent URI) edge DataFrame
+    (dimension-sized: always broadcast, never shuffled)."""
+    rows = [(_NS + c, _NS + p) for c, p in CLASS_HIERARCHY]
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
 # --- synthetic knowledge base (deterministic, original content) -------------
 
 _COMPANIES = [

@@ -524,6 +524,35 @@ FROM common c
 JOIN deg da ON c.a = da.src
 JOIN deg db ON c.b = db.src
 """
+def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index (graph.resource_allocation;
+    Zhou, Lü & Zhang 2009) over the customer--supplier graph: the
+    middle-degree-weighted refinement of the Jaccard row — each shared
+    customer contributes 1/deg, so promiscuous middles count less. Same
+    wedge machinery and deterministic hub cap (deg > 60 middles excluded)
+    as graph_jaccard_similarity; the per-middle contribution is the exact
+    integer 10^12 div deg, summed as BIGINTs (order-independent,
+    engine-exact), with ONE final IEEE division producing `ra`."""
+    return graph.resource_allocation(
+        _cust_supp_edges(spark, sf_dir),
+        max_middle_degree=_JACC_CAP,
+        min_common=_JACC_MIN_COMMON,
+    )
+GRAPH_RESOURCE_ALLOC_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+mid AS (
+  SELECT src, 1000000000000 // deg AS contrib FROM deg
+  WHERE deg <= {_JACC_CAP}
+),
+nbr AS (SELECT u.src, u.dst, m.contrib FROM und u JOIN mid m ON u.src = m.src)
+SELECT l.dst AS a, r.dst AS b, count(*) AS n_common,
+       CAST(sum(l.contrib) AS BIGINT) AS ra_scaled,
+       CAST(CAST(sum(l.contrib) AS BIGINT) AS DOUBLE) / 1000000000000.0 AS ra
+FROM nbr l JOIN nbr r ON l.src = r.src AND l.dst < r.dst
+GROUP BY 1, 2
+HAVING count(*) >= {_JACC_MIN_COMMON}
+"""
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle participation over the supplier co-purchase
     projection (suppliers linked iff they co-serve >= 2 customers),

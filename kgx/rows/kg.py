@@ -1190,6 +1190,41 @@ FROM facts f
 LEFT JOIN rules r USING (pred)
 LEFT JOIN inds i USING (indicator_uri)
 """
+def kg_subclass_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology subsumption closure (graph.transitive_closure over
+    resources.CLASS_HIERARCHY): every (descendant, ancestor, min hop
+    count) pair of the rdfs:subClassOf DAG — the precomputed inference
+    dim that lets a type-checker accept a CommonStock subject where the
+    rule says Stock (the reference loads its class tree from
+    FIRSTOntology.owl via OWLIM, which materializes exactly this closure;
+    WeblogTag.java:83-116). Path doubling: 3 self-joins cover depth 8;
+    min(depth) over exact ints is engine-exact, so the WITH RECURSIVE
+    oracle reproduces it bit-for-bit. Independent of sf_dir (a dimension
+    derivation) — kept in the registry so the iterative-closure operator
+    itself sits under the driver's hash gate."""
+    closure = graph.transitive_closure(
+        resources.class_hierarchy_df(spark), max_depth=8
+    )
+    return closure.select(
+        F.col("src").alias("sub_class"),
+        F.col("dst").alias("super_class"),
+        F.col("depth").cast("int").alias("depth"),
+    )
+_HIER_VALUES = ",\n  ".join(
+    f"('{NS}{c}', '{NS}{p}')" for c, p in resources.CLASS_HIERARCHY
+)
+KG_SUBCLASS_CLOSURE_SQL = f"""
+WITH RECURSIVE hier(src, dst) AS (VALUES
+  {_HIER_VALUES}
+),
+paths(src, dst, depth) AS (
+  SELECT src, dst, 1 FROM hier
+  UNION ALL
+  SELECT p.src, h.dst, p.depth + 1 FROM paths p JOIN hier h ON p.dst = h.src
+)
+SELECT src AS sub_class, dst AS super_class, CAST(min(depth) AS INT) AS depth
+FROM paths GROUP BY 1, 2
+"""
 # ---------------------------------------------------------------------------
 # multi-turn KG oracle rows: the same extraction semantics over folded
 # 50-conversation x 10-turn transcripts, so the TURN-ORDERED rules (W1/W2
