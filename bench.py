@@ -76,6 +76,17 @@ HEADLINE = [
     "text_mlm_mask",
     "graph_skipgram_pairs",
     "kg_sft_pairs",
+    # new in round 5 final batch
+    "curate_dpo_pairs",
+    "graph_jaccard_similarity",
+    "graph_resource_alloc",
+    "kg_subclass_closure",
+    "kg_tool_transitions",
+    "kg_nsp_pairs",
+    "sketch_quantile_merge",
+    "graph_landmark_distances",
+    "events_cohort_retention",
+    "curate_dedup_weights",
 ]
 
 

@@ -141,3 +141,114 @@ def sft_pairs(transcripts: DataFrame) -> DataFrame:
         .where((F.col("role") == "user") & (F.col("next_role") == "assistant"))
         .select("conv_id", "turn_idx", "prompt", "completion")
     )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """Tool-call Markov transition matrix over agent transcripts: for
+    every conversation ordered by turn_idx, count (tool -> next tool)
+    bigrams corpus-wide and derive the empirical transition probability —
+    the agent-behavior analytics table (which tool follows which) the
+    reference's per-document pipeline has no equivalent for because it
+    never sees turn order (CompletePipelineWorker processes one document
+    per ZeroMQ message); turn order is exactly what the Spark fold adds.
+
+    One lead() window on the per-conversation shuffle key shared with
+    sft_pairs/assemble_turns (AQE reuses the exchange when composed),
+    one groupBy on the (tool, next_tool) bigram with map-side partials,
+    and one window-sum per source tool for the denominator. Counts are
+    exact BIGINTs; the probability is a single IEEE division, so the
+    table is engine-exact. Turns with NULL tool (plain text turns) are
+    excluded from both ends of the bigram — the matrix is over tool
+    invocations only. Returns (tool, next_tool, n, row_total, p).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    bigrams = (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            F.lead("tool").over(w).alias("next_tool"),
+        )
+        .where(F.col("tool").isNotNull() & F.col("next_tool").isNotNull())
+        .groupBy("tool", "next_tool")
+        .agg(F.count("*").alias("n"))
+    )
+    per_tool = Window.partitionBy("tool")
+    return bigrams.select(
+        "tool",
+        "next_tool",
+        "n",
+        F.sum("n").over(per_tool).alias("row_total"),
+        (F.col("n").cast("double") / F.sum("n").over(per_tool)).alias("p"),
+    )
+
+
+def nsp_pairs(transcripts: DataFrame) -> DataFrame:
+    """Next-sentence-prediction examples (BERT NSP; Devlin et al. 2018)
+    over transcript turns: each turn with a successor yields a POSITIVE
+    pair (its text, the next turn's text, label 1) and one NEGATIVE pair
+    whose second sentence is a hash-picked turn from the global corpus
+    (label 0), dropped when the pick lands in the same conversation —
+    the standard 50/50 NSP corpus shape, fully deterministic so a SQL
+    oracle reproduces every pick.
+
+    The negative pick is rank arithmetic, not RNG: a global turn dim
+    ranked by row_number() over (conv_id, turn_idx) order, and pick =
+    md5_60bit(conv:turn:'nsp') mod n_turns — the same cross-engine
+    scheme as graph.negative_samples. Costs: one per-conversation lead()
+    window (shared shuffle key with sft_pairs), one global window for the
+    rank dim (single exchange over slim (rank, conv, text) rows — at
+    10^12 turns this dim would be built per-shard with a zipWithIndex-
+    style two-pass rank instead; the contract is the same), and one
+    shuffle join on the picked rank. Returns
+    (conv_id, turn_idx, sent_a, sent_b, label).
+    """
+    from pyspark.sql import Window
+
+    from kgx.dedup import md5_hash60
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = transcripts.select("conv_id", "turn_idx", "text")
+    anchors = base.select(
+        "conv_id",
+        "turn_idx",
+        F.col("text").alias("sent_a"),
+        F.lead("text").over(w).alias("sent_b"),
+    ).where(F.col("sent_b").isNotNull())
+    rank_w = Window.orderBy("conv_id", "turn_idx")
+    dim = base.select(
+        (F.row_number().over(rank_w) - 1).alias("rnk"),
+        F.col("conv_id").alias("cand_conv"),
+        F.col("text").alias("cand_text"),
+    )
+    n_turns = base.agg(F.count("*").alias("n_turns"))
+    pick = (
+        md5_hash60(
+            F.concat_ws(
+                ":",
+                F.col("conv_id"),
+                F.col("turn_idx").cast("string"),
+                F.lit("nsp"),
+            )
+        )
+        % F.col("n_turns")
+    ).alias("rnk")
+    negatives = (
+        anchors.crossJoin(F.broadcast(n_turns))
+        .select("conv_id", "turn_idx", "sent_a", pick)
+        .join(dim, "rnk")
+        .where(F.col("cand_conv") != F.col("conv_id"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "sent_a",
+            F.col("cand_text").alias("sent_b"),
+            F.lit(0).alias("label"),
+        )
+    )
+    positives = anchors.select(
+        "conv_id", "turn_idx", "sent_a", "sent_b", F.lit(1).alias("label")
+    )
+    return positives.unionByName(negatives)

@@ -475,3 +475,39 @@ def dpo_pairs(
             F.col("_lo.s").alias("score_rejected"),
         )
     )
+
+
+def dedup_sample_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Soft-dedup sampling weights: instead of DROPPING duplicates, keep
+    every document and weight it by 1/|cluster| so the training sampler
+    sees each unique text once in expectation — the repetition-penalty
+    weighting LM data pipelines use when hard dedup is too lossy (the
+    continuous counterpart of dedup.exact_dedup, same md5(normalized
+    text) clustering, same min-id canonical pick).
+
+    Shape mirrors exact_dedup's bounded-state contract: one groupBy on
+    the 32-byte text hash (count + min id — constant reducer state even
+    on a degenerate corpus of identical docs), then one slim join back on
+    (id, hash); the text column itself never shuffles. Weight is ONE IEEE
+    division of exact integers, so the table is engine-exact. Returns
+    (id, cluster_size, weight, is_canonical).
+    """
+    from kgx.dedup import _norm_text
+
+    h = docs.select(
+        F.col(id_col), F.md5(_norm_text(F.col(text_col))).alias("h")
+    )
+    sizes = h.groupBy("h").agg(
+        F.count("*").alias("cluster_size"), F.min(id_col).alias("keep_id")
+    )
+    return (
+        h.join(sizes, "h")
+        .select(
+            F.col(id_col),
+            F.col("cluster_size"),
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+            (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
+        )
+    )

@@ -385,3 +385,39 @@ FROM (SELECT * FROM ranked WHERE rk_hi = 1) h
 JOIN (SELECT * FROM ranked WHERE rk_lo = 1) l USING (prompt_id)
 WHERE h.n_cand >= 2 AND h.score - l.score >= {_DPO_MARGIN}
 """
+def curate_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup sampling weights (curation.dedup_sample_weights): every
+    doc kept, weighted 1/|exact-dup cluster| with the min-id row flagged
+    canonical — the repetition-penalty alternative to dropping dups. Same
+    deterministic perturbed-copy injection as dedup_exact (doc_id%10==3,
+    uppercased, padded) so normalization, clustering and the weight
+    division all see non-trivial clusters; the text column never
+    shuffles (32-byte hash + id only)."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    return curation.dedup_sample_weights(docs.unionByName(dup))
+CURATE_DEDUP_WEIGHTS_SQL = r"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, '  ' || upper(text) || '  '
+  FROM documents WHERE doc_id % 10 = 3
+),
+h AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM src
+),
+g AS (
+  SELECT h, count(*) AS cluster_size, min(doc_id) AS keep_id
+  FROM h GROUP BY h
+)
+SELECT h.doc_id, g.cluster_size,
+       1.0 / g.cluster_size AS weight,
+       h.doc_id = g.keep_id AS is_canonical
+FROM h JOIN g USING (h)
+"""

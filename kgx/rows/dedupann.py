@@ -999,3 +999,61 @@ JOIN cassign ca USING (vec_id)
 LEFT JOIN losers l ON l.ib = e.vec_id
 """
 DEDUP_SEMANTIC_SQL = _semdedup_sql()
+_QH_BINS, _QH_LO, _QH_HI = 50, 0.0, 500.0
+_QH_QS = (0.5, 0.9, 0.99)
+def sketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch (kgx.sketch
+    hist_counts/hist_merge/hist_quantiles): Spark sketches two DISJOINT
+    event shards (event_id parity) independently, merges per-bucket by
+    SUM, and reads p50/p90/p99 of `value` per event_type off the merged
+    histogram — while the oracle sketches in ONE pass. Hash equality is
+    the sketch-of-shards == sketch-of-whole distributivity a sharded
+    100 TB scan relies on (same proof shape as sketch_hll_merge). All
+    rank math is exact-integer; the only floats are the shared binning
+    expression and the final edge estimate, written identically in both
+    engines."""
+    from kgx import sketch
+
+    ev = _t(spark, sf_dir, "events")
+    a = sketch.hist_counts(
+        ev.where(F.col("event_id") % 2 == 0), "value", ["event_type"],
+        _QH_BINS, _QH_LO, _QH_HI,
+    )
+    b = sketch.hist_counts(
+        ev.where(F.col("event_id") % 2 == 1), "value", ["event_type"],
+        _QH_BINS, _QH_LO, _QH_HI,
+    )
+    merged = sketch.hist_merge(a, b, ["event_type"])
+    return sketch.hist_quantiles(
+        merged, ["event_type"], _QH_BINS, _QH_LO, _QH_HI, _QH_QS
+    )
+SKETCH_QUANTILE_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         least({_QH_BINS - 1}, greatest(0,
+           CAST(floor((value - {_QH_LO}) / {_QH_HI - _QH_LO} * {_QH_BINS})
+                AS INTEGER))) AS bucket
+  FROM events
+),
+hist AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+),
+q AS (SELECT unnest([{", ".join(f"CAST({q} AS DOUBLE)" for q in _QH_QS)}]) AS q),
+hit AS (
+  SELECT c.event_type, q.q,
+         CAST(ceil(q.q * c.total) AS BIGINT) AS rank,
+         c.total, c.bucket
+  FROM cum c CROSS JOIN q
+  WHERE c.cum >= CAST(ceil(q.q * c.total) AS BIGINT)
+)
+SELECT event_type, q, rank, CAST(total AS BIGINT) AS total,
+       CAST(min(bucket) AS INTEGER) AS bucket,
+       CAST({_QH_LO} AS DOUBLE)
+         + (min(bucket) + 1) * CAST({(_QH_HI - _QH_LO) / _QH_BINS} AS DOUBLE)
+         AS q_est
+FROM hit GROUP BY 1, 2, 3, 4
+"""

@@ -886,3 +886,80 @@ FROM corpus a JOIN corpus b
  AND abs(a.step - b.step) <= 2 AND a.step <> b.step
 GROUP BY 1, 2
 """
+_LM_COUNT, _LM_DEPTH = 4, 3
+def graph_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distance table (graph.landmark_distances) over the
+    customer—supplier graph: the 4 highest-degree nodes (deterministic
+    deg-desc/id-asc pick — supplier hubs at every sf) as pivots, every
+    (landmark, node, dist<=3) pair via level-synchronous frontier BFS
+    with distinct + seen-anti-join pruning, so each level is bounded by
+    |V| rows per landmark instead of deg^k paths (the hub graph's level-3
+    path count is ~30M at sf0.1; the pruned frontier is ~16k). The oracle
+    unrolls the same three levels with EXCEPT against the union of
+    earlier ones — BFS level order makes first-visit minimal, no min()
+    re-aggregation."""
+    return graph.landmark_distances(
+        _cust_supp_edges(spark, sf_dir),
+        n_landmarks=_LM_COUNT,
+        max_depth=_LM_DEPTH,
+    )
+GRAPH_LANDMARK_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+lm AS (SELECT src AS landmark FROM deg
+       ORDER BY deg DESC, src ASC LIMIT {_LM_COUNT}),
+d0 AS (SELECT landmark, landmark AS node FROM lm),
+f1 AS (
+  SELECT d.landmark, e.dst AS node FROM d0 d JOIN und e ON e.src = d.node
+  EXCEPT SELECT landmark, node FROM d0
+),
+f2 AS (
+  SELECT f.landmark, e.dst AS node FROM f1 f JOIN und e ON e.src = f.node
+  EXCEPT (SELECT landmark, node FROM d0
+          UNION ALL SELECT landmark, node FROM f1)
+),
+f3 AS (
+  SELECT f.landmark, e.dst AS node FROM f2 f JOIN und e ON e.src = f.node
+  EXCEPT (SELECT landmark, node FROM d0
+          UNION ALL SELECT landmark, node FROM f1
+          UNION ALL SELECT landmark, node FROM f2)
+)
+SELECT landmark, node, CAST(0 AS INTEGER) AS dist FROM d0
+UNION ALL SELECT landmark, node, CAST(1 AS INTEGER) FROM f1
+UNION ALL SELECT landmark, node, CAST(2 AS INTEGER) FROM f2
+UNION ALL SELECT landmark, node, CAST(3 AS INTEGER) FROM f3
+"""
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (stats.cohort_retention): users
+    bucketed by ISO week of first event, active-user counts per
+    (cohort_week, week_offset), retention = count / week-0 cohort size
+    (one IEEE division). date_trunc('week') is ISO-Monday in both
+    engines and both dates are week-truncated, so offset day-arithmetic
+    is an exact multiple of 7. The per-user cohort dim joins on the
+    same user_id key the weekly distinct just shuffled on (AQE reuses
+    the exchange); only the tiny week-0 base table broadcasts."""
+    from kgx import stats
+
+    return stats.cohort_retention(_t(spark, sf_dir, "events"))
+EVENTS_COHORT_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+coh AS (SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1),
+cnt AS (
+  SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, week) // 7 AS INTEGER)
+           AS week_offset,
+         count(*) AS n_active
+  FROM weekly JOIN coh USING (user_id)
+  GROUP BY 1, 2
+),
+base AS (SELECT cohort_week, n_active AS cohort_size FROM cnt
+         WHERE week_offset = 0)
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+       c.week_offset, CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(b.cohort_size AS BIGINT) AS cohort_size,
+       CAST(c.n_active AS DOUBLE) / b.cohort_size AS retention
+FROM cnt c JOIN base b USING (cohort_week)
+"""

@@ -1505,3 +1505,101 @@ led AS (
 SELECT conv_id, turn_idx, prompt, completion
 FROM led WHERE role = 'user' AND next_role = 'assistant'
 """
+_TT_TOOLS = ("search", "code", "browse", "retrieval")
+def kg_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call Markov transition matrix (assemble.tool_transitions)
+    over the multi-turn fold: which tool follows which, per-conversation
+    turn order — the agent-behavior table the reference's one-document-
+    per-message pipeline cannot express (CompletePipelineWorker.java:356
+    processes documents independently; turn adjacency exists only after
+    the Spark window). Tool assignment is the md5-rank scheme over
+    (conv_id, turn_idx) so the oracle reproduces every bigram; counts
+    exact, probability one IEEE division."""
+    from kgx.dedup import md5_hash60
+
+    pick = (
+        md5_hash60(
+            F.concat_ws(
+                ":",
+                F.col("conv_id"),
+                F.col("turn_idx").cast("string"),
+                F.lit("tool"),
+            )
+        )
+        % F.lit(len(_TT_TOOLS))
+        + 1
+    ).cast("int")
+    tr = _doc_mt_transcripts(spark, sf_dir).withColumn(
+        "tool", F.element_at(F.array(*[F.lit(t) for t in _TT_TOOLS]), pick)
+    )
+    return assemble.tool_transitions(tr)
+KG_TOOL_TRANSITIONS_SQL = f"""
+WITH t AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx,
+         (['{"', '".join(_TT_TOOLS)}'])[
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id % 50 AS VARCHAR) || ':' ||
+                      CAST(doc_id // 50 AS VARCHAR) || ':tool'), 1, 15))
+                AS BIGINT) % {len(_TT_TOOLS)} + 1 AS INTEGER)] AS tool
+  FROM documents
+),
+big AS (
+  SELECT conv_id, turn_idx, tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM t
+),
+cnt AS (
+  SELECT tool, next_tool, count(*) AS n FROM big
+  WHERE tool IS NOT NULL AND next_tool IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT tool, next_tool, CAST(n AS BIGINT) AS n,
+       CAST(sum(n) OVER (PARTITION BY tool) AS BIGINT) AS row_total,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY tool) AS p
+FROM cnt
+"""
+def kg_nsp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-sentence-prediction corpus (assemble.nsp_pairs) over the
+    multi-turn fold: every turn with a successor emits the positive
+    (sent_a, next turn, 1) pair plus one hash-picked cross-conversation
+    negative (label 0; same-conversation picks dropped) — the BERT NSP
+    shape with rank-arithmetic negatives the oracle unrolls exactly
+    (same scheme as graph_negative_samples)."""
+    tr = _doc_mt_transcripts(spark, sf_dir)
+    return assemble.nsp_pairs(tr)
+KG_NSP_PAIRS_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx, text
+  FROM documents
+),
+anch AS (
+  SELECT conv_id, turn_idx, text AS sent_a,
+         lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS sent_b
+  FROM t
+),
+pos AS (
+  SELECT conv_id, turn_idx, sent_a, sent_b, 1 AS label
+  FROM anch WHERE sent_b IS NOT NULL
+),
+dim AS (
+  SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS rnk,
+         conv_id AS cand_conv, text AS cand_text
+  FROM t
+),
+n AS (SELECT count(*) AS n_turns FROM t),
+neg AS (
+  SELECT a.conv_id, a.turn_idx, a.sent_a, d.cand_text AS sent_b, 0 AS label
+  FROM (SELECT conv_id, turn_idx, sent_a FROM anch
+        WHERE sent_b IS NOT NULL) a
+  CROSS JOIN n
+  JOIN dim d
+    ON d.rnk = CAST(('0x' || substr(md5(a.conv_id || ':' ||
+                     CAST(a.turn_idx AS VARCHAR) || ':nsp'), 1, 15))
+                    AS BIGINT) % n.n_turns
+  WHERE d.cand_conv <> a.conv_id
+)
+SELECT conv_id, turn_idx, sent_a, sent_b, label FROM pos
+UNION ALL
+SELECT conv_id, turn_idx, sent_a, sent_b, label FROM neg
+"""

@@ -287,3 +287,98 @@ def bloom_probe(
         .withColumn(out_col, F.col("_nhits") == F.lit(k))
         .drop("_nhits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def hist_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Fixed-bin equi-width histogram — the simplest MERGEABLE quantile
+    sketch (the shape q-digest/t-digest refine; reference parity: the
+    reference keeps per-doc latency histograms driver-side in
+    PerformanceMeasurement.java:154-192 — this is the distributed,
+    mergeable version of that state).
+
+    bucket = clamp(floor((v - lo) / (hi - lo) * n_bins), 0, n_bins-1),
+    all integer/exact after ONE float expression evaluated identically in
+    Spark and DuckDB; counts per (group, bucket) are exact BIGINTs. The
+    groupBy's map-side partial aggregation IS the shard sketch: each
+    executor holds at most n_bins counters per group before the shuffle,
+    so a 100 TB scan reduces to |groups|*n_bins rows regardless of row
+    count. Shards/days merge by SUM (hist_merge)."""
+    width_expr = (F.col(value_col) - F.lit(lo)) / F.lit(hi - lo) * F.lit(n_bins)
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(width_expr).cast("int")),
+    )
+    return (
+        df.select(*[F.col(c) for c in group_cols], bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Merge two histogram sketches over the same binning: per-bucket SUM.
+    Associative + commutative, so any shard/day/corpus tree order gives
+    the identical table — the property sketch_quantile_merge pins by
+    hash-comparing sketch-of-shards against the oracle's single pass."""
+    keys = [*group_cols, "bucket"]
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: Sequence[str],
+    n_bins: int,
+    lo: float,
+    hi: float,
+    qs: Sequence[float],
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the upper
+    edge of the first bucket whose cumulative count reaches
+    ceil(q * total). Rank arithmetic is exact-integer (ceil of q*total
+    with q a literal); the estimate is one float expression
+    lo + (bucket+1) * ((hi-lo)/n_bins) written identically in the oracle.
+    Cumulative counts come from one bounded window per group (n_bins rows
+    max), then a min(bucket) aggregation per (group, q)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy(*group_cols))
+    )
+    qlits = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = (
+        cum.select(*group_cols, "bucket", "cum", "total", qlits)
+        .withColumn("rank", F.ceil(F.col("q") * F.col("total")).cast("bigint"))
+        .filter(F.col("cum") >= F.col("rank"))
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.first("total").alias("total"),
+            F.first("rank").alias("rank"),
+        )
+    )
+    est = F.lit(lo) + (F.col("bucket") + F.lit(1)) * F.lit((hi - lo) / n_bins)
+    return hit.select(
+        *group_cols,
+        "q",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("total").cast("bigint").alias("total"),
+        F.col("bucket").cast("int").alias("bucket"),
+        est.alias("q_est"),
+    )

@@ -153,3 +153,61 @@ def profile_numeric_hist(
         edge("b90").alias("p90"),
         edge("b99").alias("p99"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by the ISO week of
+    their FIRST event (the cohort), then counted per (cohort_week,
+    week_offset) over every week they were active — the standard
+    product-analytics triangle, and at corpus scale the freshness/
+    churn profile of a crawl's contributing sources.
+
+    Two aggregations, both on keys that shrink the data before they
+    shuffle: distinct (user, week) activity first (map-side partial
+    dedup), then min(week) per user for the cohort (bounded reducer
+    state), broadcast back over the activity rows. week_offset is exact
+    integer day arithmetic / 7 (date_trunc('week') is ISO-Monday in both
+    Spark and DuckDB); retention is ONE IEEE division by the cohort's
+    week-0 size. Returns (cohort_week, week_offset, n_active, cohort_size,
+    retention).
+    """
+    weekly = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("week"),
+        )
+        .distinct()
+    )
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    # cohorts is per-user (can be 10^9 rows) — shuffle join on user_id,
+    # the same key the weekly distinct just partitioned on, so AQE reuses
+    # the exchange; only the tiny week-0 base table is broadcast.
+    counts = (
+        weekly.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    base = counts.where(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    # cohort_week leaves as an ISO string: DATE round-trips differently
+    # through Arrow/pandas in Spark (datetime.date) vs DuckDB
+    # (datetime64), which breaks cross-engine value comparison even when
+    # the dates are identical.
+    return counts.join(F.broadcast(base), "cohort_week").select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )

@@ -1,0 +1,179 @@
+"""Round-5c tests: late-round operator batch — landmark BFS distances,
+tool-transition matrix, NSP pairs, histogram quantile sketch (merge ==
+single pass), soft-dedup sampling weights, weekly cohort retention."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from kgx import assemble, curation, graph, sketch, stats
+
+
+# ------------------------------------------------------- landmark BFS ----
+
+
+def test_landmark_distances_bfs_levels_and_cutoff(spark):
+    # star at h (deg 4) + tail c-d-e-f beyond it; h is the unique
+    # top-degree landmark
+    und = [("h", x) for x in "abcz"] + [("c", "d"), ("d", "e"), ("e", "f")]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src string, dst string"
+    )
+    out = graph.landmark_distances(edges, n_landmarks=1, max_depth=3)
+    got = {(r.landmark, r.node): r.dist for r in out.collect()}
+    assert all(lm == "h" for lm, _ in got)
+    assert got[("h", "h")] == 0
+    assert got[("h", "a")] == 1 and got[("h", "c")] == 1
+    assert got[("h", "d")] == 2
+    assert got[("h", "e")] == 3
+    # f is at distance 4 — beyond max_depth, must be absent
+    assert ("h", "f") not in got
+    # BFS first-visit is minimal: no duplicate (landmark, node) rows
+    assert out.count() == len(got)
+
+
+def test_landmark_pick_is_degree_then_id_deterministic(spark):
+    # b and c tie on degree 2; id ascending breaks the tie
+    und = [("a", "b"), ("a", "c"), ("b", "c")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    out = graph.landmark_distances(edges, n_landmarks=2, max_depth=1)
+    assert {r.landmark for r in out.collect()} == {"a", "b"}
+
+
+# --------------------------------------------------- tool transitions ----
+
+
+def test_tool_transitions_counts_and_probabilities(spark):
+    rows = [
+        ("c1", 0, "search"), ("c1", 1, "code"), ("c1", 2, "search"),
+        ("c2", 0, "search"), ("c2", 1, "code"),
+        ("c2", 2, None), ("c2", 3, "browse"),  # NULL breaks the bigram
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, tool string"
+    )
+    got = {
+        (r.tool, r.next_tool): (r.n, r.row_total, r.p)
+        for r in assemble.tool_transitions(tr).collect()
+    }
+    # search->code twice (c1, c2); code->search once; code->NULL and
+    # NULL->browse excluded
+    assert got[("search", "code")] == (2, 2, 1.0)
+    assert got[("code", "search")][0] == 1
+    assert ("code", None) not in got and (None, "browse") not in got
+    # probabilities per source tool sum to 1
+    sums = {}
+    for (tool, _), (n, total, p) in got.items():
+        sums[tool] = sums.get(tool, 0.0) + p
+        assert p == n / total
+    assert all(abs(s - 1.0) < 1e-12 for s in sums.values())
+
+
+# ------------------------------------------------------------ NSP ----
+
+
+def test_nsp_pairs_positive_and_negative_contracts(spark):
+    rows = [
+        ("c1", 0, "a0"), ("c1", 1, "a1"), ("c1", 2, "a2"),
+        ("c2", 0, "b0"), ("c2", 1, "b1"),
+    ]
+    tr = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = assemble.nsp_pairs(tr).collect()
+    pos = {(r.conv_id, r.turn_idx): r.sent_b for r in out if r.label == 1}
+    # every turn with a successor yields exactly its next turn's text
+    assert pos == {("c1", 0): "a1", ("c1", 1): "a2", ("c2", 0): "b1"}
+    negs = [r for r in out if r.label == 0]
+    all_texts = {t for _, _, t in rows}
+    for r in negs:
+        # negative second sentences come from the corpus but never from
+        # the anchor's own conversation
+        assert r.sent_b in all_texts
+        own = {t for c, _, t in rows if c == r.conv_id}
+        assert r.sent_b not in own
+    # at most one negative per anchor
+    anchors = [(r.conv_id, r.turn_idx) for r in negs]
+    assert len(anchors) == len(set(anchors))
+
+
+# --------------------------------------------- histogram quantiles ----
+
+
+def test_hist_quantiles_rank_semantics(spark):
+    # values 1..100, 10 bins over [0, 100): bucket = v/10 clamped to 9
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "value double"
+    ).withColumn("g", F.lit("x"))
+    hist = sketch.hist_counts(df, "value", ["g"], 10, 0.0, 100.0)
+    q = sketch.hist_quantiles(hist, ["g"], 10, 0.0, 100.0, (0.5, 0.99))
+    got = {r.q: r for r in q.collect()}
+    # p50: rank 50 -> bucket 4 (values 40..49 are 40 rows in buckets 0-4
+    # hold 1..49 -> 49 rows... bucket b holds [10b,10b+10); value 50 sits
+    # in bucket 5; cumulative through bucket 4 is 49 < 50, so bucket 5,
+    # upper edge 60.0
+    assert got[0.5].rank == 50
+    assert got[0.5].bucket == 5 and got[0.5].q_est == 60.0
+    # p99: rank 99 -> value 99 in bucket 9 (also the clamp bucket for 100)
+    assert got[0.99].bucket == 9 and got[0.99].q_est == 100.0
+
+
+def test_hist_merge_of_disjoint_shards_equals_single_pass(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 97)) for i in range(500)], "id long, value double"
+    ).withColumn("g", (F.col("id") % 3).cast("string"))
+    whole = sketch.hist_counts(df, "value", ["g"], 20, 0.0, 100.0)
+    a = sketch.hist_counts(df.where("id % 2 = 0"), "value", ["g"], 20, 0.0, 100.0)
+    b = sketch.hist_counts(df.where("id % 2 = 1"), "value", ["g"], 20, 0.0, 100.0)
+    merged = sketch.hist_merge(a, b, ["g"])
+    as_set = lambda h: {(r.g, r.bucket, r.n) for r in h.collect()}  # noqa: E731
+    assert as_set(merged) == as_set(whole)
+
+
+# ------------------------------------------------- dedup weights ----
+
+
+def test_dedup_sample_weights_inverse_cluster_size(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text"), (2, " SAME   text "), (3, "same text"),
+            (4, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curation.dedup_sample_weights(docs).collect()}
+    assert got[1].cluster_size == 3 and got[1].weight == 1.0 / 3
+    assert got[4].cluster_size == 1 and got[4].weight == 1.0
+    # exactly the min-id row of each cluster is canonical
+    assert got[1].is_canonical and not got[2].is_canonical
+    assert not got[3].is_canonical and got[4].is_canonical
+    # per-cluster weights sum to 1 — each unique text counted once in
+    # expectation
+    assert abs(sum(r.weight for r in got.values()) - 2.0) < 1e-12
+
+
+# ---------------------------------------------- cohort retention ----
+
+
+def test_cohort_retention_offsets_and_rates(spark):
+    day = datetime.datetime(2024, 1, 1)  # a Monday
+    wk = datetime.timedelta(days=7)
+    rows = [
+        # cohort week 0: users 1, 2; user 1 returns in weeks 1 and 2
+        (1, day), (2, day), (1, day + wk), (1, day + 2 * wk),
+        # cohort week 1: user 3, never returns
+        (3, day + wk + datetime.timedelta(days=3, hours=5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in stats.cohort_retention(ev).collect()
+    }
+    assert got[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert got[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert got[("2024-01-01", 2)] == (1, 2, 0.5)
+    # mid-week event truncates to its ISO Monday; cohort key is a string
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(got) == 4
