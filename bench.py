@@ -87,6 +87,11 @@ HEADLINE = [
     "graph_landmark_distances",
     "events_cohort_retention",
     "curate_dedup_weights",
+    "graph_kcore",
+    "graph_ppr_seeds",
+    "curate_boilerplate",
+    "curate_train_split",
+    "text_span_corruption",
 ]
 
 

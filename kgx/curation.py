@@ -511,3 +511,82 @@ def dedup_sample_weights(
             (F.col(id_col) == F.col("keep_id")).alias("is_canonical"),
         )
     )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    max_df: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate stripping (the CCNet / RefinedWeb line-
+    dedup pass): split each document into sentences, count each
+    normalized sentence's DOCUMENT frequency across the corpus, drop
+    sentences appearing in more than `max_df` documents (cookie banners,
+    nav chrome, license footers), and reassemble the survivors in
+    original order.
+
+    Scale shape: the document-frequency groupBy and the join back both
+    key on the 32-byte md5 of the normalized sentence, so sentence TEXT
+    never shuffles — only (doc, pos, hash) triples move; reassembly is
+    one groupBy(doc) with an array_sort(collect_list(struct(pos, sent)))
+    whose state is bounded by the document's own sentence count. The
+    conditional collect (boilerplate rows contribute NULL, which
+    collect_list drops) keeps it to ONE aggregation for both the clean
+    text and the removed-count audit column.
+
+    Returns (id, clean_text, n_kept, n_removed); documents whose every
+    sentence is boilerplate survive with clean_text = ''.
+    """
+    sent = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "sent"),
+    ).withColumn("h", F.md5(F.lower(F.trim(F.col("sent")))))
+    dfreq = sent.groupBy("h").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    tagged = sent.join(dfreq, "h")
+    keep = F.col("df") <= F.lit(max_df)
+    return tagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("sent")))
+                    )
+                ),
+                lambda x: x["sent"],
+            ),
+            ". ",
+        ).alias("clean_text"),
+        F.sum(keep.cast("int")).alias("n_kept"),
+        F.sum((~keep).cast("int")).alias("n_removed"),
+    )
+
+
+def train_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: split by md5-hash bucket
+    of the document id (buckets 0..train_pct-1 → train, next val_pct →
+    val, rest → test). Hash-of-id splitting is the only scheme that
+    stays STABLE under corpus growth, re-partitioning and re-runs —
+    every engine and every run assigns the same document to the same
+    split, no global sort or sampling state. Map-only (one expression
+    per row, no shuffle). Returns the input plus (bucket, split).
+    """
+    from kgx.dedup import md5_hash60
+
+    bucket = (
+        md5_hash60(F.concat(F.col(id_col).cast("string"), F.lit(":split")))
+        % 100
+    ).cast("int")
+    return docs.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_pct, F.lit("train"))
+        .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

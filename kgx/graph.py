@@ -639,3 +639,109 @@ def landmark_distances(
         level = frontier
     seen._kgx_persisted = persisted
     return seen
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 4) -> DataFrame:
+    """Bounded k-core peeling over a symmetric edge list: `rounds`
+    synchronous rounds of "drop every node with degree < k, then drop
+    edges touching dropped nodes" (Matula & Beck 1983 peeling, the
+    standard subgraph-density filter for KG noise pruning and community
+    seeding). `rounds` is a literal contract exactly like pagerank_int's
+    `iters` — once the peel reaches fixpoint, further rounds are no-ops,
+    so the result is engine-exact for an oracle that unrolls the same
+    round count whether or not a particular corpus converges earlier
+    (real small-world graphs peel in a handful of rounds; a production
+    run to exact coreness loops with an emptiness convergence check).
+
+    Per round: one degree groupBy + two semi-joins of the edge list
+    against the O(|V|) survivor set — all shuffles on node keys, edges
+    persisted per round so round r+1 never recomputes round r. Returns
+    the surviving (node, deg) table (degree within the k-core subgraph).
+
+    RELEASE OBLIGATION: persisted per-round edge frames ride on
+    ``result._kgx_persisted``; the caller unpersists after consuming.
+    """
+    cur = edges.select("src", "dst").persist()
+    persisted = [cur]
+    for _ in range(rounds):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .persist()
+        )
+        persisted.append(cur)
+    out = cur.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    out._kgx_persisted = persisted
+    return out
+
+
+def ppr_int(
+    edges: DataFrame, seeds: DataFrame, iters: int = 3, r0: int = R0
+) -> DataFrame:
+    """Exact integer personalized PageRank (damping 0.85, teleport
+    restricted to a seed set) — the KG relevance/expansion scorer
+    ("which entities matter relative to THESE seeds"), same engine-exact
+    integral contract as pagerank_int:
+
+      rank'(v) = (v ∈ S ? (15*r0) div 100 : 0)
+                 + (85 * Σ_{u→v} (rank(u) div deg(u))) div 100
+      rank0(v) = r0 if v ∈ S else 0
+
+    All BIGINTs, `div` integral, sums associative — bit-identical in any
+    engine/order, so a SQL oracle unrolls the same iterations. Mass is
+    unnormalized (like pagerank_int's r0-per-node convention); rankings
+    and ratios are what callers consume. Same shuffle shape as
+    pagerank_int (edges persisted once, two node-key exchanges per
+    iteration); `seeds` is a 1-column (src) frame, broadcast-joined onto
+    the degree table once.
+
+    RELEASE OBLIGATION: ``result._kgx_persisted`` as in pagerank_int.
+    """
+    edges = edges.repartition(
+        edges.sparkSession.sparkContext.defaultParallelism, "src"
+    ).persist()
+    deg = (
+        degrees(edges)
+        .join(
+            F.broadcast(seeds.select("src").distinct().withColumn("is_seed", F.lit(1))),
+            "src",
+            "left",
+        )
+        .persist()
+    )
+    base = (15 * r0) // 100
+    base_col = F.when(F.col("is_seed").isNotNull(), F.lit(base)).otherwise(F.lit(0))
+    ranks = deg.select(
+        "src",
+        F.when(F.col("is_seed").isNotNull(), F.lit(r0))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+        "deg",
+        "is_seed",
+    )
+    for _ in range(iters):
+        contrib = edges.join(ranks, "src").select(
+            F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+        )
+        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = deg.join(sums, deg["src"] == sums["node"], "left").select(
+            deg["src"],
+            (base_col + F.expr("(85 * coalesce(s, 0)) div 100"))
+            .cast("bigint")
+            .alias("r"),
+            deg["deg"],
+            deg["is_seed"],
+        )
+    out = ranks.select(F.col("src").alias("node"), F.col("r").alias("rank"))
+    out._kgx_persisted = [edges, deg]
+    return out

@@ -421,3 +421,73 @@ SELECT h.doc_id, g.cluster_size,
        h.doc_id = g.keep_id AS is_canonical
 FROM h JOIN g USING (h)
 """
+_BP_MAX_DF = 10
+def curate_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate stripping (curation.boilerplate_removal,
+    the CCNet/RefinedWeb line-dedup pass): a shared footer sentence is
+    injected into EVERY document and a second one into doc_id%7==2 docs,
+    so the document-frequency threshold (df > 10) must remove exactly the
+    injected chrome while keeping all original content (every original
+    text is corpus-unique). Sentence text never shuffles — df grouping
+    and the join back key on the sentence's md5."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". subscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 7 == 2, F.lit(". all rights reserved"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return curation.boilerplate_removal(docs, max_df=_BP_MAX_DF)
+CURATE_BOILERPLATE_SQL = f"""
+WITH src AS (
+  SELECT doc_id,
+         text || '. subscribe to our newsletter today' ||
+         CASE WHEN doc_id % 7 = 2 THEN '. all rights reserved' ELSE '' END
+           AS text
+  FROM documents
+),
+s0 AS (SELECT doc_id, string_split(text, '. ') AS sents FROM src),
+s AS (
+  SELECT doc_id, generate_subscripts(sents, 1) - 1 AS pos,
+         unnest(sents) AS sent
+  FROM s0
+),
+h AS (SELECT doc_id, pos, sent, md5(lower(trim(sent))) AS h FROM s),
+dfreq AS (SELECT h, count(DISTINCT doc_id) AS df FROM h GROUP BY 1),
+t AS (SELECT h.doc_id, h.pos, h.sent, d.df FROM h JOIN dfreq d USING (h))
+SELECT doc_id,
+       array_to_string(list(sent ORDER BY pos)
+                       FILTER (WHERE df <= {_BP_MAX_DF}), '. ') AS clean_text,
+       CAST(sum(CASE WHEN df <= {_BP_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN df > {_BP_MAX_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM t GROUP BY 1
+"""
+def curate_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test split
+    (curation.train_split, 90/5/5): stable under corpus growth and
+    re-runs because assignment depends only on md5(doc_id) — the
+    split-leakage-proof scheme an LM data pipeline needs (a random
+    split reassigns docs every run). Map-only."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation.train_split(docs)
+CURATE_TRAIN_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                    1, 15)) AS BIGINT) % 100 AS INTEGER) AS bucket
+  FROM documents
+)
+SELECT doc_id, source, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""

@@ -963,3 +963,84 @@ SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
        CAST(c.n_active AS DOUBLE) / b.cohort_size AS retention
 FROM cnt c JOIN base b USING (cohort_week)
 """
+_KCORE_K, _KCORE_ROUNDS = 28, 4
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (graph.kcore, k=28, 4 rounds) over the
+    customer—supplier graph: round 1 peels every customer with fewer
+    than 28 distinct suppliers (~30% of customers at sf0.01), later
+    rounds propagate the cascade and no-op once the peel reaches
+    fixpoint — `rounds` is the literal contract (pagerank_int's iters
+    convention) so the oracle unrolls the identical round count
+    regardless of where a given corpus converges."""
+    return graph.kcore(
+        _cust_supp_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+_KCORE_STEP = """
+kd{i} AS (SELECT src, count(*) AS deg FROM k{j} GROUP BY 1),
+kn{i} AS (SELECT src FROM kd{i} WHERE deg >= {k}),
+k{i} AS (
+  SELECT e.src, e.dst FROM k{j} e
+  JOIN kn{i} a ON e.src = a.src
+  JOIN kn{i} b ON e.dst = b.src
+)"""
+GRAPH_KCORE_SQL = (
+    f"WITH {_GRAPH_EDGE_CTE},\nk0 AS (SELECT src, dst FROM und),"
+    + ",".join(
+        _KCORE_STEP.format(i=i, j=i - 1, k=_KCORE_K)
+        for i in range(1, _KCORE_ROUNDS + 1)
+    )
+    + f"""
+SELECT src AS node, count(*) AS deg FROM k{_KCORE_ROUNDS} GROUP BY 1
+"""
+)
+def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer personalized PageRank (graph.ppr_int, 3 iterations,
+    damping 0.85) with teleport restricted to the suppkey%10==1 supplier
+    seeds — 'which entities matter relative to THESE' KG relevance
+    scoring. Same engine-exact integral-div contract as graph_pagerank;
+    the oracle unrolls identical iterations with the seed-gated teleport
+    term."""
+    edges = _cust_supp_edges(spark, sf_dir)
+    seeds = (
+        edges.select("src")
+        .where(
+            F.col("src").startswith("s")
+            & (F.substring("src", 2, 100).cast("long") % 10 == 1)
+        )
+        .distinct()
+    )
+    return graph.ppr_int(edges, seeds, iters=3)
+_PPR_ITER = """
+s{i} AS (
+  SELECT e.dst AS node, sum(r{j}.r // r{j}.deg) AS s
+  FROM und e JOIN r{j} ON e.src = r{j}.src GROUP BY e.dst
+),
+r{i} AS (
+  SELECT d.src,
+         CAST((CASE WHEN d.is_seed THEN 150000000000 ELSE 0 END)
+              + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r,
+         d.deg, d.is_seed
+  FROM degf d LEFT JOIN s{i} ON d.src = s{i}.node
+)"""
+GRAPH_PPR_SQL = (
+    f"""
+WITH {_GRAPH_EDGE_CTE},
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+seeds AS (
+  SELECT DISTINCT src FROM und
+  WHERE src LIKE 's%' AND CAST(substr(src, 2) AS BIGINT) % 10 = 1
+),
+degf AS (
+  SELECT d.src, d.deg, s.src IS NOT NULL AS is_seed
+  FROM deg d LEFT JOIN seeds s ON d.src = s.src
+),
+r0 AS (
+  SELECT src, CAST(CASE WHEN is_seed THEN 1000000000000 ELSE 0 END AS BIGINT) AS r,
+         deg, is_seed
+  FROM degf
+),"""
+    + ",".join(_PPR_ITER.format(i=i, j=i - 1) for i in (1, 2, 3))
+    + """
+SELECT src AS node, r AS rank FROM r3
+"""
+)

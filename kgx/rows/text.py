@@ -462,3 +462,64 @@ SELECT a.id, a.tok_idx, a.original, a.action,
             ELSE a.original END AS model_input
 FROM act a LEFT JOIN ranks r ON a.rrnk = r.rnk
 """
+_SC_PCT = 15
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pretraining pairs (textops.span_corruption):
+    ~15% of tokens masked by md5 rank arithmetic, masked runs collapsed
+    to <extra_id_k> sentinels in the input, sentinel-prefixed spans as
+    the target. Fully deterministic, so the oracle derives byte-identical
+    (input_text, target_text) examples with the same two windows + one
+    conditional list aggregation."""
+    return textops.span_corruption(
+        _t(spark, sf_dir, "documents"), mask_pct=_SC_PCT
+    )
+TEXT_SPAN_CORRUPTION_SQL = f"""
+WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM t0
+),
+m AS (
+  SELECT *,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                CAST(pos AS VARCHAR) || ':sc'), 1, 15)) AS BIGINT) % 100)
+           < {_SC_PCT} AS masked
+  FROM tok
+),
+runs AS (
+  SELECT *,
+         masked AND NOT coalesce(
+           lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), false)
+           AS is_start
+  FROM m
+),
+sids AS (
+  SELECT *,
+         sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS sid
+  FROM runs
+),
+pieces AS (
+  SELECT doc_id, pos, sid, masked,
+         CASE WHEN NOT masked THEN tok
+              WHEN is_start THEN '<extra_id_' || CAST(sid AS VARCHAR) || '>'
+         END AS in_piece,
+         CASE WHEN masked THEN
+           CASE WHEN is_start
+                THEN '<extra_id_' || CAST(sid AS VARCHAR) || '> ' || tok
+                ELSE tok END
+         END AS tgt_piece
+  FROM sids
+)
+SELECT doc_id,
+       coalesce(array_to_string(list(in_piece ORDER BY pos)
+                       FILTER (WHERE in_piece IS NOT NULL), ' '), '')
+         AS input_text,
+       coalesce(array_to_string(list(tgt_piece ORDER BY pos)
+                       FILTER (WHERE tgt_piece IS NOT NULL), ' '), '')
+         AS target_text,
+       CAST(max(sid) + 1 AS INTEGER) AS n_spans,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+FROM pieces GROUP BY 1
+"""

@@ -758,3 +758,84 @@ def mlm_mask(
     )
     out._kgx_persisted = [ranks]
     return out
+
+
+def span_corruption(
+    docs: DataFrame,
+    mask_pct: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): mask ~mask_pct% of
+    a document's tokens, collapse each masked RUN to one `<extra_id_k>`
+    sentinel in the input, and emit the masked spans (each prefixed by
+    its sentinel) as the target — the denoising pretraining pair shape.
+
+    Every mask decision is md5 rank arithmetic over (doc, token position)
+    — no RNG — so the corpus is reproducible run-to-run and a SQL oracle
+    derives the identical examples. Run/sentinel structure comes from two
+    window functions over the per-document token order (lag for run
+    starts, running sum for sentinel ids — one exchange, both windows
+    share the (doc) partitioning), then ONE groupBy(doc) reassembles
+    input and target via conditional collect_list (NULL pieces drop out).
+    State per document is bounded by its own token count; nothing global.
+
+    Returns (id, input_text, target_text, n_spans, n_masked).
+    """
+    from kgx.dedup import md5_hash60
+
+    tok = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).withColumn(
+        "masked",
+        (
+            md5_hash60(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.col("pos").cast("string"),
+                    F.lit("sc"),
+                )
+            )
+            % 100
+            < mask_pct
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = tok.withColumn(
+        "is_start",
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+    ).withColumn(
+        "sid", F.sum(F.col("is_start").cast("int")).over(w) - F.lit(1)
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), F.col("sid"), F.lit(">"))
+    in_piece = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("is_start"), sentinel)
+    )
+    tgt_piece = F.when(
+        F.col("masked"),
+        F.when(F.col("is_start"), F.concat(sentinel, F.lit(" "), F.col("tok")))
+        .otherwise(F.col("tok")),
+    )
+
+    def _join(piece):
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(piece.isNotNull(), F.struct(F.col("pos"), piece.alias("p")))
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+        )
+
+    return runs.groupBy(id_col).agg(
+        _join(in_piece).alias("input_text"),
+        _join(tgt_piece).alias("target_text"),
+        (F.max("sid") + 1).cast("int").alias("n_spans"),
+        F.sum(F.col("masked").cast("int")).alias("n_masked"),
+    )

@@ -1,6 +1,8 @@
-"""Round-5c tests: late-round operator batch — landmark BFS distances,
+"""Round-5c tests: late-round operator batches — landmark BFS distances,
 tool-transition matrix, NSP pairs, histogram quantile sketch (merge ==
-single pass), soft-dedup sampling weights, weekly cohort retention."""
+single pass), soft-dedup sampling weights, weekly cohort retention,
+k-core peeling, personalized PageRank, boilerplate removal, hash-bucket
+train split, T5 span corruption."""
 
 from __future__ import annotations
 
@@ -177,3 +179,145 @@ def test_cohort_retention_offsets_and_rates(spark):
     # mid-week event truncates to its ISO Monday; cohort key is a string
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(got) == 4
+
+
+# ------------------------------------------------------------ k-core ----
+
+
+def test_kcore_peels_cascade_to_fixpoint(spark):
+    # triangle a-b-c (2-core) with pendant chain c-d-e: d and e peel in
+    # two cascading rounds under k=2
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    got = {r.node: r.deg for r in graph.kcore(edges, k=2, rounds=4).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_extra_rounds_are_noops(spark):
+    und = [("a", "b"), ("b", "c"), ("a", "c")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    two = {(r.node, r.deg) for r in graph.kcore(edges, 2, rounds=2).collect()}
+    six = {(r.node, r.deg) for r in graph.kcore(edges, 2, rounds=6).collect()}
+    assert two == six
+
+
+# -------------------------------------------------------------- PPR ----
+
+
+def test_ppr_teleports_only_to_seeds(spark):
+    und = [("s1", "a"), ("s1", "b"), ("x", "a"), ("x", "b")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("s1",)], "src string")
+    ranks = {r.node: r.rank for r in graph.ppr_int(edges, seeds, iters=3).collect()}
+    # symmetric roles of s1 and x in the graph, but only s1 teleports:
+    # s1 must strictly dominate x, and mass flows through a/b
+    assert ranks["s1"] > ranks["x"]
+    assert ranks["a"] == ranks["b"] > 0
+    # non-seed with no inbound seed mass after 3 iters would be 0; here
+    # everything is reachable so all ranks positive except none
+    assert all(v >= 0 for v in ranks.values())
+
+
+def test_ppr_reduces_to_pagerank_when_all_seeded(spark):
+    und = [("a", "b"), ("b", "c")]
+    edges = spark.createDataFrame(
+        und + [(y, x) for x, y in und], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",), ("b",), ("c",)], "src string")
+    pr = {r.node: r.rank for r in graph.pagerank_int(edges, iters=3).collect()}
+    ppr = {r.node: r.rank for r in graph.ppr_int(edges, seeds, iters=3).collect()}
+    assert pr == ppr
+
+
+# ------------------------------------------------------ boilerplate ----
+
+
+def test_boilerplate_removal_strips_high_df_sentences(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha. COMMON FOOTER. more alpha"),
+            (2, "beta text. common footer"),
+            (3, "gamma. Common Footer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in curation.boilerplate_removal(docs, max_df=2).collect()
+    }
+    # footer appears in 3 docs > max_df, normalized case-insensitively
+    assert got[1].clean_text == "unique alpha. more alpha"
+    assert got[1].n_kept == 2 and got[1].n_removed == 1
+    assert got[2].clean_text == "beta text"
+    # a doc that is ALL boilerplate survives with empty text
+    all_bp = spark.createDataFrame(
+        [(i, "same. same") for i in range(5)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in curation.boilerplate_removal(all_bp, max_df=2).collect()}
+    assert out[0].clean_text == "" and out[0].n_kept == 0
+
+
+# ------------------------------------------------------ train split ----
+
+
+def test_train_split_deterministic_and_proportioned(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    a = {r.doc_id: r.split for r in curation.train_split(docs).collect()}
+    b = {r.doc_id: r.split for r in curation.train_split(docs).collect()}
+    assert a == b  # stable across runs
+    frac = {s: sum(1 for v in a.values() if v == s) / 2000 for s in set(a.values())}
+    assert abs(frac["train"] - 0.90) < 0.03
+    assert abs(frac["val"] - 0.05) < 0.02 and abs(frac["test"] - 0.05) < 0.02
+    # growth stability: adding docs never reassigns existing ones
+    docs2 = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    c = {r.doc_id: r.split for r in curation.train_split(docs2).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+# -------------------------------------------------- span corruption ----
+
+
+def test_span_corruption_structure(spark):
+    from kgx import textops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = textops.span_corruption(docs, mask_pct=15).collect()
+    for r in out:
+        toks = r.input_text.split(" ")
+        sentinels = [t for t in toks if t.startswith("<extra_id_")]
+        # sentinels appear in order 0..n_spans-1, exactly once each
+        assert sentinels == [f"<extra_id_{k}>" for k in range(r.n_spans)]
+        # target contains every sentinel exactly once, in order
+        if r.n_spans:
+            tgt = r.target_text.split(" ")
+            tgt_sent = [t for t in tgt if t.startswith("<extra_id_")]
+            assert tgt_sent == sentinels
+            # masked token count consistency: target tokens minus sentinels
+            assert len(tgt) - len(tgt_sent) == r.n_masked
+        else:
+            assert r.target_text == ""
+        # reconstruction: replacing each sentinel in the input with its
+        # span from the target restores the original document
+        spans = {}
+        cur = None
+        for t in r.target_text.split(" ") if r.n_spans else []:
+            if t.startswith("<extra_id_"):
+                cur = t
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        rebuilt = []
+        for t in toks:
+            rebuilt.extend(spans[t] if t in spans else [t])
+        assert rebuilt == [f"w{j}" for j in range(40)]
