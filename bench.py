@@ -92,6 +92,8 @@ HEADLINE = [
     "curate_boilerplate",
     "curate_train_split",
     "text_span_corruption",
+    "curate_url_normalize",
+    "events_props_stats",
 ]
 
 

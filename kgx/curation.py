@@ -590,3 +590,40 @@ def train_split(
         .when(F.col("bucket") < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-pipeline URL canonicalization: lowercase scheme+host, strip
+    the fragment, drop tracking parameters (utm_*), and sort the
+    remaining query parameters — the normalization pass that makes
+    URL-keyed dedup/grouping see 'the same page' through superficial
+    variants (case, param order, utm tags, #anchors).
+
+    Pure expression arithmetic (regexp for the structural split, array
+    ops for the param set), map-only — no shuffle, no UDF — so it runs
+    at scan speed on 10^12 rows and a SQL oracle reproduces every byte.
+    Returns the input plus `url_norm`.
+
+    Contract: absolute http(s) URLs; params are compared as raw
+    key=value strings (no percent-decoding — decoding changes identity
+    and belongs to a fetch layer, not dedup); empty query after utm
+    stripping drops the '?'.
+    """
+    no_frag = F.regexp_replace(F.col(url_col), r"#.*$", "")
+    head = F.regexp_extract(no_frag, r"^([^?]*)", 1)
+    query = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    scheme_host = F.lower(F.regexp_extract(head, r"(?i)^(https?://[^/]*)", 1))
+    path = F.regexp_replace(head, r"(?i)^https?://[^/]*", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    norm = F.concat(
+        scheme_host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn("url_norm", norm)

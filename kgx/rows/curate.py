@@ -491,3 +491,56 @@ SELECT doc_id, source, bucket,
             ELSE 'test' END AS split
 FROM b
 """
+def curate_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization (curation.url_normalize): deterministic
+    synthetic URLs over documents exercise every rule — mixed-case
+    scheme/host (lowered), path case (preserved), utm_* tracking params
+    (dropped), param order (sorted), fragments (stripped), and the
+    empty-query collapse. Map-only; the oracle reproduces each regexp and
+    list op byte-for-byte."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Example"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".COM/Page/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&b=2&a=1#frag"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("#top")),
+        ).alias("url"),
+    )
+    return curation.url_normalize(docs)
+CURATE_URL_NORM_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || CAST(doc_id % 20 AS VARCHAR) ||
+         '.COM/Page/' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1#frag'
+              WHEN doc_id % 3 = 1 THEN '?a=1&b=2'
+              ELSE '#top' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '^([^?]*)', 1) AS head,
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1) AS query
+  FROM src
+),
+norm AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(head, '(?i)^(https?://[^/]*)', 1)) AS scheme_host,
+         regexp_replace(head, '(?i)^https?://[^/]*', '') AS path,
+         array_to_string(
+           list_sort(list_filter(string_split(query, '&'),
+                                 p -> p <> '' AND NOT starts_with(p, 'utm_'))),
+           '&') AS sorted_q
+  FROM parts
+)
+SELECT doc_id, url,
+       scheme_host || path ||
+       CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END AS url_norm
+FROM norm
+"""

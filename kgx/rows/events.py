@@ -1044,3 +1044,40 @@ r0 AS (
 SELECT src AS node, r AS rank FROM r3
 """
 )
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the numeric `k` field out of the
+    events JSON `props` column (get_json_object — JVM-side JSON path, no
+    UDF) and profile it per event_type. Sums stay exact BIGINTs; the mean
+    is ONE IEEE division, so the row is engine-exact against DuckDB's
+    json_extract_string. The parse is map-side and pushes the scan to
+    (event_type, props) only — the pattern for typed views over raw
+    crawl/log JSON at 100 TB without a pre-flattening pass."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .withColumn("mean_k", F.col("sum_k").cast("double") / F.col("n"))
+    )
+EVENTS_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(*) AS mean_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""

@@ -543,3 +543,90 @@ def stream_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+def stream_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of kg_tool_transitions (applyInPandasWithState,
+    kgx.streaming.transitions_stream): the same multi-turn fold with the
+    same md5-derived tool column, fed through a file source with turns
+    deliberately OUT OF ORDER across micro-batches (odd turns a batch
+    before even turns — every bigram spans the boundary or arrives
+    reversed). Conversations buffer (turn_idx, tool) in keyed state and
+    emit their adjacent-turn bigrams when the watermark closes them; the
+    corpus-wide matrix (counts + row-normalized p) is a batch aggregation
+    over the sink. Close-time emission makes the result equal the batch
+    operator's, so this stream shares KG_TOOL_TRANSITIONS_SQL verbatim —
+    a full value-hash-checked stateful stream."""
+    import glob as _glob
+    import os as _os
+
+    from kgx.dedup import md5_hash60
+    from kgx.streaming import transitions_stream
+
+    base = _stream_workdir("toolt")
+    src, out, ckpt = (_os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    _os.makedirs(src)
+
+    from kgx.rows.kg import _TT_TOOLS
+
+    docs = _t(spark, sf_dir, "documents")
+    pick = (
+        md5_hash60(
+            F.concat_ws(
+                ":",
+                (F.col("doc_id") % 50).cast("string"),
+                F.floor(F.col("doc_id") / 50).cast("int").cast("string"),
+                F.lit("tool"),
+            )
+        )
+        % F.lit(len(_TT_TOOLS))
+        + 1
+    ).cast("int")
+    tr = docs.select(
+        (F.col("doc_id") % 50).cast("string").alias("conv_id"),
+        F.floor(F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.element_at(F.array(*[F.lit(t) for t in _TT_TOOLS]), pick).alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    tr.filter(F.col("turn_idx") % 2 == 1).coalesce(1).write.parquet(f"{src}/p0")
+    tr.filter(F.col("turn_idx") % 2 == 0).coalesce(1).write.parquet(f"{src}/p1")
+
+    def sentinel(name: str, ts: str) -> None:
+        spark.createDataFrame(
+            [(name, 0, None, ts)],
+            "conv_id string, turn_idx int, tool string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(
+            f"{src}/{name}"
+        )
+
+    sentinel("__s1", "2025-01-02 00:00:00")
+    sentinel("__s2", "2025-01-03 00:00:00")
+    for i, name in enumerate(("p0", "p1", "__s1", "__s2")):
+        for f in _glob.glob(f"{src}/{name}/*"):
+            _os.utime(f, (1000 + i, 1000 + i))
+
+    source = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    rows = transitions_stream.transition_conversations(source, gap="10 minutes")
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    bigrams = spark.read.parquet(out).filter(~F.col("conv_id").startswith("__"))
+    cnt = bigrams.groupBy("tool", "next_tool").agg(F.count("*").alias("n"))
+    per_tool = Window.partitionBy("tool")
+    return cnt.select(
+        "tool",
+        "next_tool",
+        "n",
+        F.sum("n").over(per_tool).alias("row_total"),
+        (F.col("n").cast("double") / F.sum("n").over(per_tool)).alias("p"),
+    )

@@ -321,3 +321,43 @@ def test_span_corruption_structure(spark):
         for t in toks:
             rebuilt.extend(spans[t] if t in spans else [t])
         assert rebuilt == [f"w{j}" for j in range(40)]
+
+
+# ------------------------------------------------------ URL normalize ----
+
+
+def test_url_normalize_rules(spark):
+    urls = [
+        (1, "HTTPS://WWW.Site.COM/Page/One?utm_source=x&b=2&a=1#frag"),
+        (2, "http://site.com/p"),
+        (3, "https://Site.com/p?utm_campaign=c&utm_source=s"),
+        (4, "https://site.com/CaseKeptPath?z=9&a=1"),
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {r.id: r.url_norm for r in curation.url_normalize(df).collect()}
+    # host lowered, path case preserved, utm dropped, params sorted,
+    # fragment stripped
+    assert got[1] == "https://www.site.com/Page/One?a=1&b=2"
+    assert got[2] == "http://site.com/p"
+    # all params were tracking -> '?' collapses away
+    assert got[3] == "https://site.com/p"
+    assert got[4] == "https://site.com/CaseKeptPath?a=1&z=9"
+
+
+# ------------------------------------------------- streaming bigrams ----
+
+
+def test_stream_bigram_rows_batch_parity():
+    # pure-Python kernel parity: duplicates resolve min-tool, NULLs break
+    # bigrams, order restored from turn_idx
+    from kgx.streaming.transitions_stream import _bigram_rows
+
+    out = _bigram_rows(
+        "c1",
+        [2, 0, 1, 1, 3],
+        ["code", "search", "zz", "browse", ""],
+    )
+    got = list(zip(out["turn_idx"], out["tool"], out["next_tool"]))
+    # turn 1 dup resolves to 'browse' (min); turn 3 NULL-tool breaks the
+    # (2,3) bigram
+    assert got == [(0, "search", "browse"), (1, "browse", "code")]
