@@ -94,6 +94,10 @@ HEADLINE = [
     "text_span_corruption",
     "curate_url_normalize",
     "events_props_stats",
+    # new in round 5 closing batch
+    "graph_label_propagation",
+    "curate_dsir_weights",
+    "text_pmi_collocations",
 ]
 
 
@@ -745,10 +749,29 @@ def main() -> None:
     }
     if skew:
         payload["skew"] = skew
+    pooled_healthy = None
     if scaling:
         payload["scaling"] = scaling
         history = _append_scaling_history(scaling)
         write_baseline_md(scaling, sf, history)
+        # Instrument-screened cross-run estimate: median over every
+        # capacity-gate-healthy pair across ALL recorded runs (the screen
+        # is pre-registered on the capacity probes, never on the
+        # efficiency value — see _history_summary_md). This rides in the
+        # headline so a driver run that lands in a degraded co-tenant
+        # window still carries the screened engine number next to the
+        # raw in-window one.
+        pooled = [
+            e
+            for h in history
+            for e in (h.get("healthy_pair_efficiencies") or [])
+        ]
+        if pooled:
+            pooled_healthy = {
+                "value": round(statistics.median(pooled), 3),
+                "n_pairs": len(pooled),
+            }
+        payload["scaling_eff_screened_cross_run"] = pooled_healthy
     # Full detail (per-pass lists, skew probe, scaling trials) goes to the
     # BENCH/ file; the FINAL stdout line is a compact headline the driver can
     # capture whole. Round 4's driver record came back `parsed: null` because
@@ -771,6 +794,8 @@ def main() -> None:
         headline["scaling_eff_healthy_pairs"] = scaling.get(
             "scaling_efficiency_healthy_pairs"
         )
+        if pooled_healthy:
+            headline["scaling_eff_screened_cross_run"] = pooled_healthy["value"]
         headline["triples_per_sec_4n"] = scaling.get("local4N", {}).get(
             "triples_per_sec"
         )

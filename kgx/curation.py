@@ -627,3 +627,86 @@ def url_normalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         ),
     )
     return df.withColumn("url_norm", norm)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Data Selection with Importance Resampling weights (Xie et al.
+    2023, DSIR): score every document in a raw pool by how much it looks
+    like a small TARGET domain, using hashed-unigram bag-of-words
+    importance ratios — the corpus-reweighting pass an LM pretraining
+    pipeline runs to up-sample quality domains without training a
+    classifier (reference analogue: none — the reference scores
+    documents only against its KB; domain-targeted selection is part of
+    the training-data surface this engine adds).
+
+    Engine-exact contract (the whole point of the hashed formulation):
+      bucket(w)  = md5_hash60(w) % n_buckets            (cross-engine md5)
+      p_t(b)     = (c_t(b)+1) / (T_t+V)   add-1 smoothed target unigram LM
+      p_r(b)     = (c_r(b)+1) / (T_r+V)   same over the full raw pool
+      weight(d)  = mean over tokens of p_t(bucket)/p_r(bucket)
+
+    This is the log-free variant: the per-doc score is the ARITHMETIC
+    mean of per-token importance ratios rather than DSIR's mean log —
+    the same selection pressure, chosen because summing doubles across
+    rows is row-order-dependent between engines while integer numerators
+    are exact. Each per-token ratio is quantized to 1e-6 by one integral
+    division ((tf*(c_t+1)*scale) div (c_r+1), all BIGINTs) so the sum is
+    associative and bit-identical in any engine; the corpus-constant
+    factor (T_r+V)/(T_t+V) and the 1/(n_tokens*scale) normalizer apply
+    in ONE final IEEE double division.
+
+    Shape: token explode → (doc, bucket) counts with map-side partials;
+    the bucket LM dim is exactly n_buckets rows (broadcast — at 100 TB
+    the model side stays KB-sized no matter the corpus), totals are one
+    broadcast row, and the only data-sized shuffle is the per-doc term
+    sum keyed on the document id. Returns (id, n_tokens, score_num_q,
+    dsir_weight).
+    """
+    from kgx.dedup import md5_hash60
+    from kgx.textops import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).alias("is_t"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    ).select(
+        "id", "is_t", (md5_hash60(F.col("w")) % n_buckets).cast("int").alias("b")
+    )
+    tf = tok.groupBy("id", "is_t", "b").agg(F.count("*").alias("tf"))
+    dim = tf.groupBy("b").agg(
+        F.sum("tf").alias("c_r"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias("c_t"),
+    ).persist()
+    totals = dim.agg(
+        F.sum("c_r").cast("long").alias("t_r"), F.sum("c_t").cast("long").alias("t_t")
+    )
+    terms = tf.join(F.broadcast(dim), "b").select(
+        "id",
+        "tf",
+        F.expr(
+            f"(tf * (c_t + 1) * CAST({scale} AS BIGINT)) div (c_r + 1)"
+        ).alias("term"),
+    )
+    per_doc = terms.groupBy("id").agg(
+        F.sum("term").cast("long").alias("score_num_q"),
+        F.sum("tf").cast("long").alias("n_tokens"),
+    )
+    out = per_doc.crossJoin(F.broadcast(totals)).select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "score_num_q",
+        F.expr(
+            f"CAST(score_num_q * (t_r + {n_buckets}) AS DOUBLE)"
+            f" / CAST(n_tokens * CAST({scale} AS BIGINT) * (t_t + {n_buckets})"
+            " AS DOUBLE)"
+        ).alias("dsir_weight"),
+    )
+    out._kgx_persisted = [dim]
+    return out

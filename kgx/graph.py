@@ -745,3 +745,61 @@ def ppr_int(
     out = ranks.select(F.col("src").alias("node"), F.col("r").alias("rank"))
     out._kgx_persisted = [edges, deg]
     return out
+
+
+def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    symmetric edge list — the linear-time community detector a KG builder
+    runs after canonicalization to group densely-linked entities (topic
+    clusters, coordinated-source groups). Completes the graph family
+    next to cc_canonicalize (min-label connected components): LPA's MODE
+    rule finds dense communities INSIDE one component, which
+    min-propagation by construction cannot.
+
+    Deterministic contract (engine-exact, no randomness):
+      label0(v)   = v
+      label_t+1(v)= the label most frequent among v's neighbors at t;
+                    ties break to the SMALLEST label (classic LPA breaks
+                    ties randomly — here the tie-break is total, so a SQL
+                    oracle unrolls the identical rounds).
+    `rounds` is a literal contract exactly like pagerank_int's `iters`
+    and kcore's `rounds`: synchronous LPA oscillates on bipartite
+    structure rather than converging, so bounded-round semantics are the
+    honest fixpoint-free definition (GraphX's LabelPropagation documents
+    the same caveat and runs a fixed maxSteps).
+
+    Shape per round: one shuffle joining neighbor labels (edges hashed on
+    dst, labels on node) + one (node, label) count groupBy with map-side
+    partials + one per-node arg-max window over the counted frame —
+    never over raw neighbor rows. Labels persisted per round; O(rounds)
+    jobs, O(|E|) rows moved per round, reducer state bounded by a node's
+    DISTINCT neighbor-label count.
+
+    RELEASE OBLIGATION: per-round label frames ride on
+    ``result._kgx_persisted``; the caller unpersists after consuming.
+    """
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    persisted = [labels]
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counted = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .persist()
+        )
+        persisted.append(labels)
+    out = labels.select("node", F.col("label").alias("community"))
+    out._kgx_persisted = persisted
+    return out

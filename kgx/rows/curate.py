@@ -544,3 +544,59 @@ SELECT doc_id, url,
        CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END AS url_norm
 FROM norm
 """
+_DSIR_TARGET = ("src0", "src1", "src2", "src3")
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (curation.dsir_weights, Xie et al. 2023):
+    every document in the raw pool scored by hashed-unigram importance
+    ratio against a target domain — here sources src0..src3 (20% of the
+    corpus) stand in for the quality domain, so the weights measure
+    "how src0-3-like is this document" with add-1-smoothed 1024-bucket
+    LMs. Log-free mean-of-ratios variant with per-token 1e-6 integral
+    quantization (see the operator docstring for the exact contract the
+    oracle reproduces term-for-term); bucket LMs broadcast (1024 rows),
+    the only data-sized shuffle keys on doc_id."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_target"),
+    )
+    return curation.dsir_weights(docs)
+CURATE_DSIR_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_t,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+bk AS (
+  SELECT doc_id, is_t,
+         CAST(CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 1024
+              AS INTEGER) AS b
+  FROM tok
+),
+tf AS (SELECT doc_id, is_t, b, count(*) AS tf FROM bk GROUP BY 1, 2, 3),
+dim AS (
+  SELECT b, CAST(sum(tf) AS BIGINT) AS c_r,
+         CAST(sum(CASE WHEN is_t THEN tf ELSE 0 END) AS BIGINT) AS c_t
+  FROM tf GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS t_r, CAST(sum(c_t) AS BIGINT) AS t_t
+  FROM dim
+),
+terms AS (
+  SELECT doc_id, tf.tf,
+         (tf.tf * (d.c_t + 1) * 1000000) // (d.c_r + 1) AS term
+  FROM tf JOIN dim d USING (b)
+),
+pd AS (
+  SELECT doc_id, CAST(sum(term) AS BIGINT) AS score_num_q,
+         CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM terms GROUP BY 1
+)
+SELECT doc_id, n_tokens, score_num_q,
+       CAST(score_num_q * (t_r + 1024) AS DOUBLE)
+         / CAST(n_tokens * 1000000 * (t_t + 1024) AS DOUBLE) AS dsir_weight
+FROM pd, tot
+"""

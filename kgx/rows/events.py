@@ -1081,3 +1081,40 @@ FROM (
 WHERE k IS NOT NULL
 GROUP BY event_type
 """
+_LPA_ROUNDS = 2
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (graph.label_propagation,
+    2 rounds) over the customer—supplier graph — the community detector
+    that groups densely-linked entities after canonicalization. Round 1
+    degenerates to min-neighbor-id (every initial label is distinct, so
+    all neighbor-label counts tie at 1 and the smallest-label tie-break
+    decides); round 2 exercises the real MODE rule over the collapsed
+    round-1 labels — the mode-vs-min divergence is additionally pinned on
+    a toy graph by the unit test. `rounds` is a literal contract
+    (pagerank_int's iters convention): synchronous LPA oscillates on
+    bipartite structure rather than converging, so the oracle unrolls the
+    identical two rounds."""
+    return graph.label_propagation(
+        _cust_supp_edges(spark, sf_dir), rounds=_LPA_ROUNDS
+    )
+GRAPH_LPA_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+n1 AS (
+  SELECT e.src AS node, l.label, count(*) AS cnt
+  FROM und e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2
+),
+l1 AS (
+  SELECT node, label FROM n1
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+),
+n2 AS (
+  SELECT e.src AS node, l.label, count(*) AS cnt
+  FROM und e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, label FROM n2
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+)
+SELECT node, label AS community FROM l2
+"""

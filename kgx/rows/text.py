@@ -523,3 +523,37 @@ SELECT doc_id,
        CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
 FROM pieces GROUP BY 1
 """
+_PMI_MIN_COUNT = 5
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocations (textops.pmi_collocations, min pair count 5):
+    association-ranked adjacent bigrams for phrase mining — multi-word KG
+    node candidates and tokenizer merge seeds. Emits the exact PMI lift
+    (one integer ratio + one IEEE division; log is monotone so ranking is
+    identical). Bigrams form map-only in-row via transform over the token
+    array; the oracle builds the same pairs with a positional self-join."""
+    return textops.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=_PMI_MIN_COUNT
+    )
+TEXT_PMI_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM t
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1),
+tu AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM uni),
+bg AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count FROM bg GROUP BY 1, 2),
+tb AS (SELECT CAST(sum(pair_count) AS BIGINT) AS t_big FROM bc)
+SELECT w1, w2, pair_count, u1.c AS c1, u2.c AS c2,
+       CAST(pair_count * t_uni * t_uni AS DOUBLE)
+         / CAST(t_big * u1.c * u2.c AS DOUBLE) AS pmi_lift
+FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, tu, tb
+WHERE pair_count >= 5
+"""

@@ -839,3 +839,85 @@ def span_corruption(
         (F.max("sid") + 1).cast("int").alias("n_spans"),
         F.sum(F.col("masked").cast("int")).alias("n_masked"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks 1990)
+    over adjacent token bigrams — the phrase-mining pass that promotes
+    multi-word surface forms ("new york", "machine learning") into KG
+    node candidates and tokenizer merge seeds. Distinct from
+    text_bpe_pairs (raw adjacent-pair frequency for merge selection):
+    PMI normalizes each pair by BOTH unigram margins, so it ranks
+    association strength, not frequency.
+
+    Engine-exact contract: emits the PMI *lift* (the log's argument —
+    log is monotone, so ranking and thresholding are identical and the
+    value stays one exact integer ratio + one IEEE division):
+
+      lift(w1,w2) = P(w1,w2) / (P(w1)P(w2))
+                  = (c12 * T_uni^2) / (T_big * c1 * c2)
+
+    with c12 the bigram count over all in-doc adjacent pairs, c1/c2
+    unigram counts, T_uni total tokens, T_big total bigrams. The
+    numerator/denominator products stay in BIGINT up to corpora of a few
+    billion tokens (c12*T_uni^2 < 2^63); past that, widen to
+    DECIMAL(38,0) on both engines.
+
+    Shape: bigrams are built map-only in-row (transform over the token
+    array — no positional self-join, no shuffle to form pairs); then one
+    (w1,w2) count groupBy with map-side partials, two margin joins keyed
+    on the token (shuffle joins — the vocabulary is corpus-sized at web
+    scale; AQE broadcasts them when small), and the two scalar totals
+    ride in as broadcast single-row frames. The bigram count frame is
+    persisted once and feeds both T_big and the output.
+
+    RELEASE OBLIGATION: ``result._kgx_persisted`` carries the persisted
+    bigram-count frame; the caller unpersists after consuming.
+    """
+    base = docs.select(tokens(F.lower(F.col(text_col))).alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").cast("long").alias("t_uni"))
+    bc = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .persist()
+    )
+    t_big = bc.agg(F.sum("pair_count").cast("long").alias("t_big"))
+    out = (
+        bc.where(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_big))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "c1",
+            "c2",
+            F.expr(
+                "CAST(pair_count * t_uni * t_uni AS DOUBLE)"
+                " / CAST(t_big * c1 * c2 AS DOUBLE)"
+            ).alias("pmi_lift"),
+        )
+    )
+    out._kgx_persisted = [bc]
+    return out
