@@ -98,6 +98,8 @@ HEADLINE = [
     "graph_label_propagation",
     "curate_dsir_weights",
     "text_pmi_collocations",
+    "text_winnow_fingerprints",
+    "kg_fuzzy_alias_pairs",
 ]
 
 

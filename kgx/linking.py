@@ -195,3 +195,70 @@ def triple_type_check(
             ).alias("is_valid"),
         )
     )
+
+
+def fuzzy_alias_pairs(
+    vocab: DataFrame,
+    word_col: str = "w",
+    min_len: int = 3,
+) -> DataFrame:
+    """All pairs of distinct surface forms at Levenshtein distance
+    exactly 1 — the fuzzy-alias mining pass an entity-resolution stage
+    runs over entity name vocabularies to catch typos and near-variants
+    that exact gazetteer linking (j1) misses (reference analogue: the
+    reference matches names only by case-insensitive EXACT equality —
+    GlobalParameters.java:147-159 equalsIgnoreCase ladders; fuzzy
+    matching is part of the canonicalization surface this engine adds).
+
+    Candidate generation is the SymSpell deletion-neighborhood join
+    (Garbe's public symmetric-delete algorithm) rather than an all-pairs
+    or length-band scan: every word emits its own form plus each
+    single-character-deletion variant as join keys; two words at
+    distance <= 1 ALWAYS share a key (substitution at i -> both deletion
+    variants at i are equal; insertion/deletion -> one word IS the
+    other's deletion variant), so the blocking is sound and complete for
+    distance 1 — no recall loss, unlike first-letter or prefix blocking.
+    Candidates sharing a key at distance >= 2 (e.g. transpositions) are
+    removed by the exact levenshtein verify.
+
+    Shape: key explosion is map-only (length+1 keys per word — the
+    index is O(total chars), vocabulary-sized, never corpus-sized); the
+    self-join shuffles on the deletion key; pairs are DISTINCT'd before
+    the levenshtein verify so each pair is verified once no matter how
+    many keys it shares. Skew note: very short words produce short,
+    popular deletion keys — min_len (default 3, so keys are >= 2 chars)
+    bounds that, and AQE skew-join handles residual hot keys; at web
+    scale raise min_len or pre-salt the top key bucket. Words shorter
+    than min_len are excluded on BOTH engines (documented contract,
+    like temperature_sample's NULL-strata exclusion).
+
+    Returns (w1, w2, dist) with w1 < w2 lexicographically, dist == 1.
+    """
+    words = (
+        vocab.select(F.lower(F.col(word_col)).alias("w"))
+        .where(F.length("w") >= min_len)
+        .distinct()
+    )
+    keys = words.select(
+        "w",
+        F.explode(
+            F.array_union(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)),"
+                    " i -> concat(substring(w, 1, i - 1),"
+                    "             substring(w, i + 1, length(w))))"
+                ),
+            )
+        ).alias("dk"),
+    )
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), "dk")
+        .where(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+    )
+    return cand.where(F.levenshtein("w1", "w2") <= 1).withColumn(
+        "dist", F.levenshtein("w1", "w2").cast("int")
+    )

@@ -1603,3 +1603,25 @@ SELECT conv_id, turn_idx, sent_a, sent_b, label FROM pos
 UNION ALL
 SELECT conv_id, turn_idx, sent_a, sent_b, label FROM neg
 """
+def kg_fuzzy_alias_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy alias pairs (linking.fuzzy_alias_pairs): every pair of
+    distinct customer names at Levenshtein distance exactly 1 — the
+    typo/near-variant mining pass entity resolution runs before
+    canonicalization; exact gazetteer linking (j1) cannot see these.
+    Candidates come from the sound-and-complete SymSpell
+    deletion-neighborhood self-join (never all-pairs); the oracle IS the
+    all-pairs length-banded levenshtein scan, so the driver hash proves
+    the blocking lost nothing."""
+    return linking.fuzzy_alias_pairs(
+        _t(spark, sf_dir, "customer"), word_col="c_name"
+    )
+KG_FUZZY_ALIAS_SQL = r"""
+WITH v AS (
+  SELECT DISTINCT lower(c_name) AS w FROM customer WHERE length(c_name) >= 3
+)
+SELECT a.w AS w1, b.w AS w2,
+       CAST(levenshtein(a.w, b.w) AS INTEGER) AS dist
+FROM v a JOIN v b ON a.w < b.w
+WHERE abs(length(a.w) - length(b.w)) <= 1
+  AND levenshtein(a.w, b.w) <= 1
+"""

@@ -557,3 +557,36 @@ SELECT w1, w2, pair_count, u1.c AS c1, u2.c AS c2,
 FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, tu, tb
 WHERE pair_count >= 5
 """
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textops.winnow_fingerprints, k=4 w=5 —
+    MOSS's local document fingerprinting): distinct window-minimum
+    k-gram hashes per document; any >= w+k-1-token shared substring
+    between two docs is guaranteed a shared fingerprint. Spark side is
+    map-only (zero exchanges) — selection happens in-row with
+    transform/slice; the oracle reproduces the window minima with a
+    frame-clipped ROWS window over positional k-gram hash rows."""
+    return textops.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+TEXT_WINNOW_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, toks, generate_subscripts(toks, 1) AS i FROM t
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(toks[i:i+3], ' ')), 1, 15))
+              AS BIGINT) AS hv
+  FROM p
+  WHERE i <= len(toks) - 3
+),
+m AS (
+  SELECT doc_id, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM m WHERE pos <= greatest(n - 4, 1)
+"""

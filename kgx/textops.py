@@ -921,3 +921,66 @@ def pmi_collocations(
     )
     out._kgx_persisted = [bc]
     return out
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): from every sliding window of `w`
+    consecutive token-k-gram hashes, select the window MINIMUM; the
+    distinct selected hashes are the document's fingerprint set. The
+    guarantee that makes this the standard local fingerprinting scheme:
+    any shared substring of at least w+k-1 tokens between two documents
+    yields at least one shared fingerprint, while storage shrinks by
+    ~2/(w+1) versus keeping every k-gram. Complements the existing
+    fingerprint family: fp_exact/fp_bag (textops.fingerprint) are
+    whole-document keys, text_dup_substring keeps EVERY positional
+    shingle — winnowing is the tunable middle (near-dup candidate keys
+    with substring-level guarantees at a fraction of the index size).
+
+    Engine-exact contract (no randomness; min is the selection rule —
+    the paper's rightmost-tie refinement is unnecessary because we emit
+    the distinct hash SET, which tie choice cannot change):
+      grams_i = tokens[i..i+k-1] joined by ' ',  i = 0..n_tok-k
+      h_i     = md5_hash60(grams_i)              (cross-engine md5)
+      window_j = min(h_j..h_{j+w-1}),            j = 0..max(n_gram-w, 0)
+      output  = DISTINCT (id, fp) over all window minima
+    Documents with fewer than k tokens emit no rows (no k-gram exists);
+    documents with 1..w-1 k-grams emit the min over what exists (one
+    short window), matching the SQL oracle's frame-clipped ROWS window.
+
+    Shape: the operator is MAP-ONLY, zero exchanges — k-grams, hashes,
+    window minima, and the per-doc distinct set are all computed in-row
+    with transform/slice over the token array (no positional self-join,
+    no per-token shuffle; contrast text_dup_substring which must explode
+    because its consumers need cross-document positions). (id, fp) rows
+    are unique by construction (array_distinct before the explode), so
+    no global DISTINCT is needed. Per-row cost is O(n_gram * w)
+    comparisons inside codegen; for the default w=5 that is cheaper
+    than materializing a sort-based alternative.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.expr(
+        f"transform(sequence(0, size(toks) - {k}),"
+        f" i -> array_join(slice(toks, i + 1, {k}), ' '))"
+    )
+    hashes = F.expr(
+        "transform(grams,"
+        " g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS LONG))"
+    )
+    mins = F.expr(
+        f"transform(sequence(0, greatest(size(hs) - {w}, 0)),"
+        f" j -> array_min(slice(hs, j + 1, {w})))"
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("toks"))
+        .where(F.size("toks") >= k)
+        .select(F.col(id_col), grams.alias("grams"))
+        .select(F.col(id_col), hashes.alias("hs"))
+        .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+    )
