@@ -100,6 +100,8 @@ HEADLINE = [
     "text_pmi_collocations",
     "text_winnow_fingerprints",
     "kg_fuzzy_alias_pairs",
+    "graph_hits",
+    "text_rake_keywords",
 ]
 
 

@@ -803,3 +803,69 @@ def label_propagation(edges: DataFrame, rounds: int = 2) -> DataFrame:
     out = labels.select("node", F.col("label").alias("community"))
     out._kgx_persisted = persisted
     return out
+
+
+def hits_int(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list, exact unnormalized integer power iteration — pagerank_int's
+    reproducibility contract applied to the two mutually-recursive
+    scores (the reference has no graph analytics; this completes the
+    centrality family next to pagerank_int/ppr_int):
+
+      h_0(u) = 1
+      a_t(v) = Σ_{u→v} h_{t-1}(u)      (authority: endorsed by hubs)
+      h_t(u) = Σ_{u→v} a_t(v)          (hub: endorses authorities)
+
+    run for a LITERAL `iters` (classic HITS normalizes each step and
+    iterates to convergence; dropping the normalizer keeps every value a
+    BIGINT whose any-order integer sums are bit-identical in any engine,
+    and the RANKING each step is unchanged — normalization is a positive
+    scalar). Emitted: (node, hub, auth) = (h_iters, a_iters) over the
+    node universe src ∪ dst, missing sums coalesced to 0 (a pure source
+    has auth 0; a pure sink has hub 0). Magnitude grows like
+    (mean degree)^(2·iters): with iters=2 the values stay far inside
+    int64 up to ~10^4 mean degree; beyond that widen to DECIMAL(38,0)
+    on both engines (same note as pmi_collocations).
+
+    Shape per iteration: one join of the O(|V|) score table onto the
+    persisted edge list + one groupBy on the opposite endpoint — two
+    exchanges on node keys with map-side partial sums; AQE splits skewed
+    hubs. Score tables are persisted per step and released via
+    ``result._kgx_persisted`` (caller unpersists)."""
+    edges = edges.select("src", "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .persist()
+    )
+    persisted = [edges, nodes]
+    h = nodes.select("node", F.lit(1).cast("long").alias("s"))
+    a = None
+    for _ in range(iters):
+        a = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed("dst", "node")
+            .persist()
+        )
+        h = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").alias("s"))
+            .withColumnRenamed("src", "node")
+            .persist()
+        )
+        persisted.extend([a, h])
+    out = (
+        nodes.join(h.withColumnRenamed("s", "hub"), "node", "left")
+        .join(a.withColumnRenamed("s", "auth"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("auth", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+    out._kgx_persisted = persisted
+    return out

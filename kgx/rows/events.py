@@ -1118,3 +1118,53 @@ l2 AS (
 )
 SELECT node, label AS community FROM l2
 """
+_HITS_ITERS = 2
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (graph.hits_int, 2 iterations) over the
+    DIRECTED customer→supplier purchase graph — the bipartite case HITS
+    was designed for: customers are pure hubs (auth 0), suppliers pure
+    authorities (hub 0), and the scores couple through the shared edge
+    structure (a customer is a good hub iff it buys from well-endorsed
+    suppliers). Unnormalized exact-integer contract; the oracle unrolls
+    the identical two iterations as CTEs."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.hits_int(pairs, iters=_HITS_ITERS)
+GRAPH_HITS_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+a1 AS (
+  SELECT dst AS node, CAST(count(*) AS BIGINT) AS s
+  FROM e GROUP BY 1
+),
+h1 AS (
+  SELECT e.src AS node, CAST(sum(a1.s) AS BIGINT) AS s
+  FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1
+),
+a2 AS (
+  SELECT e.dst AS node, CAST(sum(h1.s) AS BIGINT) AS s
+  FROM e JOIN h1 ON e.src = h1.node GROUP BY 1
+),
+h2 AS (
+  SELECT e.src AS node, CAST(sum(a2.s) AS BIGINT) AS s
+  FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1
+)
+SELECT n.node,
+       CAST(coalesce(h2.s, 0) AS BIGINT) AS hub,
+       CAST(coalesce(a2.s, 0) AS BIGINT) AS auth
+FROM n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node
+"""

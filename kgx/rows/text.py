@@ -590,3 +590,27 @@ m AS (
 )
 SELECT DISTINCT doc_id, fp FROM m WHERE pos <= greatest(n - 4, 1)
 """
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scores (textops.rake_keywords): per-word
+    co-occurrence degree / frequency over stopword-delimited candidate
+    phrases — deg and freq exact integers, score one IEEE division.
+    Phrase segmentation is one map-only regexp; the only exchange is the
+    per-word groupBy."""
+    return textops.rake_keywords(_t(spark, sf_dir, "documents"))
+TEXT_RAKE_SQL = r"""
+WITH t AS (
+  SELECT regexp_replace(lower(trim(text)),
+                        '\b(the|a|of|and|to|in|is|that)\b', '|', 'g') AS s
+  FROM documents
+),
+ph AS (SELECT trim(unnest(string_split(s, '|'))) AS p FROM t),
+ws AS (
+  SELECT regexp_split_to_array(p, '\s+') AS w FROM ph WHERE p <> ''
+),
+pairs AS (SELECT unnest(w) AS word, len(w) AS pl FROM ws)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS freq,
+       CAST(sum(pl) AS BIGINT) AS deg,
+       CAST(sum(pl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rake_score
+FROM pairs GROUP BY 1
+"""

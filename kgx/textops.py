@@ -984,3 +984,51 @@ def winnow_fingerprints(
         .select(F.col(id_col), hashes.alias("hs"))
         .select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
     )
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = EN_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyword scores (Rose, Engel, Cramer & Cowley 2010 — Rapid
+    Automatic Keyword Extraction): split each document's token stream
+    into candidate phrases at stopword boundaries, then score every
+    content word by its co-occurrence degree over frequency:
+
+      freq(w)  = number of occurrences of w inside candidate phrases
+      deg(w)   = Σ over those occurrences of the containing phrase's
+                 word length (with multiplicity — each occurrence of w
+                 contributes its phrase's full length, the paper's
+                 deg = freq + co-occurrence count)
+      score(w) = deg(w) / freq(w)   (favors words living in long
+                 multi-word phrases — the phrase-mining signal PMI
+                 ranks by association instead)
+
+    freq and deg are exact integers in any engine and any aggregation
+    order; score is ONE final IEEE division, so a SQL oracle matches
+    bit-for-bit.
+
+    Shape: phrase segmentation is MAP-ONLY — one regexp_replace turns
+    stopword occurrences into '|' delimiters, split + trim + filter
+    builds per-phrase word arrays in-row; the only exchange is the final
+    per-word groupBy with map-side partial sums. Text never shuffles
+    (only exploded (word, phrase_len) pairs do). Stopword list is a
+    literal alternation compiled into the scan expression — at any vocab
+    size it is a regex, never a join."""
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    phrased = F.regexp_replace(F.lower(F.trim(F.col(text_col))), pat, "|")
+    pairs = (
+        docs.select(F.explode(F.split(phrased, r"\|")).alias("p"))
+        .select(F.trim(F.col("p")).alias("p"))
+        .where(F.col("p") != "")
+        .select(F.split(F.col("p"), r"\s+").alias("ws"))
+        .select(F.explode("ws").alias("word"), F.size("ws").alias("pl"))
+    )
+    return pairs.groupBy("word").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("pl").cast("long").alias("deg"),
+        (F.sum("pl").cast("double") / F.count("*").cast("double")).alias(
+            "rake_score"
+        ),
+    )
