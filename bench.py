@@ -102,6 +102,7 @@ HEADLINE = [
     "kg_fuzzy_alias_pairs",
     "graph_hits",
     "text_rake_keywords",
+    "sketch_kmv_intersection",
 ]
 
 

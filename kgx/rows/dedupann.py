@@ -1057,3 +1057,68 @@ SELECT event_type, q, rank, CAST(total AS BIGINT) AS total,
          AS q_est
 FROM hit GROUP BY 1, 2, 3, 4
 """
+_KMV_K = 64
+def sketch_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-framework distinct-set INTERSECTION estimate
+    (kgx.sketch.kmv_intersection, k=64): |click users ∩ purchase users|
+    from two KMV sketches — the set operation HLL cannot answer (HLL
+    merges under union only). The hash, the k-smallest selection, the
+    threshold T, the match count, and the one-division estimate are all
+    engine-exact, so the oracle reproduces est_intersection
+    bit-for-bit; exact_intersection rides along to grade the sketch in
+    the same result set."""
+    from kgx import sketch
+
+    return sketch.kmv_intersection(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "click",
+        "purchase",
+        k=_KMV_K,
+    )
+SKETCH_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+r AS (
+  SELECT event_type, hv,
+         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+),
+sk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+st AS (
+  SELECT event_type, count(*) AS n, max(hv) AS mx FROM sk GROUP BY 1
+),
+th AS (
+  SELECT min(CASE WHEN n >= 64 THEN mx
+                  ELSE CAST(1152921504606846976 AS BIGINT) END) AS theta_t
+  FROM st
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_matches
+  FROM sk a JOIN sk b ON a.hv = b.hv
+       AND a.event_type = 'click' AND b.event_type = 'purchase',
+       th
+  WHERE a.hv < th.theta_t
+),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+  FROM (
+    SELECT user_id FROM (
+      SELECT DISTINCT event_type, user_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ) GROUP BY user_id HAVING count(*) = 2
+  )
+)
+SELECT CAST(64 AS INTEGER) AS k,
+       CAST(th.theta_t AS BIGINT) AS theta_t,
+       m.n_matches,
+       CAST(m.n_matches AS DOUBLE) * 1152921504606846976.0
+         / CAST(th.theta_t AS DOUBLE) AS est_intersection,
+       ex.exact_intersection
+FROM m, th, ex
+"""

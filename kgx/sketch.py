@@ -382,3 +382,125 @@ def hist_quantiles(
         F.col("bucket").cast("int").alias("bucket"),
         est.alias("q_est"),
     )
+
+
+# 60-bit hash space (md5_hash60 values are uniform on [0, 2^60))
+_KMV_SPACE = 1 << 60
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV (k-minimum-values) sketch: the k SMALLEST distinct
+    60-bit hashes of the value column — the theta-sketch building block
+    (Beyer et al. 2007; Apache DataSketches' theta family). Completes
+    the sketch shelf: HLL registers merge under UNION only; KMV sketches
+    additionally support set INTERSECTION estimates (kmv_intersection),
+    which HLL fundamentally cannot.
+
+    Deterministic by construction: the hash is md5_hash60 (cross-engine
+    exact) and "k smallest distinct" is a total order — no RNG, so a SQL
+    oracle reproduces the sketch verbatim. A group with fewer than k
+    distinct values keeps ALL of them (its sketch is exact).
+
+    Shape: distinct on (group, hash) with map-side partials, then a
+    rank-<=k filter over a per-group window — Spark's WindowGroupLimit
+    rewrites that into per-partition group limits BEFORE the shuffle, so
+    at most k rows per (group, partition) ever move; post-shuffle state
+    is <= k rows per group regardless of input size (the same bound HLL
+    gets from its m registers)."""
+    h = md5_hash60(F.col(value_col).cast("string"))
+    from pyspark.sql import Window
+
+    d = df.select(
+        *[F.col(g) for g in group_cols], h.alias("hv")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_intersection(
+    df: DataFrame,
+    value_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-framework set-intersection estimate between two groups'
+    distinct value sets from their KMV sketches, plus the exact answer
+    for self-evidencing comparison:
+
+      sketch_X = k smallest distinct hashes of group X (all if < k)
+      theta_X  = k-th smallest (max of the sketch) if |sketch_X| == k,
+                 else SPACE = 2^60 (an exact sketch covers the space)
+      T        = min(theta_A, theta_B)
+      M        = |{h in sketch_A ∩ sketch_B : h < T}|
+      est      = M * SPACE / T    (ONE IEEE division of exact integers;
+                                   when both sketches are exact T=SPACE
+                                   and est == M == the true count)
+
+    Every input to the division is an exact BIGINT, so the estimate is
+    bit-identical in any engine. The exact intersection rides along as
+    its own column — at test scale it grades the estimate in-row; at
+    100 TB a consumer drops it and keeps only the sketch path (the
+    sketches are k rows per group; the exact count is the expensive
+    distinct-intersect the sketch exists to avoid).
+
+    Returns ONE row: (k, theta_t, n_matches, est_intersection,
+    exact_intersection). The (<= 2k)-row sketch frame is persisted ONCE
+    and feeds its three consumers (theta stats, side A, side B) — the
+    text_dup_substring convention; RELEASE OBLIGATION:
+    ``result._kgx_persisted`` carries it, the caller unpersists."""
+    pair = df.where(F.col(type_col).isin(type_a, type_b))
+    sk = kmv_sketch(pair, value_col, [type_col], k=k).persist()
+    stats = sk.groupBy(type_col).agg(
+        F.count("*").alias("n"), F.max("hv").alias("mx")
+    )
+    theta = stats.select(
+        F.min(
+            F.when(F.col("n") >= k, F.col("mx")).otherwise(
+                F.lit(_KMV_SPACE).cast("long")
+            )
+        ).alias("theta_t")
+    )
+    a = sk.where(F.col(type_col) == type_a).select("hv")
+    b = sk.where(F.col(type_col) == type_b).select("hv")
+    matches = (
+        a.join(b, "hv")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("hv") < F.col("theta_t"))
+        .agg(F.count("*").cast("long").alias("n_matches"))
+    )
+    exact = (
+        pair.select(type_col, value_col)
+        .distinct()
+        .groupBy(value_col)
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") == 2)
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    out = (
+        matches.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.col("theta_t").cast("long").alias("theta_t"),
+            "n_matches",
+            (
+                F.col("n_matches").cast("double")
+                * F.lit(float(_KMV_SPACE))
+                / F.col("theta_t").cast("double")
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )
+    out._kgx_persisted = [sk]
+    return out

@@ -68,23 +68,37 @@ def window_order(
     registry_names: list[str],
     changed: list[str],
     latest: dict[str, int],
+    current: int,
 ) -> list[tuple[int, int, str]]:
-    """Full-registry (tier, latest_green, name) order per the policy."""
+    """Full-registry (tier, latest_green, name) order per the policy.
+
+    tier 1: rows the invariant FORCES into the window — driver evidence
+            that would age past current-2 if skipped (0 < lg <
+            current-2), plus checked-but-never-green rows (red rows
+            must be re-verified, not buried);
+    tier 2: rows with prior evidence voided or absent — named as
+            changed on the command line, or never driver-checked at
+            all (new this round);
+    tier 3: everything else (fresh-enough evidence), stalest first.
+
+    (The pre-round-5-close formula derived tier 1 from `lg <= min(lg)`;
+    once never-checked rows exist that min is 0 and the aging rows the
+    invariant actually protects fell to tier 3 — exposed when the
+    round-5 registry outgrew exactly 50 tier-leading rows.)"""
     pos = {n: i for i, n in enumerate(registry_names)}
     rows = []
     for n in registry_names:
         lg = latest.get(n, 0)
-        if n in changed:
-            tier = 2
-        elif lg == 0 or lg <= min(
-            (latest.get(m, 0) for m in registry_names if m not in changed),
-            default=0,
-        ):
+        if (0 < lg < current - 2) or (lg == 0 and n in latest):
             tier = 1
+        elif n in changed or n not in latest:
+            tier = 2
         else:
             tier = 3
         rows.append((tier, lg, n))
-    # tier asc; within a tier stalest evidence first; registry order ties
+    # tier asc; within a tier stalest evidence first (never-checked
+    # lg=0 rows of tier 2 lead it — they have no evidence at all);
+    # registry order breaks ties
     rows.sort(key=lambda t: (t[0], t[1], pos[t[2]]))
     return rows
 
@@ -102,18 +116,28 @@ def main() -> None:
 
     names = list(REGISTRY)
     latest, current = latest_green_rounds()
-    rows = window_order(names, changed, latest)
+    rows = window_order(names, changed, latest, current)
 
     for i, (tier, lg, n) in enumerate(rows):
         marker = "|<-- window edge" if i == window - 1 else ""
         print(f"{tier} r{lg or '-'} {n} {marker}")
 
     in_window = {n for _, _, n in rows[:window]}
+    # the invariant covers rows with driver evidence that can age out;
+    # never-checked rows (lg == 0 and absent from every CORRECTNESS
+    # file) have nothing to expire — same semantics as the test suite's
+    # test_registry_bounded_staleness_invariant (0 < latest < current-2)
     stale_after = [
         n for _, lg, n in rows
-        if n not in in_window and lg < current - 2
+        if n not in in_window and 0 < lg < current - 2
     ]
     print(f"\nregistry={len(names)} window={window} current_round=r{current}")
+    # checked-but-never-green is a red row, not a staleness question —
+    # fail loudly (mirrors the test's never_green assertion)
+    never_green = [n for n in names if latest.get(n) == 0 and n in latest]
+    if never_green:
+        print(f"RED ROWS — checked but never driver-green: {never_green}")
+        sys.exit(1)
     if stale_after:
         print(
             "INVARIANT VIOLATED — rows outside the window whose evidence "

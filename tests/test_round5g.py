@@ -1,0 +1,62 @@
+"""Round-5g tests: KMV sketch + theta-framework intersection estimate."""
+
+from __future__ import annotations
+
+import hashlib
+
+from kgx import sketch
+
+SPACE = 1 << 60
+
+
+def _h(v) -> int:
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def _ref_intersection(a_vals, b_vals, k):
+    sa = sorted({_h(v) for v in a_vals})[:k]
+    sb = sorted({_h(v) for v in b_vals})[:k]
+    ta = sa[-1] if len(sa) == k else SPACE
+    tb = sb[-1] if len(sb) == k else SPACE
+    t = min(ta, tb)
+    m = len([h for h in set(sa) & set(sb) if h < t])
+    return t, m, float(m) * float(SPACE) / float(t)
+
+
+def _df(spark, a_vals, b_vals):
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    return spark.createDataFrame(rows, "event_type string, user_id long")
+
+
+def test_kmv_sketch_keeps_k_smallest_distinct(spark):
+    vals = list(range(20)) + list(range(10))  # duplicates collapse
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    got = sorted(
+        r.hv for r in sketch.kmv_sketch(df, "v", ["g"], k=8).collect()
+    )
+    assert got == sorted({_h(v) for v in range(20)})[:8]
+
+
+def test_kmv_intersection_exact_when_sketches_small(spark):
+    # both groups below k -> theta = SPACE, estimate == exact count
+    out = sketch.kmv_intersection(
+        _df(spark, range(10), range(5, 15)), "user_id", "event_type",
+        "A", "B", k=64,
+    ).collect()[0]
+    assert out.theta_t == SPACE
+    assert out.n_matches == 5
+    assert out.est_intersection == 5.0
+    assert out.exact_intersection == 5
+
+
+def test_kmv_intersection_sketch_path_matches_reference(spark):
+    a, b = list(range(100)), list(range(60, 160))
+    k = 16
+    t, m, est = _ref_intersection(a, b, k)
+    out = sketch.kmv_intersection(
+        _df(spark, a, b), "user_id", "event_type", "A", "B", k=k
+    ).collect()[0]
+    assert (out.theta_t, out.n_matches) == (t, m)
+    assert out.est_intersection == est
+    assert out.exact_intersection == 40
+    assert t < SPACE  # the sketch path actually engaged
