@@ -103,6 +103,7 @@ HEADLINE = [
     "graph_hits",
     "text_rake_keywords",
     "sketch_kmv_intersection",
+    "curate_cdc_chunks",
 ]
 
 

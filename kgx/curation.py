@@ -710,3 +710,75 @@ def dsir_weights(
     )
     out._kgx_persisted = [dim]
     return out
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/LBFS idea, Muthitacharoen
+    et al. 2001, applied at token granularity): a chunk boundary falls
+    AFTER every token whose 60-bit md5 hash is ≡ 0 (mod divisor), so the
+    expected chunk length is `divisor` tokens but boundary POSITIONS are
+    decided by content, not offsets. The property fixed-size chunking
+    (chunk_documents) cannot give: inserting or deleting one token
+    reshuffles every downstream fixed-size chunk, while CDC boundaries
+    re-synchronize immediately — so chunk-hash dedup between
+    near-identical documents keeps matching everywhere outside the
+    edit. divisor is the knob: real deployments run 2^6..2^10; the
+    registry row uses 8 so the test corpus's short docs still exercise
+    multi-chunk behavior.
+
+    Engine-exact contract: boundary(i) := md5_hash60(tok_i) % divisor
+    == 0 (0-based token position i); chunk j = tokens strictly after
+    boundary j-1 through boundary j inclusive; the final partial chunk
+    is always emitted (the last position acts as a forced boundary).
+    Output one row per chunk: (id, chunk_idx, n_tokens, chunk_hash)
+    with chunk_hash = md5 of the space-joined chunk — the key a
+    chunk-level dedup joins on.
+
+    Shape: MAP-ONLY, zero exchanges — boundary positions, per-chunk
+    slices, and chunk hashes are all built in-row (each token lands in
+    exactly one slice, so the whole row costs O(n_tokens)); contrast
+    the explode→window cumulative-boundary formulation, which shuffles
+    one row PER TOKEN just to number chunks. The oracle deliberately IS
+    that window formulation — two different algorithms, one contract."""
+    from kgx.textops import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    # 0-based end position of every chunk: content boundaries plus the
+    # forced final one (array_union keeps ascending order and dedups
+    # the case where the last token is itself a boundary)
+    ends = F.expr(
+        f"""array_union(
+          filter(sequence(0, size(toks) - 1),
+                 i -> CAST(conv(substring(md5(toks[i]), 1, 15), 16, 10)
+                           AS LONG) % {divisor} = 0),
+          array(size(toks) - 1))"""
+    )
+    # chunk j spans (ends[j-1], ends[j]] in 0-based positions; slice()
+    # is 1-based, element_at(ends, j) is 1-based so it IS ends[j-1]
+    chunks = F.expr(
+        """transform(ends, (e, j) -> named_struct(
+             'chunk_idx', j,
+             'chunk_toks', slice(
+               toks,
+               CASE WHEN j = 0 THEN 1
+                    ELSE element_at(ends, j) + 2 END,
+               CASE WHEN j = 0 THEN e + 1
+                    ELSE e - element_at(ends, j) END)))"""
+    )
+    return (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .where(F.size("toks") >= 1)
+        .withColumn("ends", ends)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("c.chunk_toks").cast("int").alias("n_tokens"),
+            F.md5(F.array_join("c.chunk_toks", " ")).alias("chunk_hash"),
+        )
+    )

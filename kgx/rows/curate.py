@@ -600,3 +600,46 @@ SELECT doc_id, n_tokens, score_num_q,
          / CAST(n_tokens * 1000000 * (t_t + 1024) AS DOUBLE) AS dsir_weight
 FROM pd, tot
 """
+_CDC_DIVISOR = 8
+def curate_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (curation.cdc_chunks, divisor=8):
+    boundary after every token whose md5_hash60 ≡ 0 (mod 8), final
+    partial chunk always emitted — the insertion-robust chunk keys a
+    chunk-level dedup joins on, which fixed-size chunking
+    (curate_chunk_documents) cannot provide. Spark side is map-only
+    (in-row boundary scan + slices); the oracle is the
+    explode→window cumulative-boundary formulation — two different
+    algorithms, one contract."""
+    from kgx import curation
+
+    return curation.cdc_chunks(
+        _t(spark, sf_dir, "documents"), divisor=_CDC_DIVISOR
+    )
+CURATE_CDC_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM t
+),
+b AS (
+  SELECT doc_id, w, i,
+         CASE WHEN CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 8 = 0
+              THEN 1 ELSE 0 END AS isb
+  FROM p
+),
+c AS (
+  SELECT doc_id, w, i,
+         coalesce(sum(isb) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_idx
+  FROM b
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash
+FROM c GROUP BY doc_id, chunk_idx
+"""

@@ -60,3 +60,63 @@ def test_kmv_intersection_sketch_path_matches_reference(spark):
     assert out.est_intersection == est
     assert out.exact_intersection == 40
     assert t < SPACE  # the sketch path actually engaged
+
+
+# ------------------------------------------- content-defined chunking --
+
+
+def _cdc_h(w) -> int:
+    return int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+
+
+def _ref_cdc(text, divisor):
+    toks = text.lower().strip().split()
+    chunks, cur = [], []
+    for w in toks:
+        cur.append(w)
+        if _cdc_h(w) % divisor == 0:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        (j, len(c), hashlib.md5(" ".join(c).encode()).hexdigest())
+        for j, c in enumerate(chunks)
+    ]
+
+
+def test_cdc_matches_reference_python(spark):
+    from kgx import curation
+
+    texts = [
+        "alpha order beta gamma merge delta",  # order/merge are boundaries
+        "order",                               # single boundary token
+        "no boundaries here at all",
+        "merge merge merge",                   # every token a boundary
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = curation.cdc_chunks(df, divisor=8).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_tokens, r.chunk_hash))
+    for i, t in enumerate(texts):
+        assert sorted(got[i]) == _ref_cdc(t, 8), f"doc {i}"
+
+
+def test_cdc_boundaries_survive_insertion(spark):
+    # THE property fixed-size chunking lacks: one inserted token only
+    # perturbs its own chunk; every other chunk hash still matches.
+    from kgx import curation
+
+    base = "one two three order four five merge six seven"
+    edited = "one INSERTED two three order four five merge six seven"
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = curation.cdc_chunks(df, divisor=8).collect()
+    h1 = {r.chunk_hash for r in out if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in out if r.doc_id == 2}
+    # chunks after the edit point ("four five merge", "six seven") and
+    # the unaffected tail still dedup; only the edited chunk diverges
+    assert len(h1 & h2) == 2
+    assert len(h1) == 3 and len(h2) == 3
