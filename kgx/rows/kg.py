@@ -1625,3 +1625,42 @@ FROM v a JOIN v b ON a.w < b.w
 WHERE abs(length(a.w) - length(b.w)) <= 1
   AND levenshtein(a.w, b.w) <= 1
 """
+def kg_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote knowledge fusion (canonical.fact_fusion) over the
+    sentence-level triples: each (subj_uri, pred) resolves its
+    conflicting per-evidence polarities to one fused value + an exact
+    confidence — the truth-discovery stage between extraction and a
+    publishable KG (the reference stores every per-document row and
+    leaves conflicts to readers). Ties break to the smallest polarity
+    string, so the oracle's row_number pick is identical."""
+    from kgx import canonical
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    tri = agg_mod.sentence_triples(facts).select(
+        "subj_uri", "pred", "obj_polarity"
+    )
+    return canonical.fact_fusion(tri)
+KG_FUSION_SQL = _KG_SQL_PROLOGUE + """
+, v AS (
+  SELECT uri AS subj_uri, pred,
+         CASE WHEN sci > 0 THEN 'positive' WHEN sci < 0 THEN 'negative'
+              ELSE 'neutral' END AS obj_polarity,
+         CAST(count(*) AS BIGINT) AS n_votes_winner
+  FROM facts GROUP BY 1, 2, 3
+),
+f AS (
+  SELECT subj_uri, pred, obj_polarity, n_votes_winner,
+         row_number() OVER (PARTITION BY subj_uri, pred
+                            ORDER BY n_votes_winner DESC, obj_polarity) AS rn,
+         CAST(sum(n_votes_winner) OVER (PARTITION BY subj_uri, pred)
+              AS BIGINT) AS n_votes_total,
+         CAST(count(*) OVER (PARTITION BY subj_uri, pred)
+              AS BIGINT) AS n_alternatives
+  FROM v
+)
+SELECT subj_uri, pred, obj_polarity AS fused_value,
+       n_votes_winner, n_votes_total, n_alternatives,
+       CAST(n_votes_winner AS DOUBLE) / CAST(n_votes_total AS DOUBLE)
+         AS confidence
+FROM f WHERE rn = 1
+"""

@@ -120,3 +120,33 @@ def test_cdc_boundaries_survive_insertion(spark):
     # the unaffected tail still dedup; only the edited chunk diverges
     assert len(h1 & h2) == 2
     assert len(h1) == 3 and len(h2) == 3
+
+
+# ------------------------------------------- fact fusion ---------------
+
+
+def test_fact_fusion_majority_tie_and_confidence(spark):
+    from kgx import canonical
+
+    rows = (
+        [("u1", "p", "positive")] * 3
+        + [("u1", "p", "negative")]
+        + [("u2", "p", "positive")] * 2
+        + [("u2", "p", "negative")] * 2   # tie -> smallest value wins
+        + [("u3", "q", "neutral")]
+    )
+    df = spark.createDataFrame(
+        rows, "subj_uri string, pred string, obj_polarity string"
+    )
+    got = {
+        (r.subj_uri, r.pred): (
+            r.fused_value, r.n_votes_winner, r.n_votes_total,
+            r.n_alternatives, r.confidence,
+        )
+        for r in canonical.fact_fusion(df).collect()
+    }
+    assert got == {
+        ("u1", "p"): ("positive", 3, 4, 2, 0.75),
+        ("u2", "p"): ("negative", 2, 4, 2, 0.5),
+        ("u3", "q"): ("neutral", 1, 1, 1, 1.0),
+    }
