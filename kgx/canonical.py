@@ -326,3 +326,71 @@ def fact_fusion(
             ).alias("confidence"),
         )
     )
+
+
+def fact_provenance(
+    triples: DataFrame,
+    key_cols: tuple[str, str] = ("subj_uri", "pred"),
+    source_col: str = "conv_id",
+    vote_col: str = "obj_polarity",
+    sample_n: int = 5,
+) -> DataFrame:
+    """Per-fused-fact provenance: the evidence record a publishable KG
+    must keep next to each fused value so a reader can audit WHY the
+    graph asserts it (the reference keeps per-document rows as implicit
+    provenance — DatabaseFacade.java stores every classification row —
+    but never aggregates them into a per-fact evidence summary).
+
+    For each (subject, predicate) key: total evidence rows, distinct
+    source conversations, the per-polarity evidence distribution
+    (n_pos/n_neg/n_neu — lets a reader see contested facts at a glance),
+    and a deterministic sample of source ids (lexicographically first
+    `sample_n` distinct sources, so the SQL oracle reproduces it exactly
+    and the column is bounded at scale — never a full evidence list).
+
+    Shape: ONE evidence-sized shuffle (the groupBy); collect_set is
+    per-key and the slice bounds what survives the aggregation, so no
+    key ever materializes unbounded state downstream. countDistinct
+    rewrites to a two-level partial aggregate — no second job."""
+    k = list(key_cols)
+    pol = F.col(vote_col)
+    return triples.groupBy(*k).agg(
+        F.count("*").cast("long").alias("n_evidence"),
+        F.countDistinct(source_col).cast("long").alias("n_sources"),
+        F.sum((pol == "positive").cast("long")).alias("n_pos"),
+        F.sum((pol == "negative").cast("long")).alias("n_neg"),
+        F.sum((pol == "neutral").cast("long")).alias("n_neu"),
+        F.concat_ws(
+            ",", F.slice(F.sort_array(F.collect_set(source_col)), 1, sample_n)
+        ).alias("source_sample"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, str] = ("subj_uri", "pred"),
+    value_col: str = "fused_value",
+) -> DataFrame:
+    """KG snapshot diff: classify every (subject, predicate) key across
+    two fused snapshots as added / removed / changed / unchanged — the
+    maintenance primitive for periodically re-extracted graphs (publish
+    only the delta; alert on mass removals). Inputs are FUSED snapshots
+    (one row per key, e.g. fact_fusion output), so the join is on
+    key-distinct sides.
+
+    Shape: one full-outer shuffle join on the fused keys. Both sides are
+    already one-row-per-key (fused), so the join is skew-free by
+    construction — no fused key repeats; at production scale this is the
+    right SortMergeJoin (neither snapshot is broadcastable)."""
+    k = list(key_cols)
+    o = old.select(*k, F.col(value_col).alias("old_value"))
+    n = new.select(*k, F.col(value_col).alias("new_value"))
+    j = o.join(n, on=k, how="full_outer")
+    status = (
+        F.when(F.col("old_value").isNull(), F.lit("added"))
+        .when(F.col("new_value").isNull(), F.lit("removed"))
+        .when(F.col("old_value") == F.col("new_value"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*k, "old_value", "new_value", status.alias("status"))

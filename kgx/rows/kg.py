@@ -1664,3 +1664,90 @@ SELECT subj_uri, pred, obj_polarity AS fused_value,
          AS confidence
 FROM f WHERE rn = 1
 """
+def kg_fact_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fused-fact provenance (canonical.fact_provenance): evidence
+    count, distinct source conversations, per-polarity evidence
+    distribution, and the lexicographically-first-5 source sample per
+    (subj_uri, pred) — the audit record next to each fused value. One
+    evidence-sized shuffle; the sample slice bounds per-key output."""
+    from kgx import canonical
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    tri = agg_mod.sentence_triples(facts).select(
+        "conv_id", "subj_uri", "pred", "obj_polarity"
+    )
+    return canonical.fact_provenance(tri)
+KG_PROVENANCE_SQL = _KG_SQL_PROLOGUE + """
+, ev AS (
+  SELECT conv_id, uri AS subj_uri, pred,
+         CASE WHEN sci > 0 THEN 'positive' WHEN sci < 0 THEN 'negative'
+              ELSE 'neutral' END AS obj_polarity
+  FROM facts
+)
+SELECT subj_uri, pred,
+       CAST(count(*) AS BIGINT) AS n_evidence,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_sources,
+       CAST(sum(CASE WHEN obj_polarity = 'positive' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pos,
+       CAST(sum(CASE WHEN obj_polarity = 'negative' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN obj_polarity = 'neutral' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_neu,
+       array_to_string(list_slice(list_sort(list(DISTINCT conv_id)), 1, 5),
+                       ',') AS source_sample
+FROM ev GROUP BY 1, 2
+"""
+# fused snapshot over one parity half of the corpus (old = even conv_ids,
+# new = odd): the same majority-vote pick as KG_FUSION_SQL, parameterized
+def _fusion_half_cte(alias: str, parity: int) -> str:
+    return f"""
+{alias}_v AS (
+  SELECT uri AS subj_uri, pred,
+         CASE WHEN sci > 0 THEN 'positive' WHEN sci < 0 THEN 'negative'
+              ELSE 'neutral' END AS obj_polarity,
+         count(*) AS nv
+  FROM facts WHERE CAST(conv_id AS BIGINT) % 2 = {parity}
+  GROUP BY 1, 2, 3
+),
+{alias} AS (
+  SELECT subj_uri, pred, obj_polarity AS fused_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY subj_uri, pred
+                                     ORDER BY nv DESC, obj_polarity) AS rn
+        FROM {alias}_v)
+  WHERE rn = 1
+)"""
+def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG snapshot diff (canonical.snapshot_diff) between two fused
+    snapshots of the same corpus (old = even conv_ids, new = odd — a
+    deterministic stand-in for two extraction epochs): every (subj_uri,
+    pred) classified added / removed / changed / unchanged with both
+    fused values. One full-outer join on key-distinct fused sides."""
+    from kgx import canonical
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    tri = agg_mod.sentence_triples(facts).select(
+        "conv_id", "subj_uri", "pred", "obj_polarity"
+    )
+    par = F.col("conv_id").cast("long") % 2
+    old = canonical.fact_fusion(tri.filter(par == 0))
+    new = canonical.fact_fusion(tri.filter(par == 1))
+    return canonical.snapshot_diff(old, new)
+KG_SNAPDIFF_SQL = (
+    _KG_SQL_PROLOGUE
+    + ","
+    + _fusion_half_cte("o", 0)
+    + ","
+    + _fusion_half_cte("n", 1)
+    + """
+SELECT coalesce(o.subj_uri, n.subj_uri) AS subj_uri,
+       coalesce(o.pred, n.pred) AS pred,
+       o.fused_value AS old_value,
+       n.fused_value AS new_value,
+       CASE WHEN o.fused_value IS NULL THEN 'added'
+            WHEN n.fused_value IS NULL THEN 'removed'
+            WHEN o.fused_value = n.fused_value THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n
+  ON o.subj_uri = n.subj_uri AND o.pred = n.pred
+"""
+)

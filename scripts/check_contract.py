@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB at the same sf dir, compare
 row count + order-insensitive canonical values.
 
-Usage: python scripts/check_contract.py [sf_dir] [query ...]
+Usage: python scripts/check_contract.py [--json out.json] [sf_dir] [query ...]
+
+--json writes a driver-CORRECTNESS-shaped record per row (rows_match /
+schema_match / hash_match / spark_rows / oracle_rows / err) so a
+full-registry local run is auditable and diffable against the driver's
+windowed CORRECTNESS_r*.json files.
 """
 
 from __future__ import annotations
@@ -45,8 +50,22 @@ def canon_rows(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
+
+    def record(name, *, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
 
     import __spark_entry__ as entry
     from kgx import session
@@ -69,26 +88,41 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, spark_rows=None, oracle_rows=None,
+                   err=f"spark: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle)")
             if len(got) == 0:
                 print(f"      WARNING: zero rows")
+            record(name, rows_match=len(got) > 0, schema_match=True,
+                   hash_match=None, spark_rows=len(got), oracle_rows=None,
+                   err=None)
             continue
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            record(name, rows_match=False, schema_match=False,
+                   hash_match=False, spark_rows=len(got), oracle_rows=None,
+                   err=f"duckdb: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         if sorted(got.columns) != sorted(want.columns):
             print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(want.columns)}")
+            record(name, rows_match=len(got) == len(want), schema_match=False,
+                   hash_match=False, spark_rows=len(got),
+                   oracle_rows=len(want), err="schema mismatch")
             n_fail += 1
             continue
         g, w = canon_rows(got), canon_rows(want)
         if len(g) != len(w):
             print(f"FAIL {name}: rowcount {len(g)} vs {len(w)}")
+            record(name, rows_match=False, schema_match=True,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(w),
+                   err="rowcount mismatch")
             n_fail += 1
             continue
         if g != w:
@@ -97,10 +131,20 @@ def main() -> int:
             for i in diffs[:3]:
                 print(f"      spark : {g[i]}")
                 print(f"      duckdb: {w[i]}")
+            record(name, rows_match=True, schema_match=True,
+                   hash_match=False, spark_rows=len(g), oracle_rows=len(w),
+                   err=f"{len(diffs)} differing rows")
             n_fail += 1
             continue
         print(f"ok   {name}: rows={len(g)} values match")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(g), oracle_rows=len(w), err=None)
     spark.stop()
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as fh:
+            _json.dump(records, fh, indent=2)
+        print(f"wrote {len(records)} records to {json_out}")
     return 1 if n_fail else 0
 
 

@@ -150,3 +150,51 @@ def test_fact_fusion_majority_tie_and_confidence(spark):
         ("u2", "p"): ("negative", 2, 4, 2, 0.5),
         ("u3", "q"): ("neutral", 1, 1, 1, 1.0),
     }
+
+
+def test_fact_provenance_distribution_and_sample(spark):
+    from kgx import canonical
+
+    rows = (
+        [("c1", "u1", "p", "positive")] * 2
+        + [("c2", "u1", "p", "negative"), ("c2", "u1", "p", "neutral")]
+        + [(f"c{i}", "u2", "q", "positive") for i in range(1, 8)]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, subj_uri string, pred string, obj_polarity string"
+    )
+    got = {
+        (r.subj_uri, r.pred): (
+            r.n_evidence, r.n_sources, r.n_pos, r.n_neg, r.n_neu,
+            r.source_sample,
+        )
+        for r in canonical.fact_provenance(df).collect()
+    }
+    assert got == {
+        ("u1", "p"): (4, 2, 2, 1, 1, "c1,c2"),
+        # lexicographic first-5 of c1..c7
+        ("u2", "q"): (7, 7, 7, 0, 0, "c1,c2,c3,c4,c5"),
+    }
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from kgx import canonical
+
+    old = spark.createDataFrame(
+        [("a", "p", "positive"), ("b", "p", "negative"), ("c", "p", "neutral")],
+        "subj_uri string, pred string, fused_value string",
+    )
+    new = spark.createDataFrame(
+        [("a", "p", "positive"), ("b", "p", "positive"), ("d", "p", "neutral")],
+        "subj_uri string, pred string, fused_value string",
+    )
+    got = {
+        (r.subj_uri, r.pred): (r.old_value, r.new_value, r.status)
+        for r in canonical.snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        ("a", "p"): ("positive", "positive", "unchanged"),
+        ("b", "p"): ("negative", "positive", "changed"),
+        ("c", "p"): ("neutral", None, "removed"),
+        ("d", "p"): (None, "neutral", "added"),
+    }
