@@ -782,3 +782,51 @@ def cdc_chunks(
             F.md5(F.array_join("c.chunk_toks", " ")).alias("chunk_hash"),
         )
     )
+
+
+def mix_interleave(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic round-robin source interleave for training-epoch
+    construction: every document gets its global epoch position under
+    strict source striding (pos 0 = source A's first doc, pos 1 = B's
+    first, ... wrapping; a source that runs out drops from later
+    cycles). Shuffling a mixed corpus uniformly loses the mixing
+    guarantee a curriculum wants — round-robin bounds the gap between
+    consecutive docs of the same source at exactly n_live_sources.
+
+    NO GLOBAL SORT: within-source order is a deterministic md5 rank
+    (one window shuffle partitioned by source), and the global position
+    comes from a closed form over the broadcast per-source size dim —
+    for 0-based rank r in source s,
+        epoch_pos = sum_{s'} min(r, n_{s'})
+                    + |{s' < s : n_{s'} > r}|
+    (docs of earlier cycles from every source, plus same-cycle docs of
+    lexicographically earlier still-live sources). A driver that reads
+    the epoch in epoch_pos order therefore never materializes a
+    single-partition ORDER BY; it range-partitions on epoch_pos.
+    The one skew surface is the per-source window when one source
+    dominates the corpus; AQE splits the oversized partition, and the
+    rank itself cannot be salted without breaking exactness (noted, not
+    hidden)."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    r = (
+        df.select(id_col, source_col)
+        .withColumn("rank_in_source", (F.row_number().over(w) - 1).cast("long"))
+    )
+    sizes = (
+        r.groupBy(source_col)
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(F.col(source_col).alias("s2"), "n")
+    )
+    contrib = F.least(F.col("rank_in_source"), F.col("n")) + F.when(
+        (F.col("s2") < F.col(source_col)) & (F.col("n") > F.col("rank_in_source")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        r.join(F.broadcast(sizes))
+        .groupBy(id_col, source_col, "rank_in_source")
+        .agg(F.sum(contrib).cast("long").alias("epoch_pos"))
+    )

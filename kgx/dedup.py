@@ -923,3 +923,92 @@ def dup_substring_coverage(
         )
     )
     return give_ownership(out, [pos, dup_pos])
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directed sub-document containment pairs: C(src→dst) =
+    |sh(src) ∩ sh(dst)| / |sh(src)| >= threshold over distinct n-token
+    shingle sets. The asymmetric complement of ngram_jaccard_pairs —
+    a short document quoted whole inside a long one has containment 1.0
+    but Jaccard ≈ |short|/|long|, far below any near-dup threshold, so
+    symmetric dedup never sees it. This is the operator that catches
+    quote-inclusion / boilerplate-wrapping / page-within-crawl cases in
+    a training corpus (Broder's containment, the other half of the
+    resemblance/containment pair).
+
+    Same inverted-index blocking as ngram_jaccard_pairs: candidates are
+    pairs sharing >=1 indexed shingle; `max_df` drops hot boilerplate
+    shingles from the CANDIDATE index only, and every candidate verifies
+    against the FULL shingle arrays, so emitted containments are exact.
+    Unlike Jaccard there is NO size-ratio join prune — containment of a
+    small doc in a huge one is legitimate — so the hot-shingle cap is
+    the load-bearing bound on candidate fan-out at scale. One
+    intersection computation per unordered pair; both directions emit
+    from it (in-row explode, no second join)."""
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .repartition(npart, "id")
+        .select("id", tokens(F.lower(F.col("txt"))).alias("toks"))
+        .persist()
+    )
+    sh = (
+        tok.select("id", shingles_from_tokens(F.col("toks"), n).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("s")
+        )
+        inv = inv.join(F.broadcast(hot), "s", "left_anti")
+    inv = inv.persist()
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.s") == F.col("b.s"), F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
+                   F.col("n_sh").alias("na"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
+                   F.col("n_sh").alias("nb"))
+    v = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "na", "nb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+        )
+    )
+    t = float(threshold)
+    both = v.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    (F.col("inter").cast("double") / F.col("na").cast("double")
+                     ).alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    (F.col("inter").cast("double") / F.col("nb").cast("double")
+                     ).alias("containment"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*").filter(F.col("containment") >= t)
+    return give_ownership(both, [tok, sh, inv])

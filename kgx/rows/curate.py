@@ -643,3 +643,40 @@ SELECT doc_id,
        md5(string_agg(w, ' ' ORDER BY i)) AS chunk_hash
 FROM c GROUP BY doc_id, chunk_idx
 """
+def curate_mix_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source-interleaved epoch order (curation.mix_interleave)
+    over documents bucketed into three synthetic sources (doc_id % 3 →
+    chat/code/web): each doc's global epoch_pos under strict striding,
+    computed from the closed form over the broadcast source-size dim —
+    no global ORDER BY anywhere in the plan."""
+    from kgx import curation
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    src = F.element_at(
+        F.array(F.lit("chat"), F.lit("code"), F.lit("web")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return curation.mix_interleave(docs.withColumn("source", src))
+CURATE_MIX_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'chat' WHEN 1 THEN 'code'
+              ELSE 'web' END AS source
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) - 1 AS BIGINT)
+           AS rank_in_source
+  FROM d
+),
+sizes AS (SELECT source AS s2, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1)
+SELECT r.doc_id, r.source, r.rank_in_source,
+       CAST(sum(least(r.rank_in_source, s.n)
+                + CASE WHEN s.s2 < r.source AND s.n > r.rank_in_source
+                       THEN 1 ELSE 0 END) AS BIGINT) AS epoch_pos
+FROM r CROSS JOIN sizes s
+GROUP BY r.doc_id, r.source, r.rank_in_source
+"""

@@ -1122,3 +1122,72 @@ SELECT CAST(64 AS INTEGER) AS k,
        ex.exact_intersection
 FROM m, th, ex
 """
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed sub-document containment pairs (dedup.containment_pairs):
+    C(src→dst) = |sh(src)∩sh(dst)|/|sh(src)| >= 0.9 — catches documents
+    quoted whole inside longer ones, which symmetric Jaccard never
+    flags. The corpus has no natural sub-documents, so (like
+    dedup_exact's perturbed copies) docs with doc_id%10==7 get a
+    deterministic half-length prefix twin (+2e9 id): its shingle set is
+    a strict subset of the parent's → containment exactly 1.0 in the
+    sub→parent direction while Jaccard ≈ 0.5 stays invisible to the
+    near-dup family. Hot-shingle cap 400 on the candidate index,
+    exact verification against full shingle arrays."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spl = F.split(F.col("text"), " ")
+    sub = (
+        docs.filter((F.col("doc_id") % 10 == 7) & (F.size(spl) >= 16))
+        .select(
+            (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+            F.array_join(
+                F.slice(spl, F.lit(1), (F.size(spl) / F.lit(2)).cast("int")),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return dedup.containment_pairs(
+        docs.unionByName(sub), n=5, threshold=0.9, max_df=_NGRAM_MAX_DF
+    )
+DEDUP_CONTAINMENT_SQL = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         array_to_string(list_slice(string_split(text, ' '), 1,
+                                    len(string_split(text, ' ')) // 2), ' ')
+  FROM documents
+  WHERE doc_id % 10 = 7 AND len(string_split(text, ' ')) >= 16
+),
+t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM src
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+         ELSE [array_to_string(toks, ' ')] END AS sh
+  FROM t
+),
+inv AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+hot AS (SELECT s FROM inv GROUP BY s HAVING count(*) > {_NGRAM_MAX_DF}),
+capped AS (SELECT inv.* FROM inv ANTI JOIN hot USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.id_a, c.id_b,
+         len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+),
+d AS (
+  SELECT id_a AS src_id, id_b AS dst_id,
+         CAST(inter AS DOUBLE) / na AS containment FROM v
+  UNION ALL
+  SELECT id_b, id_a, CAST(inter AS DOUBLE) / nb FROM v
+)
+SELECT src_id, dst_id, containment FROM d WHERE containment >= 0.9
+"""

@@ -198,3 +198,39 @@ def test_snapshot_diff_all_four_statuses(spark):
         ("c", "p"): ("neutral", None, "removed"),
         ("d", "p"): (None, "neutral", "added"),
     }
+
+
+def test_containment_asymmetric_subdoc(spark):
+    from kgx import dedup
+
+    base = " ".join(f"w{i}" for i in range(40))
+    sub = " ".join(f"w{i}" for i in range(20))       # strict prefix
+    other = " ".join(f"x{i}" for i in range(40))     # disjoint
+    df = spark.createDataFrame(
+        [(1, base), (2, sub), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.src_id, r.dst_id): r.containment
+        for r in dedup.containment_pairs(df, threshold=0.9).collect()
+    }
+    # sub→base containment exactly 1.0; base→sub (16/36 < 0.9) and all
+    # pairs with the disjoint doc are absent
+    assert got == {(2, 1): 1.0}
+
+
+def test_mix_interleave_round_robin_positions(spark):
+    from kgx import curation
+
+    # A has 3 docs, B has 1, C has 2 — strict striding with drop-out:
+    # cycle 0: A,B,C  cycle 1: A,C  cycle 2: A
+    rows = [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "C"), (6, "C")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.mix_interleave(df).collect()
+    pos = {(r.source, r.rank_in_source): r.epoch_pos for r in out}
+    assert pos == {
+        ("A", 0): 0, ("B", 0): 1, ("C", 0): 2,
+        ("A", 1): 3, ("C", 1): 4,
+        ("A", 2): 5,
+    }
+    # epoch positions are a permutation of 0..n-1
+    assert sorted(r.epoch_pos for r in out) == list(range(6))
