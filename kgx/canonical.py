@@ -297,11 +297,31 @@ def fact_fusion(
     the VOTE table — bounded at (distinct vote values) rows per key,
     here <= 3 polarities — so its exchange moves vote counts, never
     evidence rows."""
-    from pyspark.sql import Window
-
     k = list(key_cols)
     votes = triples.groupBy(*k, vote_col).agg(
         F.count("*").cast("long").alias("n_votes_winner")
+    )
+    return fuse_votes(votes, key_cols=key_cols, vote_col=vote_col)
+
+
+def fuse_votes(
+    votes: DataFrame,
+    key_cols: tuple[str, str] = ("subj_uri", "pred"),
+    vote_col: str = "obj_polarity",
+) -> DataFrame:
+    """Winner pick over a PRE-AGGREGATED vote table (one row per
+    key+value with its count in `n_votes_winner`) — the second half of
+    fact_fusion, split out so incremental producers share it verbatim:
+    vote counts are additive-mergeable, so a stream can maintain the
+    vote table (kgx.streaming.fusion_stream) and publish fused facts at
+    any point with exactly the batch operator's pick. Input rows for a
+    duplicated key+value are summed first, so a delta-log vote table
+    (one row per micro-batch per key+value) feeds this directly."""
+    from pyspark.sql import Window
+
+    k = list(key_cols)
+    votes = votes.groupBy(*k, vote_col).agg(
+        F.sum("n_votes_winner").cast("long").alias("n_votes_winner")
     )
     w = Window.partitionBy(*k).orderBy(
         F.col("n_votes_winner").desc(), F.col(vote_col).asc()

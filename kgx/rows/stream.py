@@ -28,7 +28,7 @@ from kgx import (
 )
 
 from kgx.rows.base import _t  # noqa: E501
-from kgx.rows.kg import _KG_COLS, _doc_transcripts  # noqa: E501
+from kgx.rows.kg import _KG_COLS, _doc_transcripts, _kg_run  # noqa: E501
 
 def _stream_workdir(tag: str) -> str:
     """Bounded scratch dir for a streaming registry query: a DETERMINISTIC
@@ -630,3 +630,42 @@ def stream_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(per_tool).alias("row_total"),
         (F.col("n").cast("double") / F.sum("n").over(per_tool)).alias("p"),
     )
+def stream_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of kg_fact_fusion (foreachBatch, kgx.streaming.
+    fusion_stream): the SAME sentence-triple evidence split across three
+    micro-batches BY CONVERSATION (conv_id % 3 — every fused key receives
+    votes from multiple batches, so the additive vote merge is really
+    exercised), drained into a batch-keyed vote-delta log, then fused
+    through canonical.fuse_votes. Vote counts are additive-mergeable, so
+    the result equals batch fusion regardless of the batch split — this
+    row shares KG_FUSION_SQL verbatim. Replay safety comes from the
+    batch-keyed partition overwrite, not from a transactional sink (see
+    the module docstring)."""
+    import os as _os
+
+    from kgx.streaming import fusion_stream
+
+    facts, _tf = _kg_run(spark, sf_dir)
+    tri = agg_mod.sentence_triples(facts).select(
+        "conv_id", "subj_uri", "pred", "obj_polarity"
+    )
+    base = _stream_workdir("fusion")
+    src, votes, ckpt = (_os.path.join(base, d) for d in ("src", "votes", "ckpt"))
+    _os.makedirs(src)
+    for i in range(3):
+        tri.filter(F.col("conv_id").cast("long") % 3 == i).select(
+            "subj_uri", "pred", "obj_polarity"
+        ).coalesce(1).write.parquet(f"{src}/p{i}")
+
+    source = (
+        spark.readStream.schema(
+            "subj_uri string, pred string, obj_polarity string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = fusion_stream.start_fusion_stream(
+        spark, source, votes, ckpt, available_now=True
+    )
+    q.awaitTermination(600)
+    return fusion_stream.read_fused(spark, votes)

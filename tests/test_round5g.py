@@ -234,3 +234,38 @@ def test_mix_interleave_round_robin_positions(spark):
     }
     # epoch positions are a permutation of 0..n-1
     assert sorted(r.epoch_pos for r in out) == list(range(6))
+
+
+def test_fusion_delta_log_replay_idempotent_and_equals_batch(spark, tmp_path):
+    from kgx import canonical
+    from kgx.streaming import fusion_stream
+
+    b0 = spark.createDataFrame(
+        [("u1", "p", "positive")] * 2 + [("u2", "p", "negative")],
+        "subj_uri string, pred string, obj_polarity string",
+    )
+    b1 = spark.createDataFrame(
+        [("u1", "p", "negative")] * 3 + [("u2", "p", "negative")],
+        "subj_uri string, pred string, obj_polarity string",
+    )
+    votes = str(tmp_path / "votes")
+
+    def write(batch_df, batch_id):
+        fusion_stream.vote_delta(batch_df).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{votes}/batch={batch_id}")
+
+    write(b0, 0)
+    write(b0, 0)  # replayed micro-batch: same id overwrites, never adds
+    write(b1, 1)
+
+    got = {
+        (r.subj_uri, r.pred): (r.fused_value, r.n_votes_winner, r.n_votes_total)
+        for r in fusion_stream.read_fused(spark, votes).collect()
+    }
+    want = {
+        (r.subj_uri, r.pred): (r.fused_value, r.n_votes_winner, r.n_votes_total)
+        for r in canonical.fact_fusion(b0.unionByName(b1)).collect()
+    }
+    assert got == want
+    assert got[("u1", "p")] == ("negative", 3, 5)
