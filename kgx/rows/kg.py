@@ -1751,3 +1751,26 @@ FROM o FULL OUTER JOIN n
   ON o.subj_uri = n.subj_uri AND o.pred = n.pred
 """
 )
+def kg_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation entity salience (aggregate.entity_salience) over
+    the sentence-triple evidence: mention share + deterministic rank per
+    (conv, entity) — the "main entity of this document" signal."""
+    facts, _tf = _kg_run(spark, sf_dir)
+    tri = agg_mod.sentence_triples(facts).select("conv_id", "subj_uri")
+    return agg_mod.entity_salience(tri)
+KG_SALIENCE_SQL = _KG_SQL_PROLOGUE + """
+, per AS (
+  SELECT conv_id, uri AS subj_uri, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM facts GROUP BY 1, 2
+)
+SELECT conv_id, subj_uri, n_mentions,
+       CAST(sum(n_mentions) OVER (PARTITION BY conv_id) AS BIGINT)
+         AS n_doc_mentions,
+       CAST(n_mentions AS DOUBLE)
+         / CAST(sum(n_mentions) OVER (PARTITION BY conv_id) AS DOUBLE)
+         AS salience,
+       CAST(row_number() OVER (PARTITION BY conv_id
+                               ORDER BY n_mentions DESC, subj_uri)
+            AS INTEGER) AS rank
+FROM per
+"""

@@ -269,3 +269,19 @@ def test_fusion_delta_log_replay_idempotent_and_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert got[("u1", "p")] == ("negative", 3, 5)
+
+
+def test_entity_salience_share_and_rank(spark):
+    from kgx import aggregate
+
+    rows = [("c1", "e1")] * 3 + [("c1", "e2")] * 1 + [("c2", "e9")]
+    df = spark.createDataFrame(rows, "conv_id string, subj_uri string")
+    got = {
+        (r.conv_id, r.subj_uri): (r.n_mentions, r.n_doc_mentions, r.salience, r.rank)
+        for r in aggregate.entity_salience(df).collect()
+    }
+    assert got == {
+        ("c1", "e1"): (3, 4, 0.75, 1),
+        ("c1", "e2"): (1, 4, 0.25, 2),
+        ("c2", "e9"): (1, 1, 1.0, 1),
+    }
