@@ -63,6 +63,13 @@ AUDIT = [
     "text_mlm_mask",
     "graph_skipgram_pairs",
     "kg_sft_pairs",
+    # round-5 closing batch: fusion family, containment, interleave
+    "kg_fact_fusion",
+    "kg_fact_provenance",
+    "kg_snapshot_diff",
+    "kg_entity_salience",
+    "dedup_containment",
+    "curate_mix_interleave",
 ]
 
 

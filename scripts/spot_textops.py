@@ -101,15 +101,18 @@ def main() -> None:
         f"| {r['loadavg']} |"
         for q, r in results.items()
     )
+    note = os.environ.get(
+        "SPOT_NOTE",
+        "Same near-duplicate corpus construction as the sf1-equivalent "
+        "run above; walls are ONE timed full run after a same-plan "
+        "warmup.",
+    )
+    title = os.environ.get("SPOT_TITLE", "Spot-run")
     md = f"""
 
-## Round-5 closing spot-run — newest text operators at 100x (local[{CPUS}], shared host)
+## {title} — {DOC_REPL}x corpus (local[{CPUS}], shared host)
 
-Same 100x near-duplicate corpus as the sf1-equivalent run above; walls
-are ONE timed full run after a same-plan warmup. Winnowing and CDC are
-map-only (zero exchanges) so their throughput is the pure in-row cost;
-RAKE is one exchange; PMI persists its bigram-count frame (the peak
-column shows it).
+{note}
 
 | operator | input | rows out | wall (s) | throughput | peak persisted (MB) | 1-min loadavg |
 |---|---|---|---|---|---|---|
