@@ -104,6 +104,13 @@ HEADLINE = [
     "text_rake_keywords",
     "sketch_kmv_intersection",
     "curate_cdc_chunks",
+    # new in round 5 fusion batch
+    "kg_fact_fusion",
+    "kg_fact_provenance",
+    "kg_snapshot_diff",
+    "kg_entity_salience",
+    "dedup_containment",
+    "curate_mix_interleave",
 ]
 
 
