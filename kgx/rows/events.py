@@ -1168,3 +1168,43 @@ SELECT n.node,
        CAST(coalesce(a2.s, 0) AS BIGINT) AS auth
 FROM n LEFT JOIN h2 ON n.node = h2.node LEFT JOIN a2 ON n.node = a2.node
 """
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal Pearson r + OLS slope of quantity vs extendedprice
+    per returnflag (kgx/stats.correlation): the five sufficient
+    statistics accumulate as decimals (order-independent), the final r
+    is one IEEE expression over exact scalars — a hash-checkable
+    correlation, which approx/stochastic implementations can't give."""
+    from kgx import stats
+
+    return stats.correlation(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_quantity",
+        "l_extendedprice",
+    )
+STATS_CORR_SQL = """
+WITH a AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY 1
+)
+SELECT l_returnflag, n,
+  CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
+        AND (CAST(n AS DOUBLE)*sy2 - sy*sy) > 0
+       THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+            / sqrt((CAST(n AS DOUBLE)*sx2 - sx*sx)
+                   * (CAST(n AS DOUBLE)*sy2 - sy*sy))
+  END AS pearson_r,
+  CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
+       THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+            / (CAST(n AS DOUBLE)*sx2 - sx*sx)
+  END AS ols_slope
+FROM a
+"""

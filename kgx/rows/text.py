@@ -614,3 +614,76 @@ SELECT word,
        CAST(sum(pl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rake_score
 FROM pairs GROUP BY 1
 """
+def text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TextRank (Mihalcea & Tarau 2004) keywords: adjacent
+    content-word pairs (both tokens >= 4 chars, direct adjacency only —
+    the documented contract; no stopword-skip window) form an undirected
+    word graph, ranked by the SAME exact integer PageRank engine as
+    graph_pagerank (graph.pagerank_int, 2 unrolled iterations, integral
+    div arithmetic → bit-identical cross-engine), then the global top-50
+    by (rank desc, word). The top-k window runs over the VOCABULARY-sized
+    rank table, never the corpus — one small-window pass."""
+    t = _t(spark, sf_dir, "documents").select(
+        textops.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    pairs = t.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("toks"), i).alias("x"),
+                        F.element_at(F.col("toks"), i + 1).alias("y"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    )
+    e0 = (
+        pairs.select(
+            F.least("p.x", "p.y").alias("a"), F.greatest("p.x", "p.y").alias("b")
+        )
+        .filter(
+            (F.length("a") >= 4) & (F.length("b") >= 4) & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    und = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    ranks = graph.pagerank_int(und, iters=2)
+    w = Window.orderBy(F.col("rank").desc(), F.col("word"))
+    out = (
+        ranks.select(F.col("node").alias("word"), "rank")
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 50)
+    )
+    return dedup.propagate_ownership(ranks, out)
+from kgx.rows.events import _PR_ITER  # noqa: E402  (unrolled iteration CTE)
+TEXT_TEXTRANK_SQL = (
+    """
+WITH t AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+pr AS (
+  SELECT unnest([struct_pack(x := toks[i], y := toks[i+1])
+                 FOR i IN range(1, len(toks))]) AS p
+  FROM t
+),
+e0 AS (
+  SELECT DISTINCT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b
+  FROM pr
+  WHERE len(p.x) >= 4 AND len(p.y) >= 4 AND p.x <> p.y
+),
+und AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+deg AS (SELECT src, count(*) AS deg FROM und GROUP BY src),
+r0 AS (SELECT src, CAST(1000000000000 AS BIGINT) AS r, deg FROM deg),"""
+    + ",".join(_PR_ITER.format(i=i, j=i - 1) for i in (1, 2))
+    + """,
+f AS (
+  SELECT src AS word, r AS rank,
+         row_number() OVER (ORDER BY r DESC, src) AS pos
+  FROM r2
+)
+SELECT word, rank, CAST(pos AS INTEGER) AS pos FROM f WHERE pos <= 50
+"""
+)

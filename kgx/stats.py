@@ -211,3 +211,52 @@ def cohort_retention(
         "cohort_size",
         (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
     )
+
+
+def correlation(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation + OLS slope with EXACT cross-row
+    accumulation: the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²)
+    are summed as decimals (order-independent, bit-reproducible — the
+    repo rule: never sum raw doubles across rows), and the final r and
+    slope are single IEEE expressions over the five exact scalars, so
+    two engines computing the same text agree bit-for-bit.
+
+    Contract: inputs must be exactly representable at DECIMAL(18,2)
+    (prices/quantities); NULLs in either column drop the row (standard
+    pairwise-complete). Degenerate groups (zero variance in either
+    column) emit NULL r rather than a division error; slope needs only
+    x-variance.
+
+    Shape: one groupBy with map-side partial decimal sums — the same
+    single-exchange profile as profile_numeric, state O(1) per group."""
+    xd = F.col(x_col).cast("decimal(18,2)")
+    yd = F.col(y_col).cast("decimal(18,2)")
+    agg = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(xd).cast("double").alias("sx"),
+            F.sum(yd).cast("double").alias("sy"),
+            F.sum(xd * yd).cast("double").alias("sxy"),
+            F.sum(xd * xd).cast("double").alias("sx2"),
+            F.sum(yd * yd).cast("double").alias("sy2"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sx2") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("sy2") - F.col("sy") * F.col("sy")
+    return agg.select(
+        group_col,
+        "n",
+        F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny)).alias(
+            "pearson_r"
+        ),
+        F.when(denx > 0, num / denx).alias("ols_slope"),
+    )

@@ -285,3 +285,20 @@ def test_entity_salience_share_and_rank(spark):
         ("c1", "e2"): (1, 4, 0.25, 2),
         ("c2", "e9"): (1, 1, 1.0, 1),
     }
+
+
+def test_correlation_exact_and_degenerate(spark):
+    from kgx import stats
+
+    rows = [
+        ("g1", 1.0, 2.0), ("g1", 2.0, 4.0), ("g1", 3.0, 6.0),  # perfect
+        ("g2", 1.0, 5.0), ("g2", 1.0, 7.0),                    # zero x-var
+        ("g3", 1.0, 1.0), ("g3", 2.0, None),                   # null drops
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: (r.n, r.pearson_r, r.ols_slope)
+           for r in stats.correlation(df, "g", "x", "y").collect()}
+    assert got["g1"] == (3, 1.0, 2.0)
+    assert got["g2"][0] == 2 and got["g2"][1] is None and got["g2"][2] is None
+    # g3: single complete pair -> degenerate, NULL r
+    assert got["g3"] == (1, None, None)
