@@ -830,3 +830,46 @@ def mix_interleave(
         .groupBy(id_col, source_col, "rank_in_source")
         .agg(F.sum(contrib).cast("long").alias("epoch_pos"))
     )
+
+
+def ppl_band(
+    docs: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    score_col: str = "unigram_likelihood",
+) -> DataFrame:
+    """CCNet-style per-language perplexity banding: rank every document
+    inside its language by LM score (best first) and cut the ranking
+    into head / middle / tail THIRDS with pure-integer boundaries
+    (r <= n div 3, r <= 2n div 3) — the buckets CCNet keeps (head+middle)
+    or drops (tail), computed per LANGUAGE because a cross-language score
+    comparison is meaningless and because the per-language window is what
+    keeps the rank shuffle partitioned instead of global (the scale
+    point: there is NO corpus-wide ORDER BY here).
+
+    `scored` is any (id, score) frame — unigram_likelihood's log-free
+    corpus-typicality score in the registry row; a KenLM perplexity
+    column drops in unchanged. Ties break on the id (total order, so the
+    SQL oracle reproduces every boundary)."""
+    s = scored.select(id_col, score_col)
+    d = docs.select(id_col, lang_col).join(s, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(lang_col))
+    return (
+        d.select(
+            id_col,
+            lang_col,
+            score_col,
+            F.row_number().over(w).cast("bigint").alias("ppl_rank"),
+            n.cast("bigint").alias("n_lang"),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("ppl_rank") <= F.expr("n_lang div 3"), "head")
+            .when(F.col("ppl_rank") <= F.expr("(2 * n_lang) div 3"), "middle")
+            .otherwise("tail"),
+        )
+    )

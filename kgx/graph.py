@@ -869,3 +869,62 @@ def hits_int(edges: DataFrame, iters: int = 2) -> DataFrame:
     )
     out._kgx_persisted = persisted
     return out
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Per-community Newman modularity contributions over a symmetric
+    edge list and a (node, community) assignment — the quality metric
+    that says whether a community detector (label_propagation) found
+    real structure or noise; global Q is the sum of contributions.
+
+    Exact-integer contract: with und holding BOTH directions (|und| =
+    2m), intra_und(c) counts directed intra-community rows (= 2·e_c)
+    and k_c sums member degrees, so
+
+        contribution(c) = (2m·intra_und(c) − k_c²) / (2m)²
+
+    is a single IEEE division of exact BIGINTs — bit-identical in any
+    engine, any aggregation order (Newman 2004's Q = Σ_c [e_c/m −
+    (k_c/2m)²] rewritten over one denominator). k_c² stays inside int64
+    up to k_c ≈ 3·10^9 member-degree — beyond that widen to
+    DECIMAL(38,0) (hits_int's note).
+
+    Shape: two label joins on the edge list (O(|E|) rows, node-keyed),
+    one intra count + one degree-sum groupBy (map-side partials), and
+    the 2m total joins in as a broadcast single-row frame. Skewed giant
+    communities split fine: every aggregation is additive."""
+    lab_s = communities.select(F.col("node").alias("src"), F.col("community").alias("sl"))
+    lab_d = communities.select(F.col("node").alias("dst"), F.col("community").alias("dl"))
+    intra = (
+        edges.join(lab_s, "src")
+        .join(lab_d, "dst")
+        .filter(F.col("sl") == F.col("dl"))
+        .groupBy(F.col("sl").alias("community"))
+        .agg(F.count("*").cast("long").alias("intra_und"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    kc = (
+        deg.join(communities.withColumnRenamed("node", "src"), "src")
+        .groupBy("community")
+        .agg(
+            F.sum("deg").cast("long").alias("k_c"),
+            F.count("*").cast("long").alias("n_nodes"),
+        )
+    )
+    tot = edges.agg(F.count("*").cast("long").alias("m2"))
+    return (
+        kc.join(intra, "community", "left")
+        .withColumn("intra_und", F.coalesce("intra_und", F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "intra_und",
+            "k_c",
+            (
+                (F.col("m2") * F.col("intra_und") - F.col("k_c") * F.col("k_c"))
+                .cast("double")
+                / (F.col("m2") * F.col("m2")).cast("double")
+            ).alias("contribution"),
+        )
+    )

@@ -747,3 +747,99 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_jpeg_exif(
+    width: int, height: int, orientation: int, little: bool = False
+) -> bytes:
+    """JPEG with a REAL Exif APP1 segment: TIFF header (II/MM byte order,
+    magic 42, IFD0 offset) + a one-entry IFD0 carrying the Orientation
+    tag (0x0112, SHORT, count 1, value left-justified in the 4-byte
+    field per TIFF 6.0 §2), then the same JFIF APP0 + SOF0 skeleton as
+    make_jpeg. Both byte orders are exercised by callers — the parser
+    must honor the header, not assume one. Deterministic."""
+    bo = "<" if little else ">"
+    tiff = (
+        (b"II" if little else b"MM")
+        + struct.pack(bo + "H", 42)
+        + struct.pack(bo + "I", 8)
+        + struct.pack(bo + "H", 1)  # one IFD0 entry
+        + struct.pack(bo + "HHI", 0x0112, 3, 1)  # Orientation, SHORT, x1
+        + struct.pack(bo + "H", orientation) + b"\x00\x00"
+        + struct.pack(bo + "I", 0)  # no next IFD
+    )
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app1 + app0 + sof0 + b"\xff\xd9"
+
+
+def parse_exif_orientation(payload: bytes | None) -> int | None:
+    """Orientation (1-8) from a JPEG's Exif APP1 segment via a real TIFF
+    IFD walk: marker scan → APP1 with "Exif\\0\\0" → byte-order header
+    (II little / MM big, magic 42) → IFD0 entries → tag 0x0112 (SHORT,
+    count 1). None for anything unparseable or Exif-less — corrupt or
+    foreign bytes are data, not exceptions, at corpus scale."""
+    if not payload or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        i, n = 2, len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / image data
+                break
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:
+                i += 2
+                continue
+            if i + 4 > n:
+                break
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker == 0xE1 and payload[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = payload[i + 10 : i + 2 + seg_len]
+                if len(tiff) < 8:
+                    return None
+                if tiff[:2] == b"II":
+                    bo = "<"
+                elif tiff[:2] == b"MM":
+                    bo = ">"
+                else:
+                    return None
+                if struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+                    return None
+                off = struct.unpack(bo + "I", tiff[4:8])[0]
+                if off + 2 > len(tiff):
+                    return None
+                n_ent = struct.unpack(bo + "H", tiff[off : off + 2])[0]
+                for k in range(n_ent):
+                    e = tiff[off + 2 + 12 * k : off + 2 + 12 * (k + 1)]
+                    if len(e) < 12:
+                        return None
+                    tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+                    if tag == 0x0112 and typ == 3 and cnt == 1:
+                        return struct.unpack(bo + "H", e[8:10])[0]
+                return None
+            i += 2 + seg_len
+    except (struct.error, IndexError):
+        pass
+    return None
+
+
+def exif_metadata(media: DataFrame) -> DataFrame:
+    """REAL Exif surface: (media_id, orientation) parsed out of the raw
+    JPEG bytes by the TIFF IFD walk — same pruned one-stage mapInPandas
+    plumbing as the other header kernels."""
+    return _header_metadata(
+        media,
+        "image",
+        [StructField("orientation", IntegerType(), True)],
+        lambda p: (parse_exif_orientation(p),),
+    )

@@ -680,3 +680,48 @@ SELECT r.doc_id, r.source, r.rank_in_source,
 FROM r CROSS JOIN sizes s
 GROUP BY r.doc_id, r.source, r.rank_in_source
 """
+def curate_ppl_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity banding (curation.ppl_band) over
+    the unigram-LM corpus-typicality score, ranked PER LANGUAGE with
+    integer third-boundaries — the quality-bucketing step between LM
+    scoring and mixture sampling. No corpus-global ORDER BY: the rank
+    window partitions on lang."""
+    from kgx import curation, textops
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = textops.unigram_likelihood(docs)
+    return curation.ppl_band(docs, scored)
+CURATE_PPL_BAND_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+corpus AS (SELECT token, CAST(sum(tf) AS BIGINT) AS corpus_cnt FROM tf GROUP BY 1),
+total AS (SELECT CAST(sum(corpus_cnt) AS BIGINT) AS total_tokens FROM corpus),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(tf * corpus_cnt) AS BIGINT) AS lik_num,
+         CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM tf JOIN corpus USING (token) GROUP BY 1
+),
+s AS (
+  SELECT doc_id,
+         CAST(lik_num AS DOUBLE) / CAST(n_tokens * total_tokens AS DOUBLE)
+           AS unigram_likelihood
+  FROM per_doc, total
+),
+r AS (
+  SELECT d.doc_id, d.lang, s.unigram_likelihood,
+         CAST(row_number() OVER (PARTITION BY d.lang
+                                 ORDER BY s.unigram_likelihood DESC,
+                                          d.doc_id ASC) AS BIGINT) AS ppl_rank,
+         CAST(count(*) OVER (PARTITION BY d.lang) AS BIGINT) AS n_lang
+  FROM documents d JOIN s USING (doc_id)
+)
+SELECT doc_id, lang, unigram_likelihood, ppl_rank, n_lang,
+       CASE WHEN ppl_rank <= n_lang // 3 THEN 'head'
+            WHEN ppl_rank <= (2 * n_lang) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM r
+"""

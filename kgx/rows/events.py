@@ -1208,3 +1208,55 @@ SELECT l_returnflag, n,
   END AS ols_slope
 FROM a
 """
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community Newman modularity contributions (graph.modularity)
+    of the 2-round LPA assignment over the customer—supplier graph —
+    detector and metric composed end-to-end, both exact-integer, so the
+    oracle chains the unrolled LPA CTEs into the one-division
+    modularity formula. Global Q = sum(contribution)."""
+    edges = _cust_supp_edges(spark, sf_dir)
+    labels = graph.label_propagation(edges, rounds=_LPA_ROUNDS)
+    out = graph.modularity(edges, labels)
+    from kgx import dedup as _dedup
+
+    return _dedup.propagate_ownership(labels, out)
+GRAPH_MODULARITY_SQL = f"""
+WITH {_GRAPH_EDGE_CTE},
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+n1 AS (
+  SELECT e.src AS node, l.label, count(*) AS cnt
+  FROM und e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2
+),
+l1 AS (
+  SELECT node, label FROM n1
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+),
+n2 AS (
+  SELECT e.src AS node, l.label, count(*) AS cnt
+  FROM und e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, label AS community FROM n2
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) = 1
+),
+intra AS (
+  SELECT ls.community, CAST(count(*) AS BIGINT) AS intra_und
+  FROM und e
+  JOIN l2 ls ON e.src = ls.node
+  JOIN l2 ld ON e.dst = ld.node
+  WHERE ls.community = ld.community
+  GROUP BY 1
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+kc AS (
+  SELECT l.community, CAST(sum(d.deg) AS BIGINT) AS k_c,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM deg d JOIN l2 l ON d.src = l.node GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und)
+SELECT kc.community, kc.n_nodes,
+       CAST(coalesce(intra.intra_und, 0) AS BIGINT) AS intra_und, kc.k_c,
+       CAST(tot.m2 * coalesce(intra.intra_und, 0) - kc.k_c * kc.k_c AS DOUBLE)
+         / CAST(tot.m2 * tot.m2 AS DOUBLE) AS contribution
+FROM kc LEFT JOIN intra USING (community) CROSS JOIN tot
+"""

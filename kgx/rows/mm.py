@@ -152,6 +152,14 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                         else multimodal.make_jpeg(w, h)
                     )
                     mime = ("image/png", "image/gif", "image/jpeg")[k]
+                elif kind == "exif":
+                    payload = multimodal.make_jpeg_exif(
+                        16 + mid % 97,
+                        16 + (mid * 7) % 89,
+                        1 + mid % 8,
+                        little=bool(mid % 2),
+                    )
+                    mime = "image/jpeg"
                 elif kind == "audio":
                     sr = (8000, 16000, 22050, 44100)[mid % 4]
                     payload = multimodal.make_wav(
@@ -173,7 +181,11 @@ def _synth_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
                         500 + (mid * 13) % 20000, ts, v1=bool(mid % 2)
                     )
                     mime = "video/mp4"
-                out_kind = "video" if kind == "video_frames" else kind
+                out_kind = (
+                    "video" if kind == "video_frames"
+                    else "image" if kind == "exif"
+                    else kind
+                )
                 rows.append((mid, out_kind, mime, payload, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -300,4 +312,18 @@ FROM (
                                    ORDER BY frame_idx) AS rn
   FROM idx
 ) WHERE rn = 1
+"""
+def mm_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Exif surface: JPEGs synthesized with a genuine APP1/TIFF IFD0
+    Orientation entry — byte order ALTERNATES per doc (odd ids
+    little-endian II, even big-endian MM), so the parser's byte-order
+    handling is hash-verified, not assumed. multimodal.
+    parse_exif_orientation walks marker → APP1 → TIFF header → IFD0 →
+    tag 0x0112; the oracle recomputes orientation from the generating
+    arithmetic (1 + doc_id % 8)."""
+    return multimodal.exif_metadata(_synth_media(spark, sf_dir, "exif"))
+MM_EXIF_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(1 + doc_id % 8 AS INTEGER) AS orientation
+FROM documents
 """

@@ -302,3 +302,70 @@ def test_correlation_exact_and_degenerate(spark):
     assert got["g2"][0] == 2 and got["g2"][1] is None and got["g2"][2] is None
     # g3: single complete pair -> degenerate, NULL r
     assert got["g3"] == (1, None, None)
+
+
+# --------------------------------------- exif / modularity / ppl band --
+
+
+def test_exif_roundtrip_both_byte_orders_and_absence():
+    from kgx import multimodal as m
+
+    for little in (False, True):
+        for o in range(1, 9):
+            b = m.make_jpeg_exif(40, 30, o, little)
+            assert m.parse_exif_orientation(b) == o
+            # dims parser skips APP1 and still reads SOF0
+            assert m.parse_image_header(b) == (40, 30, "jpeg")
+    assert m.parse_exif_orientation(m.make_jpeg(10, 10)) is None
+    assert m.parse_exif_orientation(m.make_png(5, 5)) is None
+    assert m.parse_exif_orientation(b"\xff\xd8\xff\xe1\x00\x04Ex") is None
+
+
+def test_modularity_two_cliques_exact(spark):
+    from kgx import graph
+
+    # two triangles joined by one bridge edge; communities = the triangles
+    tri1 = [("a", "b"), ("b", "c"), ("a", "c")]
+    tri2 = [("d", "e"), ("e", "f"), ("d", "f")]
+    bridge = [("c", "d")]
+    e0 = tri1 + tri2 + bridge
+    und = spark.createDataFrame(
+        e0 + [(y, x) for x, y in e0], "src string, dst string"
+    )
+    comm = spark.createDataFrame(
+        [(n, "t1") for n in "abc"] + [(n, "t2") for n in "def"],
+        "node string, community string",
+    )
+    got = {r.community: (r.n_nodes, r.intra_und, r.k_c, r.contribution)
+           for r in graph.modularity(und, comm).collect()}
+    # 2m = 14; each triangle: intra_und 6, k_c 7
+    # contribution = (14*6 - 49) / 196 = 35/196
+    assert got == {
+        "t1": (3, 6, 7, 35.0 / 196.0),
+        "t2": (3, 6, 7, 35.0 / 196.0),
+    }
+    # global Q for this classic split is 5/14
+    q = sum(v[3] for v in got.values())
+    assert abs(q - 5.0 / 14.0) < 1e-15
+
+
+def test_ppl_band_thirds_per_lang(spark):
+    from kgx import curation
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(1, 8)] + [(10, "fr"), (11, "fr")],
+        "doc_id long, lang string",
+    )
+    scored = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(1, 8)]
+        + [(10, 5.0), (11, 9.0)],
+        "doc_id long, unigram_likelihood double",
+    )
+    got = {r.doc_id: (r.ppl_rank, r.bucket)
+           for r in curation.ppl_band(docs, scored).collect()}
+    # en: n=7 -> head r<=2, middle r<=4, tail r>=5 (scores desc = id asc)
+    assert got[1] == (1, "head") and got[2] == (2, "head")
+    assert got[3] == (3, "middle") and got[4] == (4, "middle")
+    assert got[5] == (5, "tail") and got[7] == (7, "tail")
+    # fr: n=2 -> n div 3 = 0 -> no head; r=1 middle, r=2 tail
+    assert got[11] == (1, "middle") and got[10] == (2, "tail")
