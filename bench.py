@@ -111,6 +111,11 @@ HEADLINE = [
     "kg_entity_salience",
     "dedup_containment",
     "curate_mix_interleave",
+    "stats_correlation",
+    "text_textrank",
+    "mm_exif_orientation",
+    "graph_modularity",
+    "curate_ppl_band",
 ]
 
 

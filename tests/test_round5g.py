@@ -369,3 +369,69 @@ def test_ppl_band_thirds_per_lang(spark):
     assert got[5] == (5, "tail") and got[7] == (7, "tail")
     # fr: n=2 -> n div 3 = 0 -> no head; r=1 middle, r=2 tail
     assert got[11] == (1, "middle") and got[10] == (2, "tail")
+
+
+def test_fusion_stream_kill_resume_equals_single_run(spark, tmp_path):
+    """Mid-corpus kill+resume for the foreachBatch fusion stream: stop
+    after the first committed micro-batch, restart from the same
+    checkpoint with availableNow, and assert the fused table equals the
+    uninterrupted run — checkpoint offsets + the batch-keyed delta-log
+    overwrite are what make the restart exactly-once."""
+    import os as _os
+    import pandas as pd
+
+    from kgx import canonical
+    from kgx.streaming import fusion_stream
+
+    frames = [
+        pd.DataFrame({"subj_uri": ["u1"] * 2 + ["u2"],
+                      "pred": ["p"] * 3,
+                      "obj_polarity": ["positive", "positive", "negative"]}),
+        pd.DataFrame({"subj_uri": ["u1"] * 3 + ["u2"],
+                      "pred": ["p"] * 4,
+                      "obj_polarity": ["negative"] * 3 + ["negative"]}),
+        pd.DataFrame({"subj_uri": ["u3"], "pred": ["q"],
+                      "obj_polarity": ["neutral"]}),
+    ]
+    import sys
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__)))
+    from test_round5 import _drain_with_restart, _write_batches
+
+    def run(tag, restart):
+        base = str(tmp_path / tag)
+        src = f"{base}/src"
+        _write_batches(src, frames)
+        votes, ckpt = f"{base}/votes", f"{base}/ckpt"
+
+        def start(available_now):
+            source = (
+                spark.readStream.schema(
+                    "subj_uri string, pred string, obj_polarity string"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+            return fusion_stream.start_fusion_stream(
+                spark, source, votes, ckpt, available_now=available_now
+            )
+
+        _drain_with_restart(spark, start, ckpt, restart)
+        return {
+            (r.subj_uri, r.pred): (r.fused_value, r.n_votes_winner,
+                                   r.n_votes_total)
+            for r in fusion_stream.read_fused(spark, votes).collect()
+        }
+
+    single = run("single", restart=False)
+    resumed = run("resumed", restart=True)
+    assert single == resumed
+    # and both equal batch fusion over the union
+    allpdf = pd.concat(frames)
+    batch = {
+        (r.subj_uri, r.pred): (r.fused_value, r.n_votes_winner, r.n_votes_total)
+        for r in canonical.fact_fusion(
+            spark.createDataFrame(allpdf)
+        ).collect()
+    }
+    assert single == batch
+    assert batch[("u1", "p")] == ("negative", 3, 5)
