@@ -1196,16 +1196,16 @@ WITH a AS (
   GROUP BY 1
 )
 SELECT l_returnflag, n,
-  CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
-        AND (CAST(n AS DOUBLE)*sy2 - sy*sy) > 0
-       THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
-            / sqrt((CAST(n AS DOUBLE)*sx2 - sx*sx)
-                   * (CAST(n AS DOUBLE)*sy2 - sy*sy))
-  END AS pearson_r,
-  CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
-       THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
-            / (CAST(n AS DOUBLE)*sx2 - sx*sx)
-  END AS ols_slope
+  round(CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
+              AND (CAST(n AS DOUBLE)*sy2 - sy*sy) > 0
+             THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+                  / sqrt((CAST(n AS DOUBLE)*sx2 - sx*sx)
+                         * (CAST(n AS DOUBLE)*sy2 - sy*sy))
+        END, 12) AS pearson_r,
+  round(CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
+             THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+                  / (CAST(n AS DOUBLE)*sx2 - sx*sx)
+        END, 12) AS ols_slope
 FROM a
 """
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -221,10 +221,15 @@ def correlation(
 ) -> DataFrame:
     """Per-group Pearson correlation + OLS slope with EXACT cross-row
     accumulation: the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²)
-    are summed as decimals (order-independent, bit-reproducible — the
-    repo rule: never sum raw doubles across rows), and the final r and
-    slope are single IEEE expressions over the five exact scalars, so
-    two engines computing the same text agree bit-for-bit.
+    are summed as decimals (order-independent — the repo rule: never sum
+    raw doubles across rows), and the final r and slope are single IEEE
+    expressions over the five scalars. One documented cross-engine seam
+    remains: converting a decimal sum whose UNSCALED value exceeds 2^53
+    to double can differ by 1 ulp between engines (Java BigDecimal
+    converts in one correctly-rounded step; DuckDB's int128 path rounds
+    twice), so the two emitted ratios are quantized to 1e-12 on both
+    sides — the same explicit-contract convention as events_rolling's
+    second-granularity note. The sums themselves stay exact.
 
     Contract: inputs must be exactly representable at DECIMAL(18,2)
     (prices/quantities); NULLs in either column drop the row (standard
@@ -255,8 +260,8 @@ def correlation(
     return agg.select(
         group_col,
         "n",
-        F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny)).alias(
-            "pearson_r"
-        ),
-        F.when(denx > 0, num / denx).alias("ols_slope"),
+        F.round(
+            F.when((denx > 0) & (deny > 0), num / F.sqrt(denx * deny)), 12
+        ).alias("pearson_r"),
+        F.round(F.when(denx > 0, num / denx), 12).alias("ols_slope"),
     )

@@ -142,6 +142,13 @@ def main() -> int:
     spark.stop()
     if json_out:
         import json as _json
+        # a filtered run UPDATES an existing record file in place —
+        # otherwise `--json F sf q1` would silently clobber a
+        # full-registry run's 150+ records with one row
+        if only and os.path.exists(json_out):
+            merged = _json.load(open(json_out))
+            merged.update(records)
+            records = merged
         with open(json_out, "w") as fh:
             _json.dump(records, fh, indent=2)
         print(f"wrote {len(records)} records to {json_out}")
