@@ -116,6 +116,11 @@ HEADLINE = [
     "mm_exif_orientation",
     "graph_modularity",
     "curate_ppl_band",
+    # new in the round-5 extension session
+    "graph_ktruss",
+    "graph_closeness",
+    "stats_chi2",
+    "events_attribution",
 ]
 
 

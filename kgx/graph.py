@@ -928,3 +928,139 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
             ).alias("contribution"),
         )
     )
+
+
+def ktruss(edges_uv: DataFrame, k: int, rounds: int = 2) -> DataFrame:
+    """Bounded k-truss peeling over a unique undirected edge list
+    (u < v per row): `rounds` synchronous rounds of "drop every edge
+    whose triangle support is < k-2" (Cohen 2008, "Trusses: cohesive
+    subgraphs for social network analysis") — the EDGE-level refinement
+    of k-core: a k-truss edge sits in at least k-2 triangles within the
+    surviving subgraph, so trusses isolate strong-tie communities that
+    degree-based coreness cannot (a hub with many weak one-off edges is
+    k-core-dense but truss-sparse). Standard KG-noise filter for
+    co-occurrence graphs: keep only relations reinforced by closed
+    triangles.
+
+    `rounds` is a literal contract exactly like kcore's — at fixpoint
+    further rounds are no-ops, so an oracle that unrolls the same round
+    count is engine-exact wherever the corpus actually converges.
+
+    Per round the support computation reuses triangle_counts' degree-
+    ordered orientation ("compact-forward"): each surviving triangle is
+    enumerated once from its lowest-degree corner, the wedge join fans by
+    the SMALL endpoint's degree (O(E^1.5) bound, hub-safe at 10^9 edges),
+    then each triangle credits its three constituent u<v edges and one
+    groupBy(u, v) (map-side partials) produces supports. Edges with no
+    triangle vanish from the support table and are peeled implicitly —
+    correct truss semantics for k >= 3. Returns the surviving
+    (u, v, support) edges, `support` counted within the PREVIOUS round's
+    subgraph (the value the final peel tested, mirroring kcore returning
+    degree within the surviving subgraph).
+
+    Per-round edge sets are localCheckpoint'ed (eager) — the fixpoint
+    lineage-truncation contract shared with canonical.connected_components;
+    per-round oriented frames ride on ``result._kgx_persisted`` for the
+    caller to unpersist after consuming.
+    """
+    cur = edges_uv.select("u", "v")
+    persisted = []
+    last_sup = None
+    for _ in range(rounds):
+        # truncate lineage per round (canonical.py's fixpoint pattern):
+        # each round references the previous round's edges ~5x (degrees,
+        # both wedge sides, the closing join), so an un-truncated plan
+        # grows ~15^rounds and blows up the analyzer long before the data
+        # does. localCheckpoint materializes the round eagerly and cuts
+        # the logical plan back to a leaf.
+        cur = cur.localCheckpoint(eager=True)
+        sym = cur.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            cur.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        dsrc = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+        ddst = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+        oriented = (
+            cur.join(F.broadcast(dsrc), "u")
+            .join(F.broadcast(ddst), "v")
+            .select(
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                )
+                .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+                .alias("e")
+            )
+            .select("e.a", "e.b")
+            .persist()
+        )
+        persisted.append(oriented)
+        wedges = oriented.join(
+            oriented.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        tri = wedges.join(
+            oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+        ).select("a", "b", "c")
+        # each triangle credits its three unordered (u < v) edges
+        sides = (
+            tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .unionAll(
+                tri.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v"))
+            )
+            .unionAll(
+                tri.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v"))
+            )
+        )
+        sup = sides.groupBy("u", "v").agg(F.count("*").alias("support"))
+        cur = sup.where(F.col("support") >= k - 2)
+        last_sup = cur
+        cur = cur.select("u", "v")
+    out = last_sup if last_sup is not None else edges_uv.select(
+        "u", "v", F.lit(None).cast("bigint").alias("support")
+    )
+    out._kgx_persisted = persisted
+    return out
+
+
+def harmonic_closeness(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    max_depth: int = 3,
+) -> DataFrame:
+    """Landmark-approximated harmonic closeness centrality (Boldi &
+    Vigna 2014, "Axioms for centrality"): for every node, sum 1/d over
+    its distances d to the `n_landmarks` highest-degree pivots (the
+    landmark_distances table), the bounded-depth estimator of the exact
+    harmonic centrality Σ_u 1/d(u, v) that a full APSP could never
+    compute at 10^9 edges. Unreached (landmark, node) pairs contribute 0
+    exactly as the full definition prescribes — no infinite-distance
+    special case.
+
+    Engine-exact arithmetic: each distance contributes the exact integer
+    10^12 // d (d >= 1; the landmark's own dist-0 row is excluded), the
+    per-node sum is a BIGINT (order-independent), and `harmonic` is ONE
+    IEEE division by 10^12 — the same scaled-integer contract as
+    resource_allocation. One groupBy(node) over the slim (landmark,
+    node, dist) table after the BFS; cost is dominated by the shared
+    landmark_distances stages.
+
+    Returns (node, n_reached, harmonic_scaled, harmonic).
+    """
+    from kgx import dedup as _dedup
+
+    dists = landmark_distances(edges, n_landmarks=n_landmarks, max_depth=max_depth)
+    contrib = dists.where(F.col("dist") >= 1).select(
+        "node", F.expr("1000000000000 div dist").cast("bigint").alias("c")
+    )
+    out = contrib.groupBy("node").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("c").cast("bigint").alias("harmonic_scaled"),
+    )
+    out = out.select(
+        "node",
+        "n_reached",
+        "harmonic_scaled",
+        (F.col("harmonic_scaled").cast("double") / F.lit(1.0e12)).alias("harmonic"),
+    )
+    return _dedup.propagate_ownership(dists, out)

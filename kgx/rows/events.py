@@ -1260,3 +1260,186 @@ SELECT kc.community, kc.n_nodes,
          / CAST(tot.m2 * tot.m2 AS DOUBLE) AS contribution
 FROM kc LEFT JOIN intra USING (community) CROSS JOIN tot
 """
+_KTRUSS_K, _KTRUSS_ROUNDS = 12, 2
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-truss peeling (graph.ktruss, k=12, 2 rounds) over the
+    part co-order graph (parts linked iff some order contains both) —
+    the EDGE-cohesion refinement of graph_kcore: surviving edges sit in
+    >= 10 triangles within the surviving subgraph, so weak one-off
+    co-occurrences peel away even when both endpoints are high-degree
+    (the KG-noise case coreness cannot separate). At sf0.01 the peel is
+    a real cascade (115,729 -> 69,588 -> 22,275 edges), so round 2 is
+    measurably not a no-op. `rounds` is the literal kcore/pagerank_int
+    contract; per-round support reuses the degree-ordered orientation
+    (O(E^1.5), hub-safe), and the oracle recounts triangles per round
+    with the plain u<v<w 3-way join — orientation changes cost, never
+    the result. `support` is counted within the PREVIOUS round's
+    subgraph (the value the final peel tested), mirroring kcore's
+    degree-within-core convention."""
+    pairs = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.copurchase_edges(
+        pairs, "l_orderkey", "l_partkey", min_support=1
+    )
+    out = graph.ktruss(edges, k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS)
+    res = out.select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+        F.col("support").cast("bigint").alias("support"),
+    )
+    return dedup.propagate_ownership(out, res)
+_KTRUSS_STEP = """
+t{i} AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e{j} e1 JOIN e{j} e2 ON e1.v = e2.u
+  JOIN e{j} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+s{i} AS (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}
+    UNION ALL SELECT a, c FROM t{i}
+  ) GROUP BY 1, 2
+),
+e{i} AS (SELECT u, v, sup FROM s{i} WHERE sup >= {km2})"""
+GRAPH_KTRUSS_SQL = (
+    """
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS n FROM lineitem),
+e0 AS (
+  SELECT a.n AS u, b.n AS v FROM m a JOIN m b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2
+),"""
+    + ",".join(
+        _KTRUSS_STEP.format(i=i, j=i - 1, km2=_KTRUSS_K - 2)
+        for i in range(1, _KTRUSS_ROUNDS + 1)
+    )
+    + f"""
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(sup AS BIGINT) AS support
+FROM e{_KTRUSS_ROUNDS}
+"""
+)
+def graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic closeness centrality
+    (graph.harmonic_closeness; Boldi & Vigna 2014) over the customer—
+    supplier graph: per node, the exact-integer sum of 10^12 div d over
+    its BFS distances (d >= 1, depth <= 3) to the same 4 deterministic
+    highest-degree landmarks as graph_landmark_distances — the bounded
+    estimator of Σ 1/d(u,v) that full APSP could never compute at 10^9
+    edges. Unreached pairs contribute 0, exactly as harmonic centrality
+    prescribes (no infinite-distance case). BIGINT sums are
+    order-independent and `harmonic` is ONE IEEE division by 10^12 —
+    engine-exact, no quantization needed. One groupBy(node) over the
+    slim shared BFS table; the oracle aggregates the landmark row's own
+    unrolled SQL."""
+    out = graph.harmonic_closeness(
+        _cust_supp_edges(spark, sf_dir),
+        n_landmarks=_LM_COUNT,
+        max_depth=_LM_DEPTH,
+    )
+    return out
+GRAPH_CLOSENESS_SQL = f"""
+SELECT node, count(*) AS n_reached,
+       CAST(sum(1000000000000 // dist) AS BIGINT) AS harmonic_scaled,
+       CAST(CAST(sum(1000000000000 // dist) AS BIGINT) AS DOUBLE)
+         / 1000000000000.0 AS harmonic
+FROM ({GRAPH_LANDMARK_SQL}) lmd
+WHERE dist >= 1
+GROUP BY node
+"""
+# chi-square band edges: literal double thresholds near the sf0.01 value
+# quartiles — CASE against literals compares exactly in both engines
+_CHI2_BANDS = (15.0, 35.0, 70.0)
+def stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square independence decomposition of
+    event_type x value-band (stats.chi2_cells): observed counts, row /
+    column totals and N are exact BIGINTs; each cell emits its own
+    expected count and (O-E)^2/E contribution so no doubles are ever
+    summed ACROSS rows (the corpus-order hazard every stats row in this
+    repo avoids). The float path is engine-exact WITHOUT quantization:
+    d = O*N - r*c is a BIGINT with |d| <= N^2 (< 2^53 up to ~94M
+    events), so CAST to double is exact, and d*d/(r*c*N) is one IEEE
+    multiply + one IEEE divide — both correctly-rounded deterministic
+    ops. (Beyond 94M events, quantize like stats_correlation; the
+    banding CASE ladder itself is scale-free.) A driver summing the
+    `contrib` column gets the chi-square statistic; dof =
+    (n_types-1)*(n_bands-1) is derivable from the row count."""
+    from kgx import stats as stats_mod
+
+    return stats_mod.chi2_cells(
+        _t(spark, sf_dir, "events"), "event_type", "value", _CHI2_BANDS
+    )
+STATS_CHI2_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         CASE WHEN value < {_CHI2_BANDS[0]} THEN 'b0'
+              WHEN value < {_CHI2_BANDS[1]} THEN 'b1'
+              WHEN value < {_CHI2_BANDS[2]} THEN 'b2'
+              ELSE 'b3' END AS band
+  FROM events
+),
+o AS (SELECT event_type, band, count(*) AS observed FROM b GROUP BY 1, 2),
+r AS (SELECT event_type, sum(observed) AS row_total FROM o GROUP BY 1),
+c AS (SELECT band, sum(observed) AS col_total FROM o GROUP BY 1),
+n AS (SELECT sum(observed) AS n_total FROM o)
+SELECT o.event_type, o.band, CAST(o.observed AS BIGINT) AS observed,
+       CAST(r.row_total AS BIGINT) AS row_total,
+       CAST(c.col_total AS BIGINT) AS col_total,
+       CAST(n.n_total AS BIGINT) AS n_total,
+       CAST(r.row_total * c.col_total AS DOUBLE) / n.n_total AS expected,
+       CAST(o.observed * n.n_total - r.row_total * c.col_total AS DOUBLE)
+         * CAST(o.observed * n.n_total - r.row_total * c.col_total AS DOUBLE)
+         / CAST(r.row_total * c.col_total * n.n_total AS DOUBLE) AS contrib
+FROM o JOIN r USING (event_type) JOIN c USING (band) CROSS JOIN n
+"""
+_ATTR_WINDOW_DAYS = 2
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution: every
+    purchase distributes 10,000 basis points of credit over the user's
+    view/click touches in the trailing 2-day window — first and last
+    touch get 4,000 bp each, the middles split 2,000 bp by integral
+    division with the remainder assigned to the LAST middle (position
+    n-1), so per-conversion credit sums to exactly 10,000 by
+    construction; 1 touch takes all 10,000, 2 touches split 5,000/5,000.
+    All-integer arithmetic — engine-exact, no floats anywhere.
+
+    Shape (events_funnel's contract): one groupBy(user) builds the
+    time-sorted slim event array, then nested in-row higher-order
+    lambdas enumerate (purchase, touch) pairs — per-user state bounded
+    by the user's own history, ONE shuffle total, no self-join (the
+    oracle's per-pair join is the cost model this operator avoids at
+    10^12 events). Strictly-before is the (ts, event_id) tuple order, so
+    same-timestamp ties are deterministic. At sf0.01: 1,591 attributed
+    purchases, 1-6 touches each — all three credit branches exercised."""
+    from kgx import stats as stats_mod
+
+    return stats_mod.position_attribution(
+        _t(spark, sf_dir, "events"), window_days=_ATTR_WINDOW_DAYS
+    )
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS pid, ts AS pts FROM events
+  WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, event_id AS tid, event_type AS ttype, ts AS tts
+  FROM events WHERE event_type IN ('view', 'click')
+),
+j AS (
+  SELECT p.user_id, p.pid, t.tid, t.ttype,
+         row_number() OVER (PARTITION BY p.pid ORDER BY t.tts, t.tid) AS pos,
+         count(*) OVER (PARTITION BY p.pid) AS n
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND (t.tts < p.pts OR (t.tts = p.pts AND t.tid < p.pid))
+   AND t.tts >= p.pts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+)
+SELECT user_id, pid AS conv_event_id, tid AS touch_event_id,
+       ttype AS touch_type, CAST(pos AS INTEGER) AS position,
+       CAST(n AS BIGINT) AS n_touches,
+       CAST(CASE WHEN n = 1 THEN 10000
+                 WHEN n = 2 THEN 5000
+                 WHEN pos = 1 OR pos = n THEN 4000
+                 ELSE 2000 // (n - 2)
+                      + CASE WHEN pos = n - 1 THEN 2000 % (n - 2) ELSE 0 END
+            END AS INTEGER) AS credit_bp
+FROM j
+"""

@@ -265,3 +265,156 @@ def correlation(
         ).alias("pearson_r"),
         F.round(F.when(denx > 0, num / denx), 12).alias("ols_slope"),
     )
+
+
+def chi2_cells(
+    df: DataFrame,
+    type_col: str,
+    value_col: str,
+    bands: tuple,
+) -> DataFrame:
+    """Per-cell chi-square independence decomposition of a categorical
+    column against a literal-threshold banding of a numeric column — the
+    drift / association gate a training-data pipeline runs between a
+    source dimension and a quality score (reference analogue: the
+    per-group score profiling family; the statistic itself is standard
+    Pearson chi-square).
+
+    Contingency counts, row totals, column totals and N are exact
+    BIGINTs from three aggregations over the SAME tiny contingency table
+    (the per-cell table is |types| x |bands| rows, so the total/join
+    stages cost nothing regardless of input scale; the one real shuffle
+    is the first groupBy, map-side combined). Each output row carries
+    its OWN expected count and (O-E)^2/E contribution: summing doubles
+    across rows is never needed inside the operator, and the emitted
+    floats are engine-exact because d = O*N - r*c and the totals are
+    exactly double-representable (< 2^53 up to ~94M rows) and
+    d*d / (r*c*N) is one IEEE multiply + one IEEE divide.
+
+    Returns (type, band, observed, row_total, col_total, n_total,
+    expected, contrib); chi2 = sum(contrib),
+    dof = (n_types - 1) * (n_bands - 1).
+    """
+    band = F.when(F.col(value_col) < bands[0], F.lit("b0"))
+    for i, thr in enumerate(bands[1:], start=1):
+        band = band.when(F.col(value_col) < thr, F.lit(f"b{i}"))
+    band = band.otherwise(F.lit(f"b{len(bands)}"))
+    o = (
+        df.select(F.col(type_col).alias("event_type"), band.alias("band"))
+        .groupBy("event_type", "band")
+        .agg(F.count("*").alias("observed"))
+    )
+    r = o.groupBy("event_type").agg(F.sum("observed").alias("row_total"))
+    c = o.groupBy("band").agg(F.sum("observed").alias("col_total"))
+    n = o.agg(F.sum("observed").alias("n_total"))
+    cell = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "band")
+        .crossJoin(F.broadcast(n))
+    )
+    d = (
+        F.col("observed") * F.col("n_total")
+        - F.col("row_total") * F.col("col_total")
+    ).cast("double")
+    return cell.select(
+        "event_type",
+        "band",
+        F.col("observed").cast("bigint").alias("observed"),
+        F.col("row_total").cast("bigint").alias("row_total"),
+        F.col("col_total").cast("bigint").alias("col_total"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (
+            (F.col("row_total") * F.col("col_total")).cast("double")
+            / F.col("n_total")
+        ).alias("expected"),
+        (
+            d * d
+            / (
+                F.col("row_total") * F.col("col_total") * F.col("n_total")
+            ).cast("double")
+        ).alias("contrib"),
+    )
+
+
+def position_attribution(events: DataFrame, window_days: int = 2) -> DataFrame:
+    """U-shaped (position-based 40/20/40) multi-touch attribution over an
+    event log: each 'purchase' conversion distributes 10,000 basis
+    points across the same user's preceding 'view'/'click' touches
+    within a trailing `window_days` window — 4,000 bp to the first and
+    last touch, the middle 2,000 bp split by integral division with the
+    remainder assigned to the last middle position, so credit per
+    conversion sums to exactly 10,000. Integer arithmetic end to end.
+
+    Shape: ONE groupBy(user_id) builds the (ts, event_id, event_type)
+    array sorted in-row, then nested higher-order lambdas emit
+    (conversion, touch, position, credit) rows map-side — the per-user
+    state is the user's own history (the events_funnel / sessionize
+    bounded-by-key contract; pre-bucket pathological users at 10^6+
+    events). No self-join: the equivalent join enumerates |purchases| x
+    |touches| pairs per user through a shuffle, this plan touches each
+    user's partition once. Strictly-before is (ts, event_id) tuple
+    order, so equal timestamps resolve deterministically.
+    """
+    grouped = events.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    # one pass: bind each purchase to its touch array ONCE (so the filter
+    # runs once per purchase and its size rides along), then explode.
+    # strictly-before = (ts, event_id) tuple order; the trailing bound is
+    # whole-day INTERVAL subtraction — exact microsecond arithmetic on the
+    # NTZ timestamp in both engines (unix_micros would reject NTZ).
+    win_days = int(window_days)
+    pairs = F.expr(
+        f"""
+        flatten(transform(
+          transform(
+            filter(evs, p -> p.event_type = 'purchase'),
+            p -> struct(
+              p.event_id AS pid,
+              filter(evs, t -> t.event_type IN ('view', 'click')
+                     AND (t.ts < p.ts
+                          OR (t.ts = p.ts AND t.event_id < p.event_id))
+                     AND t.ts >= p.ts - INTERVAL '{win_days}' DAY
+              ) AS tch)
+          ),
+          q -> transform(q.tch, (t, i) -> struct(
+                 q.pid AS conv_event_id,
+                 t.event_id AS touch_event_id,
+                 t.event_type AS touch_type,
+                 CAST(i + 1 AS INT) AS position,
+                 CAST(size(q.tch) AS BIGINT) AS n_touches))
+        ))
+        """
+    )
+    exploded = (
+        grouped.select("user_id", F.explode_outer(pairs).alias("a"))
+        .where(F.col("a").isNotNull())
+        .select("user_id", "a.conv_event_id", "a.touch_event_id",
+                "a.touch_type", "a.position", "a.n_touches")
+    )
+    credit = (
+        F.when(F.col("n_touches") == 1, F.lit(10000))
+        .when(F.col("n_touches") == 2, F.lit(5000))
+        .when(
+            (F.col("position") == 1) | (F.col("position") == F.col("n_touches")),
+            F.lit(4000),
+        )
+        .otherwise(
+            F.expr("2000 div (n_touches - 2)")
+            + F.when(
+                F.col("position") == F.col("n_touches") - 1,
+                F.expr("2000 % (n_touches - 2)"),
+            ).otherwise(F.lit(0))
+        )
+    )
+    return exploded.select(
+        "user_id",
+        "conv_event_id",
+        "touch_event_id",
+        "touch_type",
+        "position",
+        "n_touches",
+        credit.cast("int").alias("credit_bp"),
+    )

@@ -70,6 +70,11 @@ AUDIT = [
     "kg_entity_salience",
     "dedup_containment",
     "curate_mix_interleave",
+    # round-5 extension session
+    "graph_ktruss",
+    "graph_closeness",
+    "stats_chi2",
+    "events_attribution",
 ]
 
 

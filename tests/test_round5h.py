@@ -1,0 +1,259 @@
+"""Round-5h tests: k-truss peeling, landmark harmonic closeness,
+chi-square cells, U-shaped multi-touch attribution."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from kgx import graph, stats
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(u, v) for u, v in pairs], "u string, v string"
+    )
+
+
+def _release(df):
+    for f in getattr(df, "_kgx_persisted", []):
+        f.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# ktruss
+# ---------------------------------------------------------------------------
+
+def test_ktruss_peels_pendant_and_keeps_clique(spark):
+    # K4 on a-b-c-d (every edge in 2 triangles) plus pendant edge d-e
+    # (0 triangles) and a tail triangle d-f-g (each edge in 1 triangle).
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    extra = [("d", "e"), ("d", "f"), ("d", "g"), ("f", "g")]
+    out = graph.ktruss(_edges(spark, k4 + extra), k=4, rounds=2)
+    rows = {(r.u, r.v): r.support for r in out.collect()}
+    _release(out)
+    # 4-truss (support >= 2): exactly the K4 edges survive, each with
+    # support 2 counted in the round-1 subgraph (K4 + tail alone).
+    assert set(rows) == set(k4)
+    assert all(s == 2 for s in rows.values())
+
+
+def test_ktruss_k3_keeps_all_triangle_edges(spark):
+    tri = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+    out = graph.ktruss(_edges(spark, tri), k=3, rounds=2)
+    rows = {(r.u, r.v): r.support for r in out.collect()}
+    _release(out)
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(s == 1 for s in rows.values())
+
+
+def test_ktruss_cascade_needs_second_round(spark):
+    # chain of triangles: t1 = a-b-c, t2 = b-c-d, t3 = c-d-e. Edge c-d sits
+    # in t2+t3 (support 2), b-c in t1+t2 (2), others support 1. k=4 round 1
+    # keeps {b-c, c-d}; round 2 finds no triangles -> empty (the cascade).
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+             ("c", "e"), ("d", "e")]
+    r1 = graph.ktruss(_edges(spark, pairs), k=4, rounds=1)
+    kept1 = {(r.u, r.v) for r in r1.collect()}
+    _release(r1)
+    assert kept1 == {("b", "c"), ("c", "d")}
+    r2 = graph.ktruss(_edges(spark, pairs), k=4, rounds=2)
+    kept2 = {(r.u, r.v) for r in r2.collect()}
+    _release(r2)
+    assert kept2 == set()
+
+
+def test_ktruss_survivors_subset_with_min_support(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(12)]
+    pairs = sorted(p for p in itertools.combinations(nodes, 2)
+                   if rng.random() < 0.45)
+    base = _edges(spark, pairs)
+    out = graph.ktruss(base, k=5, rounds=3)
+    rows = {(r.u, r.v): r.support for r in out.collect()}
+    _release(out)
+    assert set(rows) <= set(pairs)
+    assert all(s >= 3 for s in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# harmonic closeness
+# ---------------------------------------------------------------------------
+
+def test_harmonic_closeness_path_graph(spark):
+    # path a - b - c - d; symmetric edge list; 1 landmark = highest degree
+    # (b and c tie at deg 2 -> id-asc picks b).
+    und = []
+    for u, v in [("a", "b"), ("b", "c"), ("c", "d")]:
+        und += [(u, v), (v, u)]
+    edges = spark.createDataFrame(und, "src string, dst string")
+    out = graph.harmonic_closeness(edges, n_landmarks=1, max_depth=3)
+    rows = {r.node: (r.n_reached, r.harmonic_scaled, r.harmonic) for r in out.collect()}
+    _release(out)
+    # distances from landmark b: a=1, c=1, d=2 (b's own 0 row excluded)
+    assert rows == {
+        "a": (1, 10**12, 1.0),
+        "c": (1, 10**12, 1.0),
+        "d": (1, 500000000000, 0.5),
+    }
+
+
+def test_harmonic_closeness_sums_over_landmarks(spark):
+    # triangle a-b-c plus spoke c-d: 2 landmarks (deg: c=3 > a=b=2, then a)
+    und = []
+    for u, v in [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]:
+        und += [(u, v), (v, u)]
+    edges = spark.createDataFrame(und, "src string, dst string")
+    out = graph.harmonic_closeness(edges, n_landmarks=2, max_depth=3)
+    rows = {r.node: (r.n_reached, r.harmonic_scaled) for r in out.collect()}
+    _release(out)
+    # landmarks {c, a}: b is dist 1 from both -> 2e12; d dist 1 from c,
+    # dist 2 from a -> 1.5e12; a dist 1 from c (own row excluded);
+    # c dist 1 from a.
+    assert rows == {
+        "b": (2, 2 * 10**12),
+        "d": (2, 1500000000000),
+        "a": (1, 10**12),
+        "c": (1, 10**12),
+    }
+
+
+# ---------------------------------------------------------------------------
+# chi2 cells
+# ---------------------------------------------------------------------------
+
+def _ev(spark, rows):
+    data = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+         uid, et, val, "{}")
+        for i, (uid, et, val) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_chi2_independent_table_zero_contrib(spark):
+    # perfectly independent 2x2: contribs are exactly 0.0
+    rows = []
+    for et in ("x", "y"):
+        rows += [(1, et, 5.0)] * 4 + [(1, et, 50.0)] * 6
+    out = stats.chi2_cells(_ev(spark, rows), "event_type", "value", (15.0,))
+    cells = out.collect()
+    assert len(cells) == 4
+    assert all(c.contrib == 0.0 for c in cells)
+    assert all(c.n_total == 20 for c in cells)
+
+
+def test_chi2_hand_computed_cell(spark):
+    # 2x2 table: x:(3 low, 1 high), y:(1 low, 3 high); N=8, totals 4/4
+    rows = ([(1, "x", 1.0)] * 3 + [(1, "x", 99.0)]
+            + [(1, "y", 1.0)] + [(1, "y", 99.0)] * 3)
+    out = stats.chi2_cells(_ev(spark, rows), "event_type", "value", (15.0,))
+    cells = {(c.event_type, c.band): c for c in out.collect()}
+    c = cells[("x", "b0")]
+    assert (c.observed, c.row_total, c.col_total, c.n_total) == (3, 4, 4, 8)
+    assert c.expected == 2.0
+    # d = 3*8 - 4*4 = 8; contrib = 64 / (4*4*8) = 0.5 for every cell
+    assert all(v.contrib == 0.5 for v in cells.values())
+    # chi2 = 2.0 for this table
+    assert sum(v.contrib for v in cells.values()) == 2.0
+
+
+def test_chi2_band_ladder_edges(spark):
+    # values exactly ON a threshold fall in the upper band (strict <)
+    rows = [(1, "x", 15.0), (1, "x", 14.999), (1, "y", 35.0), (1, "y", 34.999)]
+    out = stats.chi2_cells(
+        _ev(spark, rows), "event_type", "value", (15.0, 35.0, 70.0)
+    )
+    got = {(c.event_type, c.band, c.observed) for c in out.collect()}
+    assert ("x", "b0", 1) in got and ("x", "b1", 1) in got
+    assert ("y", "b1", 1) in got and ("y", "b2", 1) in got
+
+
+# ---------------------------------------------------------------------------
+# position attribution
+# ---------------------------------------------------------------------------
+
+def _attr_events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 10, 12, minute)
+
+
+def test_attribution_credit_branches(spark):
+    rows = [
+        # user 1: one touch -> 10000
+        (1, _ts(0), 1, "view", 0.0, "{}"),
+        (2, _ts(5), 1, "purchase", 0.0, "{}"),
+        # user 2: two touches -> 5000/5000
+        (3, _ts(0), 2, "view", 0.0, "{}"),
+        (4, _ts(1), 2, "click", 0.0, "{}"),
+        (5, _ts(5), 2, "purchase", 0.0, "{}"),
+        # user 3: five touches -> 4000, 666, 667, 667... wait: middles are
+        # positions 2..4 -> base 2000 div 3 = 666, remainder 2 to position
+        # n-1 = 4 -> [4000, 666, 666, 668, 4000]
+        (6, _ts(0), 3, "view", 0.0, "{}"),
+        (7, _ts(1), 3, "view", 0.0, "{}"),
+        (8, _ts(2), 3, "click", 0.0, "{}"),
+        (9, _ts(3), 3, "view", 0.0, "{}"),
+        (10, _ts(4), 3, "click", 0.0, "{}"),
+        (11, _ts(30), 3, "purchase", 0.0, "{}"),
+    ]
+    out = stats.position_attribution(_attr_events(spark, rows), window_days=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.conv_event_id, {})[r.position] = r.credit_bp
+    assert got[2] == {1: 10000}
+    assert got[5] == {1: 5000, 2: 5000}
+    assert got[11] == {1: 4000, 2: 666, 3: 666, 4: 668, 5: 4000}
+
+
+def test_attribution_credit_sums_to_10000(spark):
+    # n = 3..9 touches: per-conversion credit must total exactly 10000
+    rows = []
+    eid = 0
+    for n in range(3, 10):
+        uid = n
+        for i in range(n):
+            rows.append((eid, _ts(i), uid, "view", 0.0, "{}"))
+            eid += 1
+        rows.append((eid, _ts(50), uid, "purchase", 0.0, "{}"))
+        eid += 1
+    out = stats.position_attribution(_attr_events(spark, rows), window_days=2)
+    sums = (
+        out.groupBy("conv_event_id", "n_touches")
+        .agg(F.sum("credit_bp").alias("total"))
+        .collect()
+    )
+    assert len(sums) == 7
+    assert all(r.total == 10000 for r in sums)
+
+
+def test_attribution_window_and_tie_rules(spark):
+    rows = [
+        # touch outside the 2-day window is ignored
+        (1, datetime.datetime(2024, 1, 1, 0, 0), 1, "view", 0.0, "{}"),
+        (2, datetime.datetime(2024, 1, 9, 12, 0), 1, "view", 0.0, "{}"),
+        (3, datetime.datetime(2024, 1, 10, 12, 0), 1, "purchase", 0.0, "{}"),
+        # same-timestamp touch counts only when event_id < purchase id
+        (5, datetime.datetime(2024, 1, 10, 12, 0), 2, "view", 0.0, "{}"),
+        (6, datetime.datetime(2024, 1, 10, 12, 0), 2, "purchase", 0.0, "{}"),
+        (8, datetime.datetime(2024, 1, 10, 12, 0), 3, "purchase", 0.0, "{}"),
+        (9, datetime.datetime(2024, 1, 10, 12, 0), 3, "view", 0.0, "{}"),
+    ]
+    out = stats.position_attribution(_attr_events(spark, rows), window_days=2)
+    got = {(r.conv_event_id, r.touch_event_id): r.credit_bp for r in out.collect()}
+    assert got == {(3, 2): 10000, (6, 5): 10000}
