@@ -121,6 +121,7 @@ HEADLINE = [
     "graph_closeness",
     "stats_chi2",
     "events_attribution",
+    "kg_temporal_validity",
 ]
 
 

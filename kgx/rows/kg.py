@@ -1774,3 +1774,56 @@ SELECT conv_id, subj_uri, n_mentions,
             AS INTEGER) AS rank
 FROM per
 """
+def kg_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact validity intervals (aggregate.temporal_validity) over
+    the multi-turn fold: each (conversation, subject, predicate) polarity
+    assertion holds from its first turn until the first later turn that
+    asserts a DIFFERENT polarity — Wikidata-qualifier-style time scoping
+    the reference's one-doc-per-message pipeline cannot express (its
+    document rollup collapses all evidence into one score; reference
+    analogue: the per-document aggregation family,
+    CompletePipelineWorker.java). Same deterministic 50-conv fold as
+    every multiturn row, so flips are real: later turns reverse earlier
+    polarities and close intervals. All-integer output; two exchanges
+    beyond the shared extraction stages (per-turn combine + the
+    run-encoding cluster every later stage reuses).
+    """
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    return agg_mod.temporal_validity(facts)
+KG_TEMPORAL_SQL = _KG_MT_SQL_PROLOGUE + """
+, per_turn AS (
+  SELECT conv_id, lower(name) AS name_lc, pred, turn_idx,
+         sum(sci) AS evidence
+  FROM facts GROUP BY 1, 2, 3, 4
+),
+st AS (
+  SELECT conv_id, name_lc, pred, turn_idx,
+         CASE WHEN evidence > 0 THEN 1 WHEN evidence < 0 THEN -1
+              ELSE 0 END AS state
+  FROM per_turn
+),
+runs AS (
+  SELECT *, sum(flip) OVER (
+           PARTITION BY conv_id, name_lc, pred ORDER BY turn_idx
+           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT *, CASE WHEN lag(state) OVER (
+                     PARTITION BY conv_id, name_lc, pred ORDER BY turn_idx)
+                   IS DISTINCT FROM state THEN 1 ELSE 0 END AS flip
+    FROM st
+  )
+),
+iv AS (
+  SELECT conv_id, name_lc, pred, run_id, min(state) AS state,
+         CAST(min(turn_idx) AS INTEGER) AS valid_from,
+         CAST(max(turn_idx) AS INTEGER) AS last_asserted,
+         count(*) AS n_assertions
+  FROM runs GROUP BY 1, 2, 3, 4
+)
+SELECT conv_id, name_lc, pred, CAST(state AS INTEGER) AS state, valid_from,
+       CAST(lead(valid_from) OVER w AS INTEGER) AS valid_to,
+       last_asserted, CAST(n_assertions AS BIGINT) AS n_assertions,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM iv
+WINDOW w AS (PARTITION BY conv_id, name_lc, pred ORDER BY run_id)
+"""

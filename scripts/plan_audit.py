@@ -75,6 +75,7 @@ AUDIT = [
     "graph_closeness",
     "stats_chi2",
     "events_attribution",
+    "kg_temporal_validity",
 ]
 
 

@@ -257,3 +257,67 @@ def test_attribution_window_and_tie_rules(spark):
     out = stats.position_attribution(_attr_events(spark, rows), window_days=2)
     got = {(r.conv_event_id, r.touch_event_id): r.credit_bp for r in out.collect()}
     assert got == {(3, 2): 10000, (6, 5): 10000}
+
+
+# ---------------------------------------------------------------------------
+# temporal validity
+# ---------------------------------------------------------------------------
+
+def _facts(spark, rows):
+    # (conv_id, turn_idx, entity_name, pred, score_i)
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, entity_name string, pred string, "
+        "score_i long",
+    )
+
+
+def test_temporal_validity_flip_closes_interval(spark):
+    from kgx import aggregate
+
+    rows = [
+        ("c1", 0, "ACME", "p", 2),
+        ("c1", 1, "ACME", "p", 1),   # same polarity extends the run
+        ("c1", 3, "ACME", "p", -1),  # flip at turn 3 closes [0, 3)
+        ("c1", 5, "ACME", "p", -4),
+    ]
+    out = {
+        (r.valid_from): r
+        for r in aggregate.temporal_validity(_facts(spark, rows)).collect()
+    }
+    assert set(out) == {0, 3}
+    first, second = out[0], out[3]
+    assert (first.state, first.valid_to, first.last_asserted,
+            first.n_assertions, first.is_current) == (1, 3, 1, 2, False)
+    assert (second.state, second.valid_to, second.last_asserted,
+            second.n_assertions, second.is_current) == (-1, None, 5, 2, True)
+
+
+def test_temporal_validity_gap_does_not_close(spark):
+    from kgx import aggregate
+
+    # assertion at turn 0, silence until turn 9, same polarity -> ONE run
+    rows = [("c1", 0, "X", "p", 1), ("c1", 9, "X", "p", 3)]
+    out = aggregate.temporal_validity(_facts(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.valid_from, r.valid_to, r.n_assertions, r.is_current) == (
+        0, None, 2, True)
+
+
+def test_temporal_validity_case_insensitive_and_zero_state(spark):
+    from kgx import aggregate
+
+    rows = [
+        ("c1", 0, "Spark", "p", 1),
+        ("c1", 1, "spark", "p", -1),  # same subject, new run
+        ("c1", 2, "SPARK", "p", 1),   # net zero with the other turn-2 row?
+        ("c1", 2, "spark", "p", -1),  # evidence sums to 0 -> state 0
+    ]
+    out = sorted(
+        aggregate.temporal_validity(_facts(spark, rows)).collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert [r.name_lc for r in out] == ["spark"] * 3
+    assert [(r.state, r.valid_from, r.valid_to) for r in out] == [
+        (1, 0, 1), (-1, 1, 2), (0, 2, None)]
