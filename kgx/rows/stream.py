@@ -28,7 +28,7 @@ from kgx import (
 )
 
 from kgx.rows.base import _t  # noqa: E501
-from kgx.rows.kg import _KG_COLS, _doc_transcripts, _kg_run  # noqa: E501
+from kgx.rows.kg import _KG_COLS, _doc_transcripts, _kg_mt_run, _kg_run  # noqa: E501
 
 def _stream_workdir(tag: str) -> str:
     """Bounded scratch dir for a streaming registry query: a DETERMINISTIC
@@ -669,3 +669,43 @@ def stream_fact_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(600)
     return fusion_stream.read_fused(spark, votes)
+def stream_temporal_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of kg_temporal_validity (foreachBatch, kgx.streaming.
+    validity_stream): the SAME multiturn sentence facts split across three
+    micro-batches BY TURN PARITY-then-conv (turn_idx % 3 — every
+    conversation's interval sequence receives evidence from multiple
+    batches ARRIVING OUT OF TURN ORDER), drained into a batch-keyed
+    evidence-delta log, then run-length encoded through the SHARED batch
+    operator (aggregate.temporal_validity consumes the merged log).
+    Per-turn evidence is additive-mergeable, so the result equals the
+    batch row regardless of the split or order — this row shares
+    KG_TEMPORAL_SQL verbatim. Replay safety comes from the batch-keyed
+    partition overwrite (fusion_stream's additive-counter contract)."""
+    import os as _os
+
+    from kgx.streaming import validity_stream
+
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    slim = facts.select("conv_id", "entity_name", "pred", "turn_idx", "score_i")
+    base = _stream_workdir("validity")
+    src, log, ckpt = (_os.path.join(base, d) for d in ("src", "log", "ckpt"))
+    _os.makedirs(src)
+    # out-of-order delivery: later turns arrive in EARLIER batches
+    for i, rem in enumerate((2, 1, 0)):
+        slim.filter(F.col("turn_idx") % 3 == rem).coalesce(1).write.parquet(
+            f"{src}/p{i}"
+        )
+
+    source = (
+        spark.readStream.schema(
+            "conv_id string, entity_name string, pred string, "
+            "turn_idx int, score_i long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = validity_stream.start_validity_stream(
+        spark, source, log, ckpt, available_now=True
+    )
+    q.awaitTermination(600)
+    return validity_stream.read_intervals(spark, log)

@@ -321,3 +321,88 @@ def test_temporal_validity_case_insensitive_and_zero_state(spark):
     assert [r.name_lc for r in out] == ["spark"] * 3
     assert [(r.state, r.valid_from, r.valid_to) for r in out] == [
         (1, 0, 1), (-1, 1, 2), (0, 2, None)]
+
+
+# ---------------------------------------------------------------------------
+# streaming temporal validity: kill+resume durability
+# ---------------------------------------------------------------------------
+
+def test_validity_stream_kill_resume_equals_single_run(spark, tmp_path):
+    """Mid-corpus kill+resume for the foreachBatch validity stream: stop
+    after the first committed micro-batch, restart from the same
+    checkpoint with availableNow, and assert the interval table equals
+    the uninterrupted run AND the batch operator over the union —
+    checkpoint offsets + the batch-keyed evidence-delta overwrite make
+    the restart exactly-once, and evidence additivity makes the
+    out-of-order batch split invisible."""
+    import os as _os
+    import sys
+
+    import pandas as pd
+
+    from kgx import aggregate
+    from kgx.streaming import validity_stream
+
+    # turns arrive OUT OF ORDER across batches; u1/p flips polarity at
+    # turn 2 and the flip's evidence is split across two batches
+    frames = [
+        pd.DataFrame({"conv_id": ["c1"] * 3,
+                      "entity_name": ["ACME", "acme", "ACME"],
+                      "pred": ["p"] * 3,
+                      "turn_idx": [2, 0, 2],
+                      "score_i": [-1, 2, -1]}),
+        pd.DataFrame({"conv_id": ["c1"] * 2,
+                      "entity_name": ["Acme", "ACME"],
+                      "pred": ["p"] * 2,
+                      "turn_idx": [1, 2],
+                      "score_i": [1, 1]}),
+        pd.DataFrame({"conv_id": ["c2"], "entity_name": ["Widget"],
+                      "pred": ["q"], "turn_idx": [0], "score_i": [3]}),
+    ]
+    sys.path.insert(0, _os.path.join(_os.path.dirname(__file__)))
+    from test_round5 import _drain_with_restart, _write_batches
+
+    cols = ["conv_id", "name_lc", "pred", "state", "valid_from",
+            "valid_to", "last_asserted", "n_assertions", "is_current"]
+
+    def run(tag, restart):
+        base = str(tmp_path / tag)
+        src = f"{base}/src"
+        _write_batches(src, frames)
+        log, ckpt = f"{base}/log", f"{base}/ckpt"
+
+        def start(available_now):
+            source = (
+                spark.readStream.schema(
+                    "conv_id string, entity_name string, pred string, "
+                    "turn_idx long, score_i long"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+            return validity_stream.start_validity_stream(
+                spark, source, log, ckpt, available_now=available_now
+            )
+
+        _drain_with_restart(spark, start, ckpt, restart)
+        return sorted(
+            tuple(getattr(r, c) for c in cols)
+            for r in validity_stream.read_intervals(spark, log).collect()
+        )
+
+    single = run("single", restart=False)
+    resumed = run("resumed", restart=True)
+    assert single == resumed
+    batch = sorted(
+        tuple(getattr(r, c) for c in cols)
+        for r in aggregate.temporal_validity(
+            spark.createDataFrame(pd.concat(frames))
+        ).collect()
+    )
+    assert single == batch
+    # the flip is real: turn 2's merged evidence is -1 -1 +1 = -1
+    by_from = {(r[0], r[2], r[4]): r for r in batch}
+    assert by_from[("c1", "p", 0)][3] == 1        # state +1 over turns 0-1
+    assert by_from[("c1", "p", 0)][5] == 2        # closed at turn 2
+    assert by_from[("c1", "p", 2)][3] == -1       # superseding interval
+    assert by_from[("c1", "p", 2)][8] is True     # still current
