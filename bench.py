@@ -122,6 +122,7 @@ HEADLINE = [
     "stats_chi2",
     "events_attribution",
     "kg_temporal_validity",
+    "text_bpe_encode",
 ]
 
 

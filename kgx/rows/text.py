@@ -687,3 +687,46 @@ f AS (
 SELECT word, rank, CAST(pos AS INTEGER) AS pos FROM f WHERE pos <= 50
 """
 )
+# fixed merge list for the encode row: common-English merges including two
+# CHAINED pairs ((t,h)->(th,e) and (a,n)->(an,d)) so merge ordering is
+# hash-pinned, not just membership
+_BPE_ENC_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "f"), ("s", "t"),
+    ("a", "t"), ("e", "n"),
+]
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING over the corpus vocabulary (textops.bpe_encode): the
+    inference half of the tokenizer family (text_bpe_pairs / bpe_train
+    are the training half) under a fixed 12-merge list with two chained
+    merges — greedy left-to-right fold per merge, in order. The oracle
+    reproduces the fold with a sequential replace chain over the
+    space-delimited symbol string: a single non-overlapping left-to-right
+    `replace(' a b' -> ' ab')` pass is EXACTLY one greedy fold pass
+    (both consume matches left to right and never rescan produced
+    output within the pass), and symbols never contain spaces, so the
+    leading-space delimiter cannot misbind inside a multi-char symbol.
+    Map-only over the vocab table — zero shuffles after the vocab
+    groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(textops.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return textops.bpe_encode(vocab, _BPE_ENC_MERGES)
+_enc_expr = "regexp_replace(word, '(.)', ' \\1', 'g')"
+for _a, _b in _BPE_ENC_MERGES:
+    _enc_expr = f"replace({_enc_expr}, ' {_a} {_b}', ' {_a}{_b}')"
+TEXT_BPE_ENCODE_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+  FROM documents
+),
+v AS (SELECT word, count(*) AS freq FROM tok GROUP BY word),
+e AS (SELECT word, freq, {_enc_expr} AS s FROM v)
+SELECT word, freq, CAST(length(word) AS INTEGER) AS n_chars,
+       CAST(len(string_split(trim(s), ' ')) AS INTEGER) AS n_pieces,
+       trim(s) AS encoded
+FROM e
+"""

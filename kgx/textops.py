@@ -1032,3 +1032,31 @@ def rake_keywords(
             "rake_score"
         ),
     )
+
+
+def bpe_encode(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Encode each word with a FIXED merge list — the inference half of
+    the BPE tokenizer (Sennrich et al. 2016) whose training half is
+    bpe_train: characters split in-row, every merge applied IN ORDER as a
+    greedy left-to-right fold (_apply_merges, the same expression the
+    trainer's pair statistics use — trainer and encoder cannot drift).
+
+    Returns the input columns plus n_chars / n_pieces / `encoded` (the
+    space-joined symbol sequence). Everything is an in-row array
+    expression — map-only, zero shuffles, whatever partitioning the
+    vocabulary table arrives with. Encoding runs over the |vocab|-row
+    word table, never the corpus: join the result back to token streams
+    by word to tokenize a corpus (the once-per-word contract that makes
+    subword tokenization feasible at 100 TB).
+    """
+    syms = _apply_merges(F.split(F.col(word_col), ""), merges)
+    return words.select(
+        "*",
+        F.length(word_col).cast("int").alias("n_chars"),
+        F.size(syms).cast("int").alias("n_pieces"),
+        F.array_join(syms, " ").alias("encoded"),
+    )

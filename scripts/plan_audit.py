@@ -76,6 +76,7 @@ AUDIT = [
     "stats_chi2",
     "events_attribution",
     "kg_temporal_validity",
+    "text_bpe_encode",
 ]
 
 

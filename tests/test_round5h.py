@@ -406,3 +406,47 @@ def test_validity_stream_kill_resume_equals_single_run(spark, tmp_path):
     assert by_from[("c1", "p", 0)][5] == 2        # closed at turn 2
     assert by_from[("c1", "p", 2)][3] == -1       # superseding interval
     assert by_from[("c1", "p", 2)][8] is True     # still current
+
+
+# ---------------------------------------------------------------------------
+# bpe encode
+# ---------------------------------------------------------------------------
+
+def _enc(spark, words, merges):
+    from kgx import textops
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    return {
+        r.word: (r.n_chars, r.n_pieces, r.encoded)
+        for r in textops.bpe_encode(df, merges).collect()
+    }
+
+
+def test_bpe_encode_greedy_overlap(spark):
+    # [a,a,a] under (a,a): leftmost pair merges, third 'a' survives
+    got = _enc(spark, ["aaa", "aaaa"], [("a", "a")])
+    assert got["aaa"] == (3, 2, "aa a")
+    assert got["aaaa"] == (4, 2, "aa aa")
+
+
+def test_bpe_encode_chained_merges_in_order(spark):
+    merges = [("t", "h"), ("th", "e")]
+    got = _enc(spark, ["the", "theth", "eth"], merges)
+    assert got["the"] == (3, 1, "the")
+    # second 'th' has no following 'e'
+    assert got["theth"] == (5, 2, "the th")
+    # 'e' BEFORE 'th' never merges ((th,e) is th-then-e)
+    assert got["eth"] == (3, 2, "e th")
+
+
+def test_bpe_encode_order_sensitivity(spark):
+    # same pairs, opposite order: (th,e) before (t,h) can never fire
+    # because 'th' does not exist yet
+    got = _enc(spark, ["the"], [("th", "e"), ("t", "h")])
+    assert got["the"] == (3, 2, "th e")
+
+
+def test_bpe_encode_untouched_and_single_char(spark):
+    got = _enc(spark, ["x", "zq"], [("a", "b")])
+    assert got["x"] == (1, 1, "x")
+    assert got["zq"] == (2, 2, "z q")
