@@ -123,6 +123,7 @@ HEADLINE = [
     "events_attribution",
     "kg_temporal_validity",
     "text_bpe_encode",
+    "events_topk_paths",
 ]
 
 

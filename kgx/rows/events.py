@@ -1443,3 +1443,45 @@ SELECT user_id, pid AS conv_event_id, tid AS touch_event_id,
             END AS INTEGER) AS credit_bp
 FROM j
 """
+def events_topk_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the corpus top-20 per-user event-type
+    TRIGRAMS (t1 -> t2 -> t3 over each user's (ts, event_id)-ordered
+    stream) — the path-discovery complement of events_funnel (which
+    checks ONE fixed sequence) and kg_tool_transitions (first-order
+    pairs): third-order context exposes which funnels exist before you
+    hardcode one. Two data shuffles total — the per-user lead() window
+    (state bounded by the user's own history) and the trigram groupBy
+    (map-side combined onto <= |types|^3 = 125 keys); the top-k window
+    runs over that bounded table, never the corpus. Ties rank
+    lexicographically (n desc, then t1, t2, t3) — deterministic."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    c = s.groupBy("t1", "t2", "t3").agg(F.count("*").cast("bigint").alias("n"))
+    rk = W.orderBy(F.col("n").desc(), "t1", "t2", "t3")
+    return (
+        c.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .where(F.col("rank") <= 20)
+    )
+EVENTS_TOPK_PATHS_SQL = """
+WITH s AS (
+  SELECT event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT t1, t2, t3, count(*) AS n FROM s
+  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rank
+FROM c ORDER BY n DESC, t1, t2, t3 LIMIT 20
+"""

@@ -77,6 +77,7 @@ AUDIT = [
     "events_attribution",
     "kg_temporal_validity",
     "text_bpe_encode",
+    "events_topk_paths",
 ]
 
 

@@ -450,3 +450,32 @@ def test_bpe_encode_untouched_and_single_char(spark):
     got = _enc(spark, ["x", "zq"], [("a", "b")])
     assert got["x"] == (1, 1, "x")
     assert got["zq"] == (2, 2, "z q")
+
+
+# ---------------------------------------------------------------------------
+# top-k event paths
+# ---------------------------------------------------------------------------
+
+def test_topk_paths_counts_and_tiebreak(spark, tmp_path):
+    import pyspark.sql.functions as FF
+
+    rows = []
+    # user 1: a b c a b c -> trigrams abc, bca, cab, abc
+    for i, et in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((i, _ts(i), 1, et, 0.0, "{}"))
+    # user 2: a b c  -> abc (trigram crosses ONLY within a user)
+    for i, et in enumerate(["a", "b", "c"]):
+        rows.append((10 + i, _ts(i), 2, et, 0.0, "{}"))
+    sf = str(tmp_path / "sf")
+    import os
+    os.makedirs(sf)
+    _attr_events(spark, rows).write.parquet(f"{sf}/events.parquet")
+    from kgx.rows.events import events_topk_paths
+
+    got = [(r.t1, r.t2, r.t3, r.n, r.rank)
+           for r in events_topk_paths(spark, sf).orderBy("rank").collect()]
+    assert got == [
+        ("a", "b", "c", 3, 1),
+        ("b", "c", "a", 1, 2),
+        ("c", "a", "b", 1, 3),
+    ]
