@@ -124,6 +124,7 @@ HEADLINE = [
     "kg_temporal_validity",
     "text_bpe_encode",
     "events_topk_paths",
+    "graph_clustering",
 ]
 
 

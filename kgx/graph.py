@@ -1064,3 +1064,46 @@ def harmonic_closeness(
         (F.col("harmonic_scaled").cast("double") / F.lit(1.0e12)).alias("harmonic"),
     )
     return _dedup.propagate_ownership(dists, out)
+
+
+def clustering_coefficient(edges_uv: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz 1998):
+    2T / (d(d-1)) over a unique undirected edge list (u < v) — the
+    per-node closure metric completing the triangle family
+    (triangle_counts = the numerator, degrees = the denominator). The
+    division is ONE IEEE op over exact integers, so the row is
+    engine-exact; nodes in no triangle (or with degree < 2) report 0.0.
+
+    Cost is the shared triangle_counts stages (degree-ordered
+    orientation, O(E^1.5)) plus one degree groupBy and a node-keyed
+    left join — at 10^9 edges both shuffle on node keys and the degree
+    side is |V|-bounded.
+
+    RELEASE OBLIGATION: rides triangle_counts' persisted frames on
+    ``result._kgx_persisted``.
+    """
+    from kgx import dedup as _dedup
+
+    tri = triangle_counts(edges_uv)
+    sym = edges_uv.select(F.col("u").alias("node"), F.col("v").alias("o")).unionAll(
+        edges_uv.select(F.col("v").alias("node"), F.col("u").alias("o"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    j = deg.join(tri, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+    )
+    out = j.select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+    return _dedup.propagate_ownership(tri, out)

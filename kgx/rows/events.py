@@ -1485,3 +1485,47 @@ SELECT t1, t2, t3, CAST(n AS BIGINT) AS n,
        CAST(row_number() OVER (ORDER BY n DESC, t1, t2, t3) AS BIGINT) AS rank
 FROM c ORDER BY n DESC, t1, t2, t3 LIMIT 20
 """
+def graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (graph.clustering_coefficient) over
+    the sparse part co-order graph (same base as graph_ktruss — the
+    dense supplier co-service projection is complete at every sf, where
+    every coefficient is the useless 1.0): 2T/(d(d-1)) per node from the
+    degree-ordered triangle enumeration plus one degree groupBy. ONE
+    IEEE division over exact integers — engine-exact; isolated and
+    degree-1 parts report 0.0."""
+    pairs = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.copurchase_edges(
+        pairs, "l_orderkey", "l_partkey", min_support=1
+    )
+    out = graph.clustering_coefficient(edges)
+    res = out.select(
+        F.col("node").cast("bigint").alias("partkey"),
+        "deg",
+        "n_triangles",
+        "clustering",
+    )
+    return dedup.propagate_ownership(out, res)
+GRAPH_CLUSTERING_SQL = """
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS n FROM lineitem),
+e AS (
+  SELECT a.n AS u, b.n AS v FROM m a JOIN m b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2
+),
+und AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY 1),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+t AS (SELECT node, count(*) AS nt FROM corners GROUP BY 1)
+SELECT CAST(d.s AS BIGINT) AS partkey, CAST(d.deg AS BIGINT) AS deg,
+       CAST(coalesce(t.nt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN CAST(2 * coalesce(t.nt, 0) AS DOUBLE)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN t ON d.s = t.node
+"""

@@ -78,6 +78,7 @@ AUDIT = [
     "kg_temporal_validity",
     "text_bpe_encode",
     "events_topk_paths",
+    "graph_clustering",
 ]
 
 

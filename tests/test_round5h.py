@@ -479,3 +479,23 @@ def test_topk_paths_counts_and_tiebreak(spark, tmp_path):
         ("b", "c", "a", 1, 2),
         ("c", "a", "b", 1, 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient
+# ---------------------------------------------------------------------------
+
+def test_clustering_coefficient_hand_graph(spark):
+    from kgx import graph
+
+    # triangle a-b-c plus spoke c-d plus isolated pair e-f
+    pairs = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("e", "f")]
+    out = graph.clustering_coefficient(_edges(spark, pairs))
+    got = {r.node: (r.deg, r.n_triangles, r.clustering) for r in out.collect()}
+    _release(out)
+    assert got["a"] == (2, 1, 1.0)
+    assert got["b"] == (2, 1, 1.0)
+    # c: deg 3, 1 triangle -> 2/(3*2) = 1/3
+    assert got["c"] == (3, 1, 2.0 / 6.0)
+    assert got["d"] == (1, 0, 0.0)
+    assert got["e"] == (1, 0, 0.0) and got["f"] == (1, 0, 0.0)
