@@ -125,6 +125,7 @@ HEADLINE = [
     "text_bpe_encode",
     "events_topk_paths",
     "graph_clustering",
+    "kg_facts_asof",
 ]
 
 

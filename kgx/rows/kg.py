@@ -1827,3 +1827,49 @@ SELECT conv_id, name_lc, pred, CAST(state AS INTEGER) AS state, valid_from,
 FROM iv
 WINDOW w AS (PARTITION BY conv_id, name_lc, pred ORDER BY run_id)
 """
+def kg_facts_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact lookup over the temporal-validity intervals —
+    the consumer side of temporal KG scoping: for EVERY turn of every
+    conversation, which polarity did each (subject, predicate) hold AT
+    that turn ("fact effective as of t", the SCD2 point-in-time join).
+    A fact holds at t iff valid_from <= t and (valid_to is NULL or
+    t < valid_to) — turns before the first assertion report nothing.
+
+    Shape: the probe side is the fold's own (conv, turn) grid; the join
+    is an equi-join on conv_id carrying the containment predicate, so
+    rows co-partition on the conversation key and the per-key work is
+    |turns| x |intervals-in-conv| — bounded by conversation length
+    (at a 10^12-turn corpus, bucket the interval table by conv and use
+    the asof.py band-bucketing for probe sets that cannot co-partition).
+    Output is slim integers/strings — engine-exact."""
+    facts, _tf = _kg_mt_run(spark, sf_dir)
+    iv = agg_mod.temporal_validity(facts)
+    probes = _doc_mt_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx"
+    ).distinct()
+    j = iv.join(probes, "conv_id").where(
+        (F.col("valid_from") <= F.col("turn_idx"))
+        & (F.col("valid_to").isNull() | (F.col("turn_idx") < F.col("valid_to")))
+    )
+    return j.select(
+        "conv_id",
+        F.col("turn_idx").alias("asof_turn"),
+        "name_lc",
+        "pred",
+        "state",
+        "valid_from",
+        (F.col("turn_idx") > F.col("last_asserted")).alias("carried_forward"),
+    )
+KG_FACTS_ASOF_SQL = f"""
+WITH iv AS ({KG_TEMPORAL_SQL}),
+probes AS (
+  SELECT DISTINCT CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+         CAST(doc_id // 50 AS INTEGER) AS turn_idx
+  FROM documents
+)
+SELECT i.conv_id, p.turn_idx AS asof_turn, i.name_lc, i.pred, i.state,
+       i.valid_from, p.turn_idx > i.last_asserted AS carried_forward
+FROM iv i JOIN probes p ON i.conv_id = p.conv_id
+WHERE i.valid_from <= p.turn_idx
+  AND (i.valid_to IS NULL OR p.turn_idx < i.valid_to)
+"""

@@ -79,6 +79,7 @@ AUDIT = [
     "text_bpe_encode",
     "events_topk_paths",
     "graph_clustering",
+    "kg_facts_asof",
 ]
 
 

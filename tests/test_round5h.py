@@ -499,3 +499,33 @@ def test_clustering_coefficient_hand_graph(spark):
     assert got["c"] == (3, 1, 2.0 / 6.0)
     assert got["d"] == (1, 0, 0.0)
     assert got["e"] == (1, 0, 0.0) and got["f"] == (1, 0, 0.0)
+
+
+def test_facts_asof_containment_semantics(spark):
+    """Point-in-time semantics over hand-built intervals: a turn inside
+    [valid_from, valid_to) reports the interval's state; turns past
+    last_asserted but before valid_to are carried_forward; turns before
+    the first assertion report nothing."""
+    from kgx import aggregate
+    import pyspark.sql.functions as FF
+
+    rows = [
+        ("c1", 1, "ACME", "p", 1),
+        ("c1", 4, "ACME", "p", -1),
+    ]
+    iv = aggregate.temporal_validity(_facts(spark, rows))
+    probes = spark.createDataFrame(
+        [("c1", t) for t in range(6)], "conv_id string, turn_idx int"
+    )
+    j = iv.join(probes, "conv_id").where(
+        (FF.col("valid_from") <= FF.col("turn_idx"))
+        & (FF.col("valid_to").isNull() | (FF.col("turn_idx") < FF.col("valid_to")))
+    )
+    got = {
+        r.turn_idx: (r.state, r.turn_idx > r.last_asserted)
+        for r in j.collect()
+    }
+    # turn 0: before first assertion -> absent; 1-3: +1 (2,3 carried);
+    # 4-5: -1 (5 carried)
+    assert got == {1: (1, False), 2: (1, True), 3: (1, True),
+                   4: (-1, False), 5: (-1, True)}
