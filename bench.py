@@ -126,6 +126,7 @@ HEADLINE = [
     "events_topk_paths",
     "graph_clustering",
     "kg_facts_asof",
+    "stats_ks_drift",
 ]
 
 

@@ -1529,3 +1529,47 @@ SELECT CAST(d.s AS BIGINT) AS partkey, CAST(d.deg AS BIGINT) AS deg,
             ELSE 0.0 END AS clustering
 FROM deg d LEFT JOIN t ON d.s = t.node
 """
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic
+    (stats.ks_two_sample) between the 'view' and 'click' value
+    distributions — the standard ingest-drift gate, computed WITHOUT
+    floats until the final division: at each distinct value the eCDF gap
+    |cum_a*n_b - cum_b*n_a| is an exact BIGINT, the supremum is an
+    order-independent max, its location ties break to the smallest
+    value, and d is ONE IEEE division by n_a*n_b. One map-side-combined
+    groupBy(value) plus ONE bounded single-partition window over the
+    distinct-value table (pre-quantize values at 100 TB; D is then exact
+    within one bin)."""
+    from kgx import stats as stats_mod
+
+    return stats_mod.ks_two_sample(
+        _t(spark, sf_dir, "events"), "event_type", "value", "view", "click"
+    )
+STATS_KS_SQL = """
+WITH pv AS (
+  SELECT value AS v,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM pv
+),
+tot AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv),
+sc AS (
+  SELECT t.n_a, t.n_b, c.v,
+         abs(c.cum_a * t.n_b - c.cum_b * t.n_a) AS diff_scaled
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(diff_scaled AS BIGINT) AS d_scaled,
+       CAST(diff_scaled AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS d,
+       v AS at_value
+FROM (
+  SELECT *, row_number() OVER (ORDER BY diff_scaled DESC, v ASC) AS rn
+  FROM sc
+) WHERE rn = 1
+"""

@@ -418,3 +418,73 @@ def position_attribution(events: DataFrame, window_days: int = 2) -> DataFrame:
         "n_touches",
         credit.cast("int").alias("credit_bp"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    type_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups — THE standard distribution-drift gate a
+    training-data pipeline runs between ingest batches / sources. D =
+    sup_x |F_a(x) - F_b(x)| evaluated at observed values, computed in
+    exact scaled integers: at each distinct value, |cum_a * n_b -
+    cum_b * n_a| is a BIGINT (cum counts <= n <= 2^31 each, product
+    < 2^63), the max is order-independent, and `d` is ONE IEEE division
+    by n_a*n_b. The supremum location is reported with a deterministic
+    min-value tie-break.
+
+    Shape: one groupBy(value) with map-side combine collapses the corpus
+    to its distinct-value table, then ONE single-partition window
+    computes both cumulative counts — bounded by |distinct values|, not
+    rows (at 100 TB pre-quantize the value column so the distinct table
+    stays bounded; the statistic then bounds the true D within one
+    quantization bin). Returns one row: (n_a, n_b, d_scaled, d,
+    at_value).
+    """
+    from pyspark.sql import Window
+
+    a_flag = (F.col(type_col) == group_a).cast("long")
+    b_flag = (F.col(type_col) == group_b).cast("long")
+    per_val = (
+        df.where(F.col(type_col).isin(group_a, group_b))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.sum(a_flag).alias("ca"), F.sum(b_flag).alias("cb"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = per_val.agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "v",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).cast("bigint").alias("diff_scaled"),
+    )
+    best = scored.groupBy("n_a", "n_b").agg(
+        F.max("diff_scaled").alias("d_scaled"),
+        F.min_by(
+            "v", F.struct((F.col("diff_scaled") * -1).alias("nd"), F.col("v"))
+        ).alias("at_value"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.col("d_scaled").cast("bigint").alias("d_scaled"),
+        (
+            F.col("d_scaled").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d"),
+        "at_value",
+    )

@@ -80,6 +80,7 @@ AUDIT = [
     "events_topk_paths",
     "graph_clustering",
     "kg_facts_asof",
+    "stats_ks_drift",
 ]
 
 

@@ -529,3 +529,55 @@ def test_facts_asof_containment_semantics(spark):
     # 4-5: -1 (5 carried)
     assert got == {1: (1, False), 2: (1, True), 3: (1, True),
                    4: (-1, False), 5: (-1, True)}
+
+
+# ---------------------------------------------------------------------------
+# KS two-sample drift
+# ---------------------------------------------------------------------------
+
+def test_ks_identical_distributions_zero(spark):
+    from kgx import stats
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0] * 4):
+        rows.append((i, _ts(0), 1, "x" if i % 2 == 0 else "y", v, "{}"))
+    out = stats.ks_two_sample(
+        _attr_events(spark, rows), "event_type", "value", "x", "y"
+    ).collect()[0]
+    assert (out.n_a, out.n_b, out.d_scaled, out.d) == (6, 6, 0, 0.0)
+
+
+def test_ks_hand_computed_supremum(spark):
+    from kgx import stats
+
+    # a: {1, 2}; b: {3, 4} -> full separation, D = 1 at value 2
+    rows = [
+        (0, _ts(0), 1, "a", 1.0, "{}"),
+        (1, _ts(0), 1, "a", 2.0, "{}"),
+        (2, _ts(0), 1, "b", 3.0, "{}"),
+        (3, _ts(0), 1, "b", 4.0, "{}"),
+        (4, _ts(0), 1, "other", 9.0, "{}"),  # excluded group
+    ]
+    out = stats.ks_two_sample(
+        _attr_events(spark, rows), "event_type", "value", "a", "b"
+    ).collect()[0]
+    assert (out.n_a, out.n_b) == (2, 2)
+    assert (out.d_scaled, out.d, out.at_value) == (4, 1.0, 2.0)
+
+
+def test_ks_partial_overlap_and_tie_location(spark):
+    from kgx import stats
+
+    # a: {1,1,3}; b: {1,3,3}: diffs at v=1: |2*3-1*3|=3; v=3: |3*3-3*3|=0
+    rows = [
+        (0, _ts(0), 1, "a", 1.0, "{}"),
+        (1, _ts(0), 1, "a", 1.0, "{}"),
+        (2, _ts(0), 1, "a", 3.0, "{}"),
+        (3, _ts(0), 1, "b", 1.0, "{}"),
+        (4, _ts(0), 1, "b", 3.0, "{}"),
+        (5, _ts(0), 1, "b", 3.0, "{}"),
+    ]
+    out = stats.ks_two_sample(
+        _attr_events(spark, rows), "event_type", "value", "a", "b"
+    ).collect()[0]
+    assert (out.d_scaled, out.d, out.at_value) == (3, 3.0 / 9.0, 1.0)
