@@ -127,6 +127,7 @@ HEADLINE = [
     "graph_clustering",
     "kg_facts_asof",
     "stats_ks_drift",
+    "graph_assortativity",
 ]
 
 

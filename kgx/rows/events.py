@@ -1573,3 +1573,64 @@ FROM (
   FROM sc
 ) WHERE rn = 1
 """
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the part co-order graph:
+    the Pearson correlation of endpoint degrees over every directed edge
+    — THE one-number summary of hub-to-hub vs hub-to-leaf mixing that
+    decides whether degree-based partitioning tricks (hub caps, salting)
+    will matter on a given graph. Reuses stats.correlation VERBATIM
+    (exact decimal sufficient statistics, quantized-ratio contract), fed
+    by one degree groupBy + two node-keyed degree joins over the
+    symmetrized edge list; degrees are exact integers so the
+    DECIMAL(18,2) contract is trivially met."""
+    from kgx import stats as stats_mod
+
+    pairs = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = graph.copurchase_edges(pairs, "l_orderkey", "l_partkey", min_support=1)
+    sym = e.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        e.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    j = (
+        sym.join(deg.select(F.col("a"), F.col("deg").alias("x")), "a")
+        .join(
+            deg.select(F.col("a").alias("b"), F.col("deg").alias("y")), "b"
+        )
+        .select(F.lit("all").alias("graph"), "x", "y")
+    )
+    return stats_mod.correlation(j, "graph", "x", "y")
+GRAPH_ASSORTATIVITY_SQL = """
+WITH m AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS n FROM lineitem),
+e AS (
+  SELECT a.n AS u, b.n AS v FROM m a JOIN m b ON a.k = b.k AND a.n < b.n
+  GROUP BY 1, 2
+),
+und AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY 1),
+p AS (
+  SELECT 'all' AS graph, da.deg AS x, db.deg AS y
+  FROM und u JOIN deg da ON u.s = da.s JOIN deg db ON u.d = db.s
+),
+a AS (
+  SELECT graph, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+    CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY 1
+)
+SELECT graph, n,
+  round(CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
+              AND (CAST(n AS DOUBLE)*sy2 - sy*sy) > 0
+             THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+                  / sqrt((CAST(n AS DOUBLE)*sx2 - sx*sx)
+                         * (CAST(n AS DOUBLE)*sy2 - sy*sy))
+        END, 12) AS pearson_r,
+  round(CASE WHEN (CAST(n AS DOUBLE)*sx2 - sx*sx) > 0
+             THEN (CAST(n AS DOUBLE)*sxy - sx*sy)
+                  / (CAST(n AS DOUBLE)*sx2 - sx*sx)
+        END, 12) AS ols_slope
+FROM a
+"""

@@ -81,6 +81,7 @@ AUDIT = [
     "graph_clustering",
     "kg_facts_asof",
     "stats_ks_drift",
+    "graph_assortativity",
 ]
 
 

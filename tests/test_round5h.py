@@ -581,3 +581,27 @@ def test_ks_partial_overlap_and_tie_location(spark):
         _attr_events(spark, rows), "event_type", "value", "a", "b"
     ).collect()[0]
     assert (out.d_scaled, out.d, out.at_value) == (3, 3.0 / 9.0, 1.0)
+
+
+def test_assortativity_star_is_negative(spark):
+    """A star graph is maximally disassortative: every edge pairs the
+    hub (deg n-1) with a leaf (deg 1) -> r = -1 exactly? No: with all
+    (x,y) pairs being (n-1,1) and (1,n-1), r is the correlation of a
+    two-point symmetric distribution = -1."""
+    from kgx import stats
+    import pyspark.sql.functions as FF
+
+    pairs = [("h", f"l{i}") for i in range(5)]
+    e = _edges(spark, [(min(a, b), max(a, b)) for a, b in pairs])
+    sym = e.select(FF.col("u").alias("a"), FF.col("v").alias("b")).unionAll(
+        e.select(FF.col("v").alias("a"), FF.col("u").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(FF.count("*").alias("deg"))
+    j = (
+        sym.join(deg.select("a", FF.col("deg").alias("x")), "a")
+        .join(deg.select(FF.col("a").alias("b"), FF.col("deg").alias("y")), "b")
+        .select(FF.lit("all").alias("g"), "x", "y")
+    )
+    out = stats.correlation(j, "g", "x", "y").collect()[0]
+    assert out.n == 10
+    assert out.pearson_r == -1.0
